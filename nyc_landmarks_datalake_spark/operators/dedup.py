@@ -1,0 +1,321 @@
+"""Deduplication operators over ``documents``: exact (hash group-by),
+n-gram Jaccard near-dup (inverted-index join), MinHash+LSH banding, and
+SimHash signatures.
+
+LLM-data-pipeline extensions (SURVEY §2.B). Design for 100 TB:
+
+- exact dedup: single hash-aggregate shuffle on a 128-bit digest — the
+  canonical massive-corpus dedup shape (map-side partial counts first);
+- n-gram Jaccard: *inverted index* join on shingles (shuffle keyed by
+  shingle, then by pair) — never an O(n^2) cross join; hot shingles are
+  the skew risk, which banding (MinHash-LSH) removes;
+- MinHash-LSH: per-doc signature is pure map-side codegen; candidate
+  generation shuffles (band_id, band_hash) buckets; verification joins
+  only within buckets. Bands/rows (4x4, r=4) target J >= ~0.7 recall;
+- SimHash: 60-bit signature, pure map-side.
+
+All hashes are md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces every intermediate value bit-for-bit; MinHash coefficients
+are baked as literals into BOTH plans from the same Python constants.
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_long,
+    md5_long_sql,
+    minhash_coeffs,
+)
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+COEFFS = minhash_coeffs(NUM_HASHES)
+JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 60
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: one hash-agg over a text digest.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    sql="""
+    SELECT md5(text) AS text_md5,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+# --- shared shingle machinery ----------------------------------------------
+
+_SH_SPARK = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "array_distinct(transform(sequence(0, size(toks)-3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
+    "ELSE array(concat_ws(' ', toks)) END"
+)
+
+_SH_DUCK = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def shingled(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-word shingle array (map-side only)."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", F.expr(_SH_SPARK).alias("shingles"))
+
+
+_SHINGLED_DUCK = f"""
+    SELECT doc_id, {_SH_DUCK} AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup via inverted-index join.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_ngram_jaccard",
+    sql=f"""
+    WITH sh AS ({_SHINGLED_DUCK}),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           (n_common * 1.0) /
+           (len(s1.shingles) + len(s2.shingles) - n_common) AS jaccard
+    FROM pairs
+    JOIN sh s1 ON s1.doc_id = doc1
+    JOIN sh s2 ON s2.doc_id = doc2
+    WHERE (n_common * 1.0) /
+          (len(s1.shingles) + len(s2.shingles) - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled(table(spark, sf_dir, "documents"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jaccard = F.col("n_common") * F.lit(1.0) / (
+        F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", jaccard.alias("jaccard"))
+    )
+
+
+# --- MinHash ----------------------------------------------------------------
+
+
+def _minhash_cols() -> list[Column]:
+    """One min-hash per (a,b) coefficient over the shingle-hash array."""
+    xs = F.transform(F.col("shingles"), lambda s: md5_long(s) % MERSENNE_P)
+    cols = []
+    for i, (a, b) in enumerate(COEFFS):
+        cols.append(
+            F.array_min(
+                F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
+            ).alias(f"sig_{i:02d}")
+        )
+    return cols
+
+
+def _minhash_sql_exprs() -> list[str]:
+    xs = f"list_transform(shingles, s -> {md5_long_sql('s')} % {MERSENNE_P})"
+    return [
+        f"list_min(list_transform({xs}, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        f" AS sig_{i:02d}"
+        for i, (a, b) in enumerate(COEFFS)
+    ]
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    return shingled(docs).select("doc_id", *_minhash_cols())
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature parity (strong check of the hash machinery itself).
+# ---------------------------------------------------------------------------
+@query(
+    "q_minhash_signatures",
+    sql=f"""
+    WITH sh AS ({_SHINGLED_DUCK})
+    SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+    FROM sh
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs: band → bucket-join → verified Jaccard.
+# ---------------------------------------------------------------------------
+def _band_hash_spark(j: int) -> Column:
+    sig_slice = [F.col(f"sig_{i:02d}") for i in range(j * ROWS_PER_BAND, (j + 1) * ROWS_PER_BAND)]
+    return F.md5(F.concat_ws(",", *[c.cast("string") for c in sig_slice]))
+
+
+def _band_hash_sql(j: int) -> str:
+    cols = ", ".join(
+        f"CAST(sig_{i:02d} AS VARCHAR)"
+        for i in range(j * ROWS_PER_BAND, (j + 1) * ROWS_PER_BAND)
+    )
+    return f"md5(concat_ws(',', {cols}))"
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    sql=f"""
+    WITH sh AS ({_SHINGLED_DUCK}),
+    sig AS (
+        SELECT doc_id, shingles, {', '.join(_minhash_sql_exprs())}
+        FROM sh
+    ),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {j} AS band_id, {_band_hash_sql(j)} AS band_hash FROM sig"
+            for j in range(BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+           (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
+           len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+    FROM cand
+    JOIN sh s1 ON s1.doc_id = doc1
+    JOIN sh s2 ON s2.doc_id = doc2
+    WHERE (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
+          len(list_distinct(list_concat(s1.shingles, s2.shingles)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = shingled(docs)
+    sig = sh.select("doc_id", *_minhash_cols())
+    bands = None
+    for j in range(BANDS):
+        band_j = sig.select(
+            "doc_id",
+            F.lit(j).alias("band_id"),
+            _band_hash_spark(j).alias("band_hash"),
+        )
+        bands = band_j if bands is None else bands.unionByName(band_j)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    jaccard = (
+        F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))) * F.lit(1.0)
+    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    return (
+        cand.join(s1, F.col("doc1") == F.col("d1"))
+        .join(s2, F.col("doc2") == F.col("d2"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", jaccard.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (60-bit, unrolled bit loop — pure codegen).
+# ---------------------------------------------------------------------------
+@query(
+    "q_simhash_signatures",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              w -> {md5_long_sql('w')}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           {' + '.join(
+               f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
+               f" > len(hs) THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+               for b in range(SIMHASH_BITS)
+           )} AS simhash
+    FROM t
+    """,
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hs = F.transform(
+        F.array_distinct(F.split(F.col("text"), " ")), lambda w: md5_long(w)
+    )
+    base = docs.select("doc_id", hs.alias("hs"))
+    n = F.size(F.col("hs"))
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        ones = F.size(
+            F.filter(
+                F.col("hs"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        bit_terms.append(
+            F.when(2 * ones > n, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    simhash = _reduce(lambda x, y: x + y, bit_terms)
+    return base.select("doc_id", simhash.alias("simhash"))

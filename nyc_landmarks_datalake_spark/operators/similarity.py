@@ -1,0 +1,182 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, d=64):
+brute-force cosine top-k (the exact baseline) and a sign-random-projection
+LSH-bucketed near-neighbor variant (the scale path).
+
+Design for 100 TB (SURVEY §2.B "LLM-pipeline ops"):
+
+- brute force: query vectors are broadcast (they are tiny); scoring is
+  map-side codegen over the big side (zip_with/aggregate, no UDF); the
+  only shuffle is the final per-query top-k (TakeOrdered-style, partial
+  top-k per partition via row_number window on (query, score));
+- LSH: each vector maps to an integer bucket via sign bits of K fixed
+  integer projections — pure map work; candidate pairs join only within
+  (bucket) groups, turning O(n^2) scoring into bucket-local work.
+
+Projection matrices are deterministic integer literals derived from an
+LCG, embedded identically in the Spark plan and the DuckDB oracle SQL —
+dot products then run in float64 in both engines, bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+DIM = 64
+N_PROJ = 8
+COSINE_THRESHOLD = 0.3
+TOP_K = 10
+N_QUERY_VECS = 5
+
+
+def _projections() -> list[list[int]]:
+    """Deterministic integer projection vectors (LCG, same constants as
+    the oracle SQL)."""
+    return [
+        [((1103515245 * (j * DIM + d) + 12345) % 2001) - 1000 for d in range(DIM)]
+        for j in range(N_PROJ)
+    ]
+
+
+PROJ = _projections()
+
+
+def _proj_dot_spark(emb: Column, vec: list[int]) -> Column:
+    lit_arr = F.array(*[F.lit(float(v)) for v in vec])
+    return F.aggregate(
+        F.zip_with(emb, lit_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _proj_dot_sql(emb: str, vec: list[int]) -> str:
+    arr = "[" + ", ".join(f"{v}.0" for v in vec) + "]"
+    return f"list_dot_product(({emb})::DOUBLE[], {arr}::DOUBLE[])"
+
+
+def bucket_spark(emb: Column) -> Column:
+    terms = []
+    for j, vec in enumerate(PROJ):
+        terms.append(
+            F.when(_proj_dot_spark(emb, vec) > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def bucket_sql(emb: str) -> str:
+    terms = [
+        f"(CASE WHEN {_proj_dot_sql(emb, vec)} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j, vec in enumerate(PROJ)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k for a fixed query set (vec_id < N_QUERY_VECS).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cosine_topk",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               {cosine_sql('e.embedding', 'q.q_emb')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket assignment parity (checks the projection machinery).
+# ---------------------------------------------------------------------------
+@query(
+    "q_lsh_buckets",
+    sql=f"""
+    SELECT vec_id, {bucket_sql('embedding')} AS bucket
+    FROM embeddings
+    """,
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", bucket_spark(F.col("embedding")).alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: candidate pairs within an LSH bucket, verified by
+# exact cosine.
+# ---------------------------------------------------------------------------
+@query(
+    "q_embedding_neardup",
+    sql=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec1, c.vec_id AS vec2,
+           {cosine_sql('a.embedding', 'c.embedding')} AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {cosine_sql('a.embedding', 'c.embedding')} >= {COSINE_THRESHOLD}
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", bucket_spark(F.col("embedding")).alias("bucket")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cos = cosine(F.col("a.embedding"), F.col("c.embedding"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .filter(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("c.vec_id").alias("vec2"),
+            cos.alias("cos_sim"),
+        )
+    )

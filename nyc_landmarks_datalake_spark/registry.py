@@ -1,0 +1,48 @@
+"""Query registry: name → (Spark callable, DuckDB oracle SQL).
+
+Every operator the engine claims is registered here with BOTH a Spark
+DataFrame implementation and (where SQL-expressible) an equivalent
+ANSI-SQL string the DuckDB oracle runs on the same parquet tables.
+Column names/aliases are kept identical on both sides — the driver's
+comparator sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
+    if name in QUERIES:
+        raise ValueError(f"duplicate query name {name!r}")
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def query(name: str, sql: str | None = None):
+    """Decorator form of :func:`register`."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        register(name, fn, sql)
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query-providing module (idempotent)."""
+    import nyc_landmarks_datalake_spark.operators.relational  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.windows  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.events  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.dedup  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.similarity  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.textops  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.asof  # noqa: F401

@@ -1,0 +1,110 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL on the same parquet
+tables, then compares row count, column names, and values (columns
+sorted by name, rows sorted by all columns). Floats must match to
+tight tolerance; everything else exactly — stricter than any
+reasonable value-hash, so passing here implies passing the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from nyc_landmarks_datalake_spark.sources.catalog import TABLES
+
+REL_TOL = 1e-12
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, Decimal):
+            df[c] = s.astype(float)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = parity)."""
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return [
+            f"{name}: column mismatch spark={sorted(spark_df.columns)} "
+            f"oracle={sorted(oracle_df.columns)}"
+        ]
+    if len(spark_df) != len(oracle_df):
+        return [f"{name}: row count spark={len(spark_df)} oracle={len(oracle_df)}"]
+    s = _normalize(spark_df)
+    o = _normalize(oracle_df)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sa = sv.astype(float).to_numpy()
+            oa = ov.astype(float).to_numpy()
+            both_nan = np.isnan(sa) & np.isnan(oa)
+            close = np.isclose(sa, oa, rtol=REL_TOL, atol=1e-12) | both_nan
+            exact = (sa == oa) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                problems.append(
+                    f"{name}.{c}: value mismatch row {i}: spark={sa[i]!r} oracle={oa[i]!r}"
+                )
+            elif not exact.all():
+                i = int(np.argmin(exact))
+                problems.append(
+                    f"{name}.{c}: NOT BIT-EXACT (close) row {i}: "
+                    f"spark={sa[i]!r} oracle={oa[i]!r} diff={sa[i]-oa[i]!r}"
+                )
+        else:
+            eq = (sv.to_numpy() == ov.to_numpy()) | (sv.isna() & ov.isna()).to_numpy()
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"{name}.{c}: value mismatch row {i}: "
+                    f"spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}"
+                )
+    return problems
+
+
+def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    con = duckdb_conn(sf_dir)
+    results: dict[str, list[str]] = {}
+    for name, fn in registry.QUERIES.items():
+        if names and name not in names:
+            continue
+        sql = registry.ORACLE.get(name)
+        if sql is None:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"{name}: SPARK ERROR {e}"]
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"{name}: ORACLE ERROR {e}"]
+            continue
+        results[name] = compare(sdf, odf, name)
+    return results
