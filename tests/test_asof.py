@@ -1,0 +1,56 @@
+"""The two as-of strategies (JVM window vs cogroup+merge_asof) must
+produce identical results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.operators.asof import asof_join
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+
+def _events_orders(spark, sf_dir):
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return events, orders
+
+
+def _run(spark, sf_dir, strategy, how):
+    events, orders = _events_orders(spark, sf_dir)
+    df = asof_join(
+        events,
+        orders,
+        on_left="ts",
+        on_right="order_ts",
+        by_left="user_id",
+        by_right="cust_id",
+        how=how,
+        strategy=strategy,
+    )
+    pdf = df.toPandas().sort_values(["event_id"]).reset_index(drop=True)
+    return pdf[["event_id", "user_id", "ts", "order_ts", "last_orderkey"]]
+
+
+def test_strategies_agree_inner(spark, sf_small):
+    a = _run(spark, sf_small, "window", "inner")
+    b = _run(spark, sf_small, "cogroup", "inner")
+    assert a.equals(b), "window vs cogroup mismatch (inner)"
+
+
+def test_left_keeps_unmatched(spark, sf_small):
+    events, orders = _events_orders(spark, sf_small)
+    n_events = events.count()
+    out = asof_join(
+        events, orders,
+        on_left="ts", on_right="order_ts",
+        by_left="user_id", by_right="cust_id",
+        how="left", strategy="window",
+    )
+    assert out.count() == n_events

@@ -1,0 +1,62 @@
+"""Unit checks for the cross-engine primitives."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_long,
+    minhash_coeffs,
+)
+from nyc_landmarks_datalake_spark.functions.vectors import cosine, dot, norm
+
+
+def test_md5_long_matches_hashlib(spark):
+    words = ["hello", "spark", "", "MULTIPOLYGON", "café"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r["w"]: r["h"] for r in df.select("w", md5_long(F.col("w")).alias("h")).collect()}
+    for w in words:
+        expected = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[w] == expected, w
+
+
+def test_minhash_coeffs_deterministic_and_valid():
+    a = minhash_coeffs(16)
+    b = minhash_coeffs(16)
+    assert a == b
+    assert len(set(a)) == 16
+    for ai, bi in a:
+        assert 0 < ai < MERSENNE_P and ai % 2 == 1
+        assert 0 <= bi < MERSENNE_P
+
+
+def test_vector_ops_match_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=16).astype("float32")
+    b = rng.normal(size=16).astype("float32")
+    df = spark.createDataFrame([(a.tolist(), b.tolist())], ["a", "b"])
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        norm(F.col("a")).alias("na"),
+        cosine(F.col("a"), F.col("b")).alias("cos"),
+    ).collect()[0]
+    ad, bd = a.astype("float64"), b.astype("float64")
+    assert math.isclose(row["dot"], float(ad @ bd), rel_tol=1e-12)
+    assert math.isclose(row["na"], float(np.sqrt(ad @ ad)), rel_tol=1e-12)
+    expected_cos = float((ad @ bd) / (np.sqrt(ad @ ad) * np.sqrt(bd @ bd)))
+    assert math.isclose(row["cos"], expected_cos, rel_tol=1e-12)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() >= 0
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 39

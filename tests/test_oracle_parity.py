@@ -1,0 +1,25 @@
+"""Every registered query must match its DuckDB oracle (the driver's
+correctness gate, replicated at sf0.001 for speed; the driver runs
+sf0.01 — run tests/oracle_harness.run_parity at sf0.01 before shipping).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_landmarks_datalake_spark import registry
+from tests.oracle_harness import run_parity
+
+registry.load_all()
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLE))
+def test_parity(spark, sf_small, name):
+    problems = run_parity(spark, sf_small, [name])[name]
+    assert not problems, "\n".join(problems)
+
+
+def test_all_queries_have_oracle_or_reason():
+    # Every query without an oracle must be documented as non-SQL.
+    missing = set(registry.QUERIES) - set(registry.ORACLE)
+    assert missing == set(), f"queries missing oracle SQL: {missing}"
