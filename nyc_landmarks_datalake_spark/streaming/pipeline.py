@@ -1,0 +1,119 @@
+"""Structured Streaming tier.
+
+The reference's unit of streaming is a *file-arrival event*: one S3
+ObjectCreated notification → one Lambda invocation → one object massaged
+(CSVIngest.java:28, :211, :217 — note it silently drops all but the
+first record of a batched event). Spark's file source does the same
+discovery natively — new files in the raw/ zone are picked up exactly
+once per micro-batch, checkpointed — so ``stream_ingest`` IS the
+reference's production path, minus the Lambda plumbing and the
+one-record-per-event bug.
+
+On top (ABSENT in the reference, SURVEY §2.B): event-time watermarks,
+tumbling/session windows, and streaming dedup. The batch twins of the
+window aggregations are oracle-checked in operators/events.py; here the
+same expressions run under the streaming engine with late-data drops.
+
+Scale: file-source ingest is embarrassingly parallel (one task per
+file split); windowed aggs shuffle on (key, window) with state in the
+state store — watermarks bound state size, which is what makes a
+100 TB/day stream feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    schema: T.StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    partition_cols: list[str] | None = None,
+    transform=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source CSV ingest into checkpointed parquet (R1→R14)."""
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema(schema)
+        .load(raw_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "15 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation with a
+    watermark: rows later than the watermark are dropped."""
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "2 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window aggregation per user (merging state handled by the
+    streaming engine's session-window state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: state bounded by the watermark (duplicates
+    arriving later than the watermark are not suppressed — the standard
+    state/size tradeoff)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        (keys or ["event_id"]) + ["ts"]
+    )

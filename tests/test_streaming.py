@@ -1,0 +1,149 @@
+"""Streaming-tier tests: file-source ingest (the Lambda-trigger
+equivalent), watermarked tumbling windows, session windows, and
+streaming dedup — all via availableNow triggers into tmp sinks."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_landmarks_datalake_spark.schema.sidecar import parse_sidecar
+from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.streaming.pipeline import (
+    sessionized_stream,
+    stream_dedup,
+    stream_ingest,
+    windowed_counts,
+)
+
+SIDECAR = [
+    {"key": "id", "type": "bigint", "partition_key": "false", "comment": ""},
+    {"key": "name", "type": "string", "partition_key": "false", "comment": ""},
+    {"key": "zone", "type": "string", "partition_key": "true", "comment": ""},
+]
+
+
+def test_stream_ingest_file_source(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.csv").write_text("id,name,zone\n1,alpha,QN\n2,beta,BK\n")
+    (raw / "b.csv").write_text('id,name,zone\n3,"gamma, g",QN\n')
+    schema = parse_sidecar(json.dumps(SIDECAR))
+    dest = tmp_path / "silver"
+    q = stream_ingest(
+        spark,
+        str(raw),
+        schema,
+        str(dest),
+        str(tmp_path / "ckpt"),
+        partition_cols=["zone"],
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(dest))
+    assert back.count() == 3
+    assert {r["name"] for r in back.collect()} == {"alpha", "beta", "gamma, g"}
+    assert (dest / "zone=QN").exists()
+
+    # a newly arrived file is picked up exactly once on the next trigger
+    (raw / "c.csv").write_text("id,name,zone\n4,delta,SI\n")
+    q2 = stream_ingest(
+        spark, str(raw), schema, str(dest), str(tmp_path / "ckpt"),
+        partition_cols=["zone"],
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(dest)).count() == 4
+
+
+def _run_stream_to_memory(spark, df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _events_stream(spark, sf_dir, tmp_path):
+    """Re-stage the events table as a parquet streaming source (with the
+    micro-second ts already normalized by the catalog reader)."""
+    staged = str(tmp_path / "events_staged")
+    ev = table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(staged)
+    return spark.readStream.schema(ev.schema).parquet(staged), ev
+
+
+def test_windowed_counts_matches_batch(spark, sf_small, tmp_path):
+    stream, batch = _events_stream(spark, sf_small, tmp_path)
+    got = _run_stream_to_memory(
+        spark, windowed_counts(stream), "win_counts", output_mode="complete"
+    ).toPandas()
+    expected = (
+        batch.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .count()
+    )
+    assert len(got) == expected
+    assert (got["n_events"] >= 1).all()
+
+
+def test_windowed_counts_append_watermark_semantics(spark, sf_small, tmp_path):
+    # Append mode emits only windows closed by the final watermark
+    # (max_ts - 30min); the in-flight tail windows stay in state.
+    stream, batch = _events_stream(spark, sf_small, tmp_path)
+    got = _run_stream_to_memory(
+        spark, windowed_counts(stream), "win_append", output_mode="append"
+    ).toPandas()
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - __import__("datetime").timedelta(minutes=30)
+    closed = (
+        batch.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .count()
+        .filter(F.col("w.end") <= F.lit(wm))
+        .count()
+    )
+    total = (
+        batch.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .count()
+        .count()
+    )
+    assert closed <= len(got) <= total
+    assert len(got) < total  # the tail really was held back
+
+
+def test_session_windows_stream(spark, sf_small, tmp_path):
+    stream, batch = _events_stream(spark, sf_small, tmp_path)
+    got = _run_stream_to_memory(
+        spark, sessionized_stream(stream), "sess", output_mode="complete"
+    ).toPandas()
+    expected = (
+        batch.groupBy(F.session_window("ts", "2 hours"), F.col("user_id"))
+        .count()
+        .count()
+    )
+    assert len(got) == expected
+
+
+def test_stream_dedup(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "dup_src"
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:05:00")],
+        ["event_id", "ts_str"],
+    ).select("event_id", F.col("ts_str").cast("timestamp").alias("ts"))
+    df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    got = _run_stream_to_memory(spark, stream_dedup(stream), "dedup").toPandas()
+    assert len(got) == 2
+    assert sorted(got["event_id"]) == [1, 2]
