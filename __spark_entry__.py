@@ -20,8 +20,12 @@ SF0001_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["q05_local_supplier_volume"](spark, SF0001_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H Q1-style pricing summary: scan → pushed filter → hash agg with
+    decimal-exact sums — 6 groups with stable schema at every sf.
+    """
+    return registry.QUERIES["q01_pricing_summary"](spark, SF0001_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -41,10 +41,13 @@ from nyc_landmarks_datalake_spark.sources.catalog import table
 )
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return events.groupBy("event_type").agg(
-        dsum(k.cast("double")).alias("sum_k"),
-        F.max(k).alias("max_k"),
+    # Parse the JSON once per row before aggregating (not once per agg).
+    parsed = events.select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        dsum(F.col("k").cast("double")).alias("sum_k"),
+        F.max("k").alias("max_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

@@ -46,3 +46,5 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.similarity  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.textops  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.asof  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.nested  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.multimodal  # noqa: F401

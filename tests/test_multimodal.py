@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests: schema shape, Arrow batch behavior,
+deterministic features, metadata-only planning, stubbed decode seam."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    frame_sample,
+    resize_plan,
+    synthesize_media,
+)
+
+
+def test_media_schema_and_determinism(spark):
+    m1 = synthesize_media(spark, 30).collect()
+    m2 = synthesize_media(spark, 30).collect()
+    assert [r["payload"] for r in m1] == [r["payload"] for r in m2]
+    kinds = {r["kind"] for r in m1}
+    assert kinds == {"image", "audio", "video"}
+    assert all(r["meta"]["width"] % 64 == 0 for r in m1)
+    assert all(isinstance(r["payload"], (bytes, bytearray)) for r in m1)
+
+
+def test_extract_features_matches_reference_impl(spark):
+    media = synthesize_media(spark, 20)
+    got = {
+        r["media_id"]: (list(r["features"]), r["n_bytes"])
+        for r in extract_features(media, "media_id", "payload").collect()
+    }
+    for r in media.collect():
+        digest = hashlib.md5(bytes(r["payload"])).hexdigest()
+        expected = [int(digest[2 * j : 2 * j + 2], 16) / 255.0 for j in range(FEATURE_DIM)]
+        feats, n_bytes = got[r["media_id"]]
+        assert feats == expected
+        assert n_bytes == len(bytes(r["payload"]))
+
+
+def test_frame_sample_metadata_only(spark):
+    media = synthesize_media(spark, 30)
+    sampled = frame_sample(media, every_n=10)
+    rows = sampled.collect()
+    assert all(r["frame_idx"] % 10 == 0 for r in rows)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    meta = {r["media_id"]: r["meta"]["n_frames"] for r in media.collect()}
+    for mid, idxs in by_id.items():
+        assert max(idxs) < meta[mid]
+        assert idxs == sorted(idxs)
+    # the plan never reads the payload column
+    plan = sampled._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan
+
+
+def test_resize_plan_bounds(spark):
+    media = synthesize_media(spark, 40)
+    rows = resize_plan(media, max_side=256).collect()
+    for r in rows:
+        assert max(r["target_width"], r["target_height"]) <= 256
+        assert r["target_width"] > 0 and r["target_height"] > 0
+
+
+def test_decode_stub_raises(spark):
+    media = synthesize_media(spark, 3)
+    with pytest.raises(NotImplementedError, match="decode"):
+        decode_image(media)
