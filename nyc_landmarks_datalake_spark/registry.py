@@ -17,6 +17,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+#: queries deliberately registered WITHOUT oracle SQL (driver falls back
+#: to its rows-only check) → reason string for the judge/tests.
+ROWS_ONLY: dict[str, str] = {}
+
+
+def rows_only(name: str, reason: str) -> None:
+    if name not in QUERIES:
+        raise KeyError(name)
+    ROWS_ONLY[name] = reason
 
 
 def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
@@ -48,3 +57,5 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.asof  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.nested  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.multimodal  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.joins_extra  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.sketches  # noqa: F401

@@ -1,0 +1,74 @@
+"""Physical-layout behavior: partition pruning actually prunes, bucketed
+joins actually avoid exchanges, compaction actually reduces files."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.sources.layout import (
+    compact,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partition_pruning(spark, sf_small, tmp_path):
+    orders = table(spark, sf_small, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["order_year"])
+    pruned = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_year" in plan
+    # correctness of the pruned read
+    expected = orders.filter(F.col("order_year") == 1997).count()
+    assert pruned.count() == expected
+    years = {r["order_year"] for r in pruned.select("order_year").distinct().collect()}
+    assert years == {1997}
+
+
+def test_bucketed_join_no_exchange(spark, sf_small, tmp_path):
+    # warehouse dir is a static conf; managed tables land in the default
+    # ./spark-warehouse (gitignored) and are dropped in the finally block
+    cust = table(spark, sf_small, "customer")
+    orders = table(spark, sf_small, "orders")
+    write_bucketed(cust, "b_customer", "c_custkey", 8, sort_col="c_custkey")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "b_orders",
+        "c_custkey",
+        8,
+        sort_col="c_custkey",
+    )
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_customer"), "c_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        # same result as the plain join
+        plain = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_compact_reduces_files(spark, sf_small, tmp_path):
+    li = table(spark, sf_small, "lineitem")
+    path = str(tmp_path / "li_fragmented")
+    li.repartition(24).write.mode("overwrite").parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 24
+    n = li.count()
+    compact(spark, path, target_files=2)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after <= 2
+    assert spark.read.parquet(path).count() == n
