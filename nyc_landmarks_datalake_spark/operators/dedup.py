@@ -119,32 +119,40 @@ _SHINGLED_DUCK = f"""
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted index WITHOUT a self-join: group postings per shingle,
+    # expand ordered pairs in place (bucket sizes are bounded by the
+    # hottest shingle's doc-frequency), then one shuffle per pair for the
+    # intersection counts. Doc sizes travel with the postings so no
+    # extra sizes-join (which would recompute the shingling) is needed.
     sh = shingled(table(spark, sf_dir, "documents"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    inv = sh.select(
+        F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
+        F.explode("shingles").alias("shingle"),
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    buckets = (
+        inv.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    counted = pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc1"),
+        F.col("p.a.n_sh").alias("n1"),
+        F.col("p.b.doc_id").alias("doc2"),
+        F.col("p.b.n_sh").alias("n2"),
+    ).agg(F.count(F.lit(1)).alias("n_common"))
     jaccard = F.col("n_common") * F.lit(1.0) / (
-        F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("n_common")
+        F.col("n1") + F.col("n2") - F.col("n_common")
     )
-    return (
-        pairs.join(s1, F.col("doc1") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
-        .filter(jaccard >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", jaccard.alias("jaccard"))
+    return counted.filter(jaccard >= JACCARD_THRESHOLD).select(
+        "doc1", "doc2", jaccard.alias("jaccard")
     )
 
 
@@ -152,16 +160,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_cols() -> list[Column]:
-    """One min-hash per (a,b) coefficient over the shingle-hash array."""
-    xs = F.transform(F.col("shingles"), lambda s: md5_long(s) % MERSENNE_P)
+    """One min-hash per (a,b) coefficient over a pre-materialized
+    shingle-hash array column ``xs`` (materializing xs once keeps the
+    md5 pass at 1x; inlining it here would recompute the digests once
+    per signature column — a measured 16x blowup)."""
     cols = []
     for i, (a, b) in enumerate(COEFFS):
         cols.append(
             F.array_min(
-                F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
+                F.transform(
+                    F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P
+                )
             ).alias(f"sig_{i:02d}")
         )
     return cols
+
+
+def _with_xs(sh: DataFrame) -> DataFrame:
+    """Add the shingle-hash array (the single md5 pass)."""
+    return sh.withColumn(
+        "xs", F.transform(F.col("shingles"), lambda s: md5_long(s) % MERSENNE_P)
+    )
 
 
 def _minhash_sql_exprs() -> list[str]:
@@ -174,7 +193,7 @@ def _minhash_sql_exprs() -> list[str]:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    return shingled(docs).select("doc_id", *_minhash_cols())
+    return _with_xs(shingled(docs)).select("doc_id", *_minhash_cols())
 
 
 # ---------------------------------------------------------------------------
@@ -240,27 +259,40 @@ def _band_hash_sql(j: int) -> str:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signatures are computed ONCE: bands explode from an array of band
+    # structs (a self-join on bands would duplicate the signature subtree
+    # into every branch — 8x the md5 work), candidate pairs expand inside
+    # (band_id, band_hash) buckets via collect_list, and only the
+    # verification joins re-touch the (cheap, 1-row-per-doc) shingle set.
     docs = table(spark, sf_dir, "documents")
     sh = shingled(docs)
-    sig = sh.select("doc_id", *_minhash_cols())
-    bands = None
-    for j in range(BANDS):
-        band_j = sig.select(
-            "doc_id",
-            F.lit(j).alias("band_id"),
-            _band_hash_spark(j).alias("band_hash"),
-        )
-        bands = band_j if bands is None else bands.unionByName(band_j)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    sig = _with_xs(sh).select("doc_id", *_minhash_cols())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
+            )
+            for j in range(BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc1, b AS doc2))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .distinct()
     )
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))

@@ -160,23 +160,33 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucket once (a self-join would recompute the 8 projection dots on
+    # both sides), collect members per bucket, expand ordered pairs in
+    # place, then score each candidate pair exactly once.
     emb = table(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id", "embedding", bucket_spark(F.col("embedding")).alias("bucket")
     )
-    a = b.alias("a")
-    c = b.alias("c")
-    cos = cosine(F.col("a.embedding"), F.col("c.embedding"))
-    return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
+    buckets = (
+        b.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("ms")
         )
-        .filter(cos >= COSINE_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec1"),
-            F.col("c.vec_id").alias("vec2"),
-            cos.alias("cos_sim"),
-        )
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    cos = cosine(F.col("p.a.embedding"), F.col("p.b.embedding"))
+    return pairs.filter(cos >= COSINE_THRESHOLD).select(
+        F.col("p.a.vec_id").alias("vec1"),
+        F.col("p.b.vec_id").alias("vec2"),
+        cos.alias("cos_sim"),
     )
