@@ -59,3 +59,4 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.multimodal  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.joins_extra  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.sketches  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.mixed  # noqa: F401

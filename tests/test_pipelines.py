@@ -1,0 +1,53 @@
+"""End-to-end landmarks pipeline over the reference's own fixture."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nyc_landmarks_datalake_spark.pipelines import (
+    designations_per_year,
+    ingest_landmarks,
+    landmarks_per_borough,
+    largest_landmarks,
+)
+
+REF_CSV = "/root/reference/src/test/resources/testData.csv"
+REF_SCHEMA = "/root/reference/src/test/resources/testSchema.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_CSV), reason="reference fixture absent"
+)
+
+
+@pytest.fixture(scope="module")
+def silver(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("landmarks_silver")
+    return ingest_landmarks(spark, REF_CSV, REF_SCHEMA, str(d / "silver"))
+
+
+def test_per_borough_counts(silver):
+    rows = landmarks_per_borough(silver).collect()
+    assert sum(r["n_landmarks"] for r in rows) == 144
+    boroughs = {r["BOROUGH"] for r in rows}
+    assert boroughs <= {"MN", "BK", "QN", "BX", "SI"}
+    # ordered descending
+    counts = [r["n_landmarks"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_designation_years_parse(silver):
+    rows = designations_per_year(silver).collect()
+    assert rows, "no DESIG_DATE parsed — date format regression"
+    years = [r["desig_year"] for r in rows]
+    assert all(1960 <= y <= 2020 for y in years), years
+    assert years == sorted(years)
+
+
+def test_largest_landmarks(silver):
+    rows = largest_landmarks(silver, k=5).collect()
+    assert len(rows) == 5
+    areas = [r["shape_area"] for r in rows]
+    assert areas == sorted(areas, reverse=True)
+    assert all(a > 0 for a in areas)

@@ -1,0 +1,59 @@
+"""Plan-shape pins for headline queries: these assertions are the
+'would this survive 100x scale-up' checks in executable form. If a
+refactor silently turns a broadcast into a sort-merge join or drops a
+pushed filter, these fail before the bench does."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark import registry
+from nyc_landmarks_datalake_spark.plans.audit import audit
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+registry.load_all()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_oracle):
+    a = audit(registry.QUERIES["q01_pricing_summary"](spark, sf_oracle), execute=True)
+    assert a.scans_with_pushdown >= 1, a.pushed_filters
+    # column pruning: the scan must not read all 11 lineitem columns
+    assert a.read_schemas and "l_orderkey" not in a.read_schemas[0]
+    assert a.wholestage_codegen_spans >= 1
+    assert not a.has_python_eval
+
+
+def test_q05_all_dims_broadcast(spark, sf_oracle):
+    a = audit(registry.QUERIES["q05_local_supplier_volume"](spark, sf_oracle))
+    assert a.broadcast_hash_joins == 5
+    assert a.sort_merge_joins == 0 and a.shuffled_hash_joins == 0
+    assert a.scans_with_pushdown >= 2
+
+
+def test_no_python_on_relational_hot_paths(spark, sf_oracle):
+    for name in [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q10_returned_items",
+        "q_topk_per_group",
+        "q_dedup_minhash_lsh",
+        "q_simhash_signatures",
+        "q_cosine_topk",
+        "q_text_stats",
+        "q_doc_fingerprint",
+    ]:
+        a = audit(registry.QUERIES[name](spark, sf_oracle))
+        assert not a.has_python_eval, f"{name} fell off the JVM path"
+
+
+def test_asof_single_shuffle(spark, sf_oracle):
+    a = audit(registry.QUERIES["q_asof_join_events_orders"](spark, sf_oracle))
+    # one exchange for the union'd window + one for the orders pre-agg
+    assert a.exchanges <= 3, a
+    assert not a.has_python_eval
+
+
+def test_global_topn_is_take_ordered(spark, sf_oracle):
+    df = registry.QUERIES["q_global_topn"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
