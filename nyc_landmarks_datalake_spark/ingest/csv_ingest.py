@@ -117,6 +117,21 @@ def ingest_compat(
     return massaged
 
 
+def normalize_object_key(key: str) -> str:
+    """R2 — the reference's S3-key normalization (CSVIngest.java:221-224):
+    '+' → space, then URL-decode. Driver-side because object keys are
+    control-plane metadata, not data."""
+    from urllib.parse import unquote
+
+    return unquote(key.replace("+", " "))
+
+
+def normalize_key_col(col):
+    """Column flavor of R2 for key-like *data* columns:
+    url_decode(regexp_replace(col, '\\+', ' '))."""
+    return F.url_decode(F.regexp_replace(col, r"\+", " "))
+
+
 def sidecar_for(csv_path: str, schemas_dir: str | None = None) -> str:
     """schemas/<basename>.json convention (the reference's SCHEMA_LOCATION
     object-tag indirection, CSVIngest.java:88-100, collapsed to a path

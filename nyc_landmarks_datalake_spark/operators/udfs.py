@@ -1,0 +1,111 @@
+"""UDF surface: scalar and grouped-aggregate pandas UDFs (Arrow-batched).
+
+The engine's design rule is zero Python on hot paths (SCALING.md) — every
+built-in-expressible operator uses JVM expressions. This module is the
+sanctioned escape hatch, demonstrating the FAST flavor of custom code
+(vectorized pandas_udf over Arrow batches, 10-100x row-at-a-time udf)
+for logic that genuinely needs Python (model scoring, library calls).
+
+The demo scalar UDF sticks to +,*,/ float64 ops so the DuckDB oracle
+reproduces it bit-exactly — the pandas_udf execution path itself
+(Arrow serialization, batch iteration, null handling) is then under the
+correctness gate, not just eyeballed.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from nyc_landmarks_datalake_spark.operators.textops import STOPWORDS, _STOP_SQL
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+
+# UDFs are built lazily: decorating at import time requires an active
+# SparkContext (return-type resolution), and this module imports before
+# any session exists (registry.load_all at driver-contract import).
+@lru_cache(maxsize=1)
+def quality_score():
+    def _score(stop_ratio: pd.Series, ttr: pd.Series) -> pd.Series:
+        """Vectorized quality score: weighted blend of stopword density
+        and type-token ratio (exact arithmetic → oracle-mirrorable)."""
+        return (2.0 * stop_ratio + ttr) / 3.0
+
+    return pandas_udf(_score, returnType=T.DoubleType())
+
+
+@lru_cache(maxsize=1)
+def max_weighted_value():
+    def _agg(value: pd.Series, weight: pd.Series) -> float:
+        """Grouped-aggregate pandas UDF: max of value*weight per group.
+        (max is accumulation-order independent, so the oracle matches
+        bit-exactly — a float .sum() here would be numpy-pairwise and
+        diverge from any sequential engine in the last ulps.)"""
+        return float((value * weight).max())
+
+    from pyspark.sql.functions import PandasUDFType
+
+    return pandas_udf(
+        _agg, returnType=T.DoubleType(), functionType=PandasUDFType.GROUPED_AGG
+    )
+
+
+@query(
+    "q_pandas_udf_score",
+    sql=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               (len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) * 1.0)
+                   / len(string_split(text, ' ')) AS stop_ratio,
+               (len(list_distinct(string_split(text, ' '))) * 1.0)
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    )
+    SELECT doc_id, stop_ratio, ttr,
+           (2.0 * stop_ratio + ttr) / 3.0 AS score
+    FROM feat
+    """,
+)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    feat = docs.select(
+        "doc_id",
+        (F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))) * F.lit(1.0) / n).alias(
+            "stop_ratio"
+        ),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / n).alias("ttr"),
+    )
+    return feat.select(
+        "doc_id",
+        "stop_ratio",
+        "ttr",
+        quality_score()(F.col("stop_ratio"), F.col("ttr")).alias("score"),
+    )
+
+
+@query(
+    "q_grouped_agg_udf",
+    sql="""
+    SELECT event_type,
+           MAX(value * CAST(user_id + 1 AS DOUBLE)) AS max_weighted
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("user_id") + 1).cast("double").alias("weight"),
+    )
+    return events.groupBy("event_type").agg(
+        max_weighted_value()(F.col("value"), F.col("weight")).alias("max_weighted")
+    )
