@@ -24,6 +24,8 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q10_returned_items",
+    "q09_product_profit",
+    "q21_waiting_suppliers",
     "q_correlated_avg_qty",
     "q_topk_per_group",
     "q_running_total",

@@ -62,4 +62,5 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.mixed  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.udfs  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.tpch_extra  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.tpch_remaining  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.profiling  # noqa: F401
