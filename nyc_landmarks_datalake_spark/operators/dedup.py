@@ -33,7 +33,7 @@ from nyc_landmarks_datalake_spark.functions.hashing import (
     minhash_coeffs,
 )
 from nyc_landmarks_datalake_spark.registry import query
-from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
 
 NUM_HASHES = 16
 BANDS = 4
@@ -57,7 +57,7 @@ SIMHASH_BITS = 60
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("canonical_id"),
@@ -124,7 +124,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hottest shingle's doc-frequency), then one shuffle per pair for the
     # intersection counts. Doc sizes travel with the postings so no
     # extra sizes-join (which would recompute the shingling) is needed.
-    sh = shingled(table(spark, sf_dir, "documents"))
+    sh = shingled(compute_table(spark, sf_dir, "documents"))
     inv = sh.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
@@ -208,7 +208,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """,
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(table(spark, sf_dir, "documents"))
+    return minhash_signatures(compute_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +264,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into every branch — 8x the md5 work), candidate pairs expand inside
     # (band_id, band_hash) buckets via collect_list, and only the
     # verification joins re-touch the (cheap, 1-row-per-doc) shingle set.
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     sh = shingled(docs)
     sig = _with_xs(sh).select("doc_id", *_minhash_cols())
     band_structs = F.array(
@@ -330,7 +330,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     hs = F.transform(
         F.array_distinct(F.split(F.col("text"), " ")), lambda w: md5_long(w)
     )

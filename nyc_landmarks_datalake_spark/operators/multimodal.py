@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nyc_landmarks_datalake_spark.registry import query
-from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
 
 FEATURE_DIM = 8
 
@@ -189,7 +189,7 @@ _FEATURE_COLS_SQL = ", ".join(
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
+    docs = compute_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     feats = extract_features(docs, "doc_id", "payload")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql
 from nyc_landmarks_datalake_spark.registry import query
-from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
 
 DIM = 64
 N_PROJ = 8
@@ -106,7 +106,7 @@ def bucket_sql(emb: str) -> str:
     """,
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = compute_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -138,7 +138,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = compute_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", bucket_spark(F.col("embedding")).alias("bucket"))
 
 
@@ -163,7 +163,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket once (a self-join would recompute the 8 projection dots on
     # both sides), collect members per bucket, expand ordered pairs in
     # place, then score each candidate pair exactly once.
-    emb = table(spark, sf_dir, "embeddings")
+    emb = compute_table(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id", "embedding", bucket_spark(F.col("embedding")).alias("bucket")
     )

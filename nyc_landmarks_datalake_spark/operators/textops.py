@@ -25,7 +25,7 @@ from nyc_landmarks_datalake_spark.functions.hashing import (
     md5_long_sql,
 )
 from nyc_landmarks_datalake_spark.registry import query
-from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -59,7 +59,7 @@ def tokens(col: Column) -> Column:
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_unique = F.size(F.array_distinct(toks))
@@ -108,7 +108,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     stop_ratio = (
@@ -146,7 +146,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_token_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
@@ -180,7 +180,7 @@ def q_token_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     vocab_fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     hashes = F.transform(toks, lambda w: md5_long(w) % MERSENNE_P)

@@ -24,7 +24,7 @@ from pyspark.sql.functions import pandas_udf
 
 from nyc_landmarks_datalake_spark.operators.textops import STOPWORDS, _STOP_SQL
 from nyc_landmarks_datalake_spark.registry import query
-from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
 
 
 # UDFs are built lazily: decorating at import time requires an active
@@ -73,7 +73,7 @@ def max_weighted_value():
     """,
 )
 def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = compute_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     feat = docs.select(

@@ -41,6 +41,47 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: for compute-bound pipelines, aim for ~this much scan input per task —
+#: heavy row work (shingling, md5/minhash, vector math) expands each
+#: input byte many times over, so partitions sized for plain scans are
+#: far too coarse.
+_COMPUTE_CHUNK_BYTES = 256 << 10
+
+
+def compute_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`table`, but guarantees enough partitions for
+    compute-bound per-row pipelines. A small corpus often arrives as one
+    parquet file (one non-splittable row group) → one task, which
+    serializes heavy row work on a single core. Target = one partition
+    per ~256KB of input, clamped to cluster parallelism; at 100 TB the
+    scan's own partitioning already exceeds the clamp and this is a
+    no-op. The repartition shuffles only raw rows (cheap) and is paid
+    once before the expensive projection."""
+    df = table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return df
+    target = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            nbytes // _COMPUTE_CHUNK_BYTES,
+        ),
+    )
+    if target > 1 and df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read nanos as long and truncate to microseconds (the
