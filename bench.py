@@ -36,7 +36,9 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_simhash_signatures",
+    "q_dedup_simhash_hamming",
     "q_cosine_topk",
+    "q_ivf_topk",
     "q_embedding_neardup",
     "q_text_stats",
 ]

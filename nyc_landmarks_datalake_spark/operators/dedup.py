@@ -311,26 +311,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash signatures (60-bit, unrolled bit loop — pure codegen).
 # ---------------------------------------------------------------------------
-@query(
-    "q_simhash_signatures",
-    sql=f"""
-    WITH t AS (
-        SELECT doc_id,
-               list_transform(list_distinct(string_split(text, ' ')),
-                              w -> {md5_long_sql('w')}) AS hs
-        FROM documents
-    )
+
+#: doc_id → 60-bit simhash, DuckDB form (shared by signature parity and
+#: the banded hamming near-dup below).
+_SIMHASH_DUCK = f"""
     SELECT doc_id,
            {' + '.join(
                f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
                f" > len(hs) THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
                for b in range(SIMHASH_BITS)
            )} AS simhash
-    FROM t
-    """,
-)
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = compute_table(spark, sf_dir, "documents")
+    FROM (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              w -> {md5_long_sql('w')}) AS hs
+        FROM documents
+    )
+"""
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """doc_id + 60-bit simhash — pure map-side codegen, no shuffle."""
     hs = F.transform(
         F.array_distinct(F.split(F.col("text"), " ")), lambda w: md5_long(w)
     )
@@ -351,3 +352,97 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     simhash = _reduce(lambda x, y: x + y, bit_terms)
     return base.select("doc_id", simhash.alias("simhash"))
+
+
+@query("q_simhash_signatures", sql=_SIMHASH_DUCK)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_df(compute_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: band the 60-bit signature into 4x15-bit keys; docs
+# sharing a band bucket are candidates; verify hamming(sig1, sig2) <= k.
+# Pigeonhole: any pair within hamming 3 shares a clean band, so recall
+# is exact for d <= 3 and probabilistic above — the standard web-scale
+# simhash dedup layout (signatures are 8 bytes/doc; bucketing is the
+# only shuffle and never touches text).
+# ---------------------------------------------------------------------------
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+HAMMING_MAX = 6
+
+
+@query(
+    "q_dedup_simhash_hamming",
+    sql=f"""
+    WITH sig AS ({_SIMHASH_DUCK}),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, simhash, {j} AS band_id,"
+            f" (simhash >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+            f" AS band_key FROM sig"
+            for j in range(SIMHASH_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
+                        b.doc_id AS doc2, b.simhash AS s2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+           CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signature computed once; bands explode from an inline array (a
+    # bands self-join would duplicate the whole simhash subtree); pairs
+    # expand inside buckets; verification is pure bit math on the pair.
+    sig = simhash_df(compute_table(spark, sf_dir, "documents"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        F.struct("doc_id", "simhash").alias("m"), F.explode(band_structs).alias("b")
+    ).select("m", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
+    # hamming is computed and filtered BEFORE the pair-dedup shuffle so
+    # the distinct only carries surviving pairs (filter(distinct(x)) ==
+    # distinct(filter(x)) since hamming is a function of the pair).
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.doc_id").alias("doc1"),
+            F.col("p.a.simhash").alias("s1"),
+            F.col("p.b.doc_id").alias("doc2"),
+            F.col("p.b.simhash").alias("s2"),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc1", "doc2", "hamming")
+        .distinct()
+    )

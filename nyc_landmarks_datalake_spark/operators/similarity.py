@@ -190,3 +190,134 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.b.vec_id").alias("vec2"),
         cos.alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN top-k (the coarse-quantizer scale path): a deterministic
+# centroid subset partitions the vector space into cells; every vector
+# is assigned to its nearest centroid MAP-SIDE against the broadcast
+# centroid set (no shuffle over the big table — unlike a window-rank
+# formulation, which would shuffle every vector by vec_id); queries
+# probe their NPROBE nearest cells and rank only vectors inside them.
+# At 100 TB the assignment also serves as the layout key: writing the
+# corpus partitioned by cell makes each probe a partition-pruned scan.
+# ---------------------------------------------------------------------------
+CENTROID_MOD = 40  # vec_id % MOD == 0 → deterministic coarse quantizer
+NPROBE = 2
+IVF_TOP_K = 3
+
+
+def _cent_scored(emb: Column) -> Column:
+    """Per-centroid (cos, -c_id) structs for one vector against the
+    attached ``cents`` array — ONE transform lambda regardless of
+    centroid count (inlining centroids as plan literals multiplies the
+    codegen by n_centroids and falls out of whole-stage codegen)."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine(emb, c["c_emb"]).alias("cos"),
+            (-c["c_id"]).alias("neg_id"),
+        ),
+    )
+
+
+@query(
+    "q_ivf_topk",
+    sql=f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    assign AS (
+        SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cosine_sql('q.embedding', 'c.c_emb')} DESC, c.c_id
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT p.q_id, a.vec_id,
+               {cosine_sql('a.embedding', 'q.embedding')} AS cos_sim
+        FROM probe p
+        JOIN assign a ON a.c_id = p.c_id
+        JOIN embeddings q ON q.vec_id = p.q_id
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= {IVF_TOP_K}
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = compute_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    # All centroids as ONE array column on a 1-row frame, broadcast onto
+    # the corpus: assignment is then a map-side argmax (array_max over
+    # (cos, -c_id) structs = max cosine, ties to smallest centroid id,
+    # matching the oracle's ORDER BY cos DESC, c_id). No driver collect,
+    # no shuffle of the big table.
+    cent_arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "c_emb"))).alias("cents")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "embedding",
+            (-F.array_max(_cent_scored(F.col("embedding")))["neg_id"]).alias("c_id"),
+        )
+    )
+    # Probe cells per query: top-NPROBE centroids by the same ordering.
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cent_scored(F.col("q_emb")))),
+                    1,
+                    NPROBE,
+                )
+            ).alias("pc"),
+        )
+        .select("q_id", "q_emb", (-F.col("pc.neg_id")).alias("c_id"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
