@@ -1,0 +1,114 @@
+"""Deterministic sampling operators over ``documents`` — the
+training-data-pipeline staples the reference's lake tier implies but
+never implements (its analytics tier is delegated downstream,
+SURVEY §0): stratified per-group sampling and a stable
+train/validation/test split.
+
+Spark's native ``df.sample`` / ``sampleBy`` draw from a seeded RNG whose
+stream depends on partitioning, so results change under repartition and
+can never match an external oracle. At scale the robust idiom — used
+here — is HASH sampling: a record is selected iff a 60-bit md5-derived
+integer of its stable key lands under a threshold. Properties that
+matter at 100 TB:
+
+- selection is a pure map-side predicate (codegen, pushable, no RNG
+  state, no shuffle);
+- the sample is stable under re-partitioning, retries, and incremental
+  reruns (a re-ingested duplicate lands in the same split);
+- per-stratum rates are just different thresholds on the same hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.hashing import md5_long, md5_long_sql
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+#: per-mille sampling rate per language stratum (lang → keep if
+#: hash‰ < rate); unlisted strata use DEFAULT_RATE.
+STRATUM_RATES = {"en": 500, "de": 250, "fr": 250}
+DEFAULT_RATE = 100
+
+#: train/val/test per-mille cut points.
+TRAIN_CUT, VAL_CUT = 800, 900
+
+
+def _permille(key: Column) -> Column:
+    """Uniform-ish value in [0, 1000) from a stable string key."""
+    return md5_long(key) % 1000
+
+
+def _permille_sql(expr: str) -> str:
+    return f"({md5_long_sql(expr)} % 1000)"
+
+
+def _rate_spark() -> Column:
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(STRATUM_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return rate
+
+
+def _rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(STRATUM_RATES.items())
+    )
+    return f"(CASE {whens} ELSE {DEFAULT_RATE} END)"
+
+
+# ---------------------------------------------------------------------------
+# Stratified sample: per-language rates, hash-thresholded.
+# ---------------------------------------------------------------------------
+@query(
+    "q_stratified_sample",
+    sql=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_permille_sql("CAST(doc_id AS VARCHAR)")} < {_rate_sql()}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    keep = _permille(F.col("doc_id").cast("string")) < _rate_spark()
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Stable train/val/test split: per-(lang, split) census. The split
+# column is a deterministic function of doc_id alone, so adding data
+# never moves an existing document between splits.
+# ---------------------------------------------------------------------------
+@query(
+    "q_train_test_split",
+    sql=f"""
+    SELECT lang,
+           CASE WHEN pm < {TRAIN_CUT} THEN 'train'
+                WHEN pm < {VAL_CUT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               {_permille_sql("CAST(doc_id AS VARCHAR)")} AS pm
+        FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pm = _permille(F.col("doc_id").cast("string"))
+    split = (
+        F.when(pm < TRAIN_CUT, "train").when(pm < VAL_CUT, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

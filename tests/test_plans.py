@@ -57,3 +57,37 @@ def test_global_topn_is_take_ordered(spark, sf_oracle):
     df = registry.QUERIES["q_global_topn"](spark, sf_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_q09_all_dims_broadcast(spark, sf_oracle):
+    a = audit(registry.QUERIES["q09_product_profit"](spark, sf_oracle))
+    assert a.broadcast_hash_joins == 3
+    assert a.sort_merge_joins == 0 and a.shuffled_hash_joins == 0
+    assert a.scans_with_pushdown >= 1  # p_name LIKE prefix reaches the scan
+    assert not a.has_python_eval
+
+
+def test_ivf_assignment_stays_map_side(spark, sf_oracle):
+    # the corpus must NOT shuffle for centroid assignment: only broadcast
+    # exchanges (centroid array + probes) and the final top-k window's
+    # hash exchange are allowed.
+    a = audit(registry.QUERIES["q_ivf_topk"](spark, sf_oracle))
+    assert a.broadcast_exchanges >= 2, a
+    assert a.sort_merge_joins == 0, a
+    assert not a.has_python_eval
+
+
+def test_simhash_hamming_no_python(spark, sf_oracle):
+    a = audit(registry.QUERIES["q_dedup_simhash_hamming"](spark, sf_oracle))
+    assert not a.has_python_eval
+    # signature + banding is map-side: bucket groupBy, pair distinct and
+    # nothing else should shuffle.
+    assert a.exchanges <= 3, a
+
+
+def test_q21_bounded_shuffles(spark, sf_oracle):
+    # decorrelated Q21: lineitem shuffles for the two censuses + joins,
+    # but never a correlated re-scan per order; supplier is broadcast.
+    a = audit(registry.QUERIES["q21_waiting_suppliers"](spark, sf_oracle))
+    assert a.broadcast_hash_joins >= 1, a
+    assert not a.has_python_eval
