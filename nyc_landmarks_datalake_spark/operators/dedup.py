@@ -362,14 +362,14 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash near-dup: band the 60-bit signature into 4x15-bit keys; docs
 # sharing a band bucket are candidates; verify hamming(sig1, sig2) <= k.
-# Pigeonhole: any pair within hamming 3 shares a clean band, so recall
-# is exact for d <= 3 and probabilistic above — the standard web-scale
+# Pigeonhole: any pair within hamming 3 shares a clean band, so with
+# HAMMING_MAX = 3 recall is EXACT (no missed pair) — the standard web-scale
 # simhash dedup layout (signatures are 8 bytes/doc; bucketing is the
 # only shuffle and never touches text).
 # ---------------------------------------------------------------------------
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 15
-HAMMING_MAX = 6
+HAMMING_MAX = 3
 
 
 @query(
