@@ -1,0 +1,165 @@
+"""Scalar/analytic function batteries that round out SURVEY §2.B's
+function checklist: distribution window functions (cume_dist /
+nth_value / ntile), URL-key normalization (the reference's R2 operator,
+CSVIngest.java:221-224), extended date arithmetic, JSON struct
+round-trip (from_json → to_json), and initcap-style titling.
+
+All pure map-side expression work (plus one window shuffle in the
+analytic battery) — these exist to pin cross-engine semantics of the
+long tail of scalar functions, not to exercise the planner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# Distribution window battery: cume_dist / percent_rank / ntile /
+# nth_value over a unique ordering (ties resolved by key so the peer-
+# group–dependent functions agree across engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q_window_distribution",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-02-01")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-key normalization — the reference's R2 operator ('+' → space, then
+# URL-decode; CSVIngest.java:221-224) as a data operation. The encoded
+# key is constructed from table columns so the escape charset is known
+# and the DuckDB oracle can mirror the decode with exact replaces.
+# ---------------------------------------------------------------------------
+@query(
+    "q_url_key_normalize",
+    sql="""
+    SELECT c_custkey,
+           replace(replace('raw/' || c_mktsegment || '%20' ||
+                           CAST(c_custkey AS VARCHAR) || '+landmarks.csv',
+                           '+', ' '),
+                   '%20', ' ') AS object_key
+    FROM customer
+    """,
+)
+def q_url_key_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    encoded = F.concat(
+        F.lit("raw/"),
+        F.col("c_mktsegment"),
+        F.lit("%20"),
+        F.col("c_custkey").cast("string"),
+        F.lit("+landmarks.csv"),
+    )
+    decoded = F.url_decode(F.regexp_replace(encoded, r"\+", " "))
+    return cust.select("c_custkey", decoded.alias("object_key"))
+
+
+# ---------------------------------------------------------------------------
+# Extended date arithmetic: quarter / last_day / add_months / dayofyear
+# / date_trunc('quarter') — aggregated so month-end clamping behavior is
+# visible in the result.
+# ---------------------------------------------------------------------------
+@query(
+    "q_date_arithmetic",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           MIN(date_trunc('quarter', o_orderdate)) AS qtr_start,
+           MAX(last_day(o_orderdate))::TIMESTAMP AS last_eom,
+           MAX((o_orderdate + INTERVAL 3 MONTH)::DATE)::TIMESTAMP AS max_plus3m,
+           MAX(CAST(dayofyear(o_orderdate) AS BIGINT)) AS max_doy,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.min(F.date_trunc("quarter", F.col("o_orderdate"))).alias("qtr_start"),
+            F.max(F.last_day("o_orderdate")).cast("timestamp").alias("last_eom"),
+            F.max(F.add_months("o_orderdate", 3)).cast("timestamp").alias("max_plus3m"),
+            F.max(F.dayofyear("o_orderdate").cast("long")).alias("max_doy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON struct round-trip: from_json into a typed struct, filter on the
+# typed field, re-serialize with to_json (both engines emit compact
+# '{"k":N}' form).
+# ---------------------------------------------------------------------------
+@query(
+    "q_json_roundtrip",
+    sql="""
+    SELECT event_id,
+           json_extract(props, '$.k')::BIGINT AS k,
+           to_json(struct_pack(k := json_extract(props, '$.k')::BIGINT))::VARCHAR
+               AS props_norm
+    FROM events
+    WHERE json_extract(props, '$.k')::BIGINT >= 50
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        events.select("event_id", parsed["k"].alias("k"))
+        .filter(F.col("k") >= 50)
+        .select("event_id", "k", F.to_json(F.struct("k")).alias("props_norm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# initcap titling (DuckDB has no initcap; the oracle mirrors it with a
+# word-wise upper/lower rewrite over the known single-space charset).
+# ---------------------------------------------------------------------------
+@query(
+    "q_initcap_titles",
+    sql="""
+    SELECT DISTINCT p_name,
+           array_to_string(
+               list_transform(string_split(lower(p_name), ' '),
+                              w -> upper(w[1]) || w[2:]),
+               ' ') AS title
+    FROM part
+    """,
+)
+def q_initcap_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.select("p_name", F.initcap(F.col("p_name")).alias("title")).distinct()
