@@ -1,0 +1,117 @@
+"""Lakehouse write semantics as batch operators: SCD1 MERGE/upsert and
+CDC keep-latest compaction.
+
+The reference moves whole objects between zones (CSVIngest.java:253-269)
+— it has no notion of updating rows in place. A lake's silver tier needs
+exactly two row-level maintenance primitives, both expressible as plain
+shuffles (what Delta/Iceberg MERGE compiles to under the hood):
+
+- **upsert** (SCD1): new version of a key replaces the old; implemented
+  as updates ∪ (base ⟕̸ updates) — one anti join keyed by the merge key.
+  At 100 TB the win is bucketing base AND updates by the key
+  (sources/layout.py) so the anti join is shuffle-free.
+- **keep-latest** (CDC compaction): collapse a change log to the newest
+  row per key — one row_number window per key, the shape every
+  streaming-CDC sink compacts with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD1 merge: rows from ``updates`` win on key collision."""
+    return updates.unionByName(
+        base.join(updates.select(*keys), keys, "left_anti")
+    )
+
+
+def keep_latest(
+    log: DataFrame, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Collapse a change log to the newest row per key (descending
+    ``order_cols`` as the version order, last column breaking ties)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE/upsert census: open orders get a derived update (status 'P',
+# +10% price); the merged table's per-status census proves which version
+# of each key survived.
+# ---------------------------------------------------------------------------
+@query(
+    "q_merge_upsert",
+    sql=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT {', '.join(ORDER_COLS)} FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM merged GROUP BY 1
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    updates = (
+        base.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    merged = merge_upsert(base, updates, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC keep-latest: the events table as a change log per user — keep each
+# user's newest event (ties broken by event_id).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cdc_keep_latest",
+    sql="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return keep_latest(events, ["user_id"], ["ts", "event_id"])

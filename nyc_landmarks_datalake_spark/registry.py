@@ -66,3 +66,4 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.profiling  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.sampling  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.functions_battery  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.merge  # noqa: F401

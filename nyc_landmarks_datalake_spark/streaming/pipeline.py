@@ -117,3 +117,59 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicates(
         (keys or ["event_id"]) + ["ts"]
     )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (small)
+    static dimension — planned as a broadcast hash join per batch, no
+    streaming state at all. The canonical enrichment shape (events x
+    user/customer dims) at any scale."""
+    return events.join(F.broadcast(dim), on)
+
+
+def stream_stream_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each purchase
+    to a prior view by the same user within the attribution window.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can evict rows older than
+    (watermark + window) — the requirement for an unbounded stream-stream
+    join to run with bounded state."""
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -147,3 +147,48 @@ def test_stream_dedup(spark, tmp_path):
     got = _run_stream_to_memory(spark, stream_dedup(stream), "dedup").toPandas()
     assert len(got) == 2
     assert sorted(got["event_id"]) == [1, 2]
+
+
+def test_stream_static_enrich(spark, sf_small, tmp_path):
+    from nyc_landmarks_datalake_spark.streaming.pipeline import stream_static_enrich
+
+    stream, batch = _events_stream(spark, sf_small, tmp_path)
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "gold").otherwise("basic"))
+    )
+    got = _run_stream_to_memory(
+        spark, stream_static_enrich(stream, dim), "enriched"
+    ).toPandas()
+    assert len(got) == batch.count()  # inner join keeps every event
+    assert set(got["tier"]) == {"gold", "basic"}
+
+
+def test_stream_stream_interval_join(spark, sf_small, tmp_path):
+    from nyc_landmarks_datalake_spark.streaming.pipeline import (
+        stream_stream_purchase_attribution,
+    )
+
+    stream, batch = _events_stream(spark, sf_small, tmp_path)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = _run_stream_to_memory(
+        spark,
+        stream_stream_purchase_attribution(views, purchases),
+        "attributed",
+    ).toPandas()
+    # batch twin: same interval-join condition without watermarks
+    bv = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    expected = bv.join(
+        bp,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")),
+    ).count()
+    # streaming may hold back pairs near the tail watermark but must not invent rows
+    assert 0 < len(got) <= expected
