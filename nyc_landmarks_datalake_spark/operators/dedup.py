@@ -227,10 +227,10 @@ def _band_hash_sql(j: int) -> str:
     return f"md5(concat_ws(',', {cols}))"
 
 
-@query(
-    "q_dedup_minhash_lsh",
-    sql=f"""
-    WITH sh AS ({_SHINGLED_DUCK}),
+#: CTE-list fragment for the LSH pair pipeline, reusable by downstream
+#: consumers (q_dup_clusters prepends WITH RECURSIVE and appends its own
+#: CTEs). Kept flat — one level of WITH — for exactly that reason.
+LSH_PAIR_CTES = f"""sh AS ({_SHINGLED_DUCK}),
     sig AS (
         SELECT doc_id, shingles, {', '.join(_minhash_sql_exprs())}
         FROM sh
@@ -246,16 +246,25 @@ def _band_hash_sql(j: int) -> str:
         FROM bands a
         JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
                     AND a.doc_id < b.doc_id
-    )
-    SELECT doc1, doc2,
-           (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
-           len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
-    FROM cand
-    JOIN sh s1 ON s1.doc_id = doc1
-    JOIN sh s2 ON s2.doc_id = doc2
-    WHERE (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
-          len(list_distinct(list_concat(s1.shingles, s2.shingles)))
-          >= {JACCARD_THRESHOLD}
+    ),
+    lsh_pairs AS (
+        SELECT doc1, doc2,
+               (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
+               len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+        FROM cand
+        JOIN sh s1 ON s1.doc_id = doc1
+        JOIN sh s2 ON s2.doc_id = doc2
+        WHERE (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
+              len(list_distinct(list_concat(s1.shingles, s2.shingles)))
+              >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    sql=f"""
+    WITH {LSH_PAIR_CTES}
+    SELECT doc1, doc2, jaccard FROM lsh_pairs
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,91 @@
+"""Duplicate-cluster resolution: connected components over the verified
+MinHash-LSH near-dup pair graph, by iterative min-label propagation.
+
+The canonical last step of web-scale dedup: pairs → clusters → one
+canonical doc per cluster. The DataFrame loop below IS the Pregel
+pattern (messages = neighbor labels, combiner = MIN, vertex update =
+least), which is how GraphX/GraphFrames implement it; at 100 TB each
+iteration is one shuffle of the (tiny) edge set joined against labels,
+and the iteration count is the cluster diameter — near-dup clusters are
+quasi-cliques, so it converges in 2–4 rounds. ``localCheckpoint`` cuts
+the growing lineage each round (otherwise plan size doubles per
+iteration).
+
+Oracle: the same fixpoint expressed as a DuckDB recursive CTE —
+min(label over the reachable set) per vertex — giving the iterative
+algorithm a full value-level parity check rather than a rows-only one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.operators.dedup import LSH_PAIR_CTES
+from nyc_landmarks_datalake_spark.registry import QUERIES, query
+
+MAX_ITERS = 20
+
+
+def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+    """(doc1, doc2) undirected pair list → (doc_id, cluster_id) with
+    cluster_id = min doc id reachable from the vertex."""
+    fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("ndoc"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc == nbr.ndoc, "left_outer")
+            .select(
+                "doc",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@query(
+    "q_dup_clusters",
+    sql=f"""
+    WITH RECURSIVE {LSH_PAIR_CTES},
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc2 AS src, doc1 AS dst FROM lsh_pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS lbl FROM verts
+        UNION
+        SELECT e.dst AS doc, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
+    return connected_components(pairs)

@@ -72,3 +72,30 @@ def test_compact_reduces_files(spark, sf_small, tmp_path):
     after = len(glob.glob(path + "/*.parquet"))
     assert after <= 2
     assert spark.read.parquet(path).count() == n
+
+
+def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
+    # joining a year-partitioned fact with a filtered dim must inject a
+    # runtime partition filter (DPP) into the fact scan.
+    li = table(spark, sf_small, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_by_year")
+    write_partitioned(li, path, ["ship_year"])
+    fact = spark.read.parquet(path)
+    # the dim's filter is on a NON-join column, so the surviving year
+    # set is only known at runtime — a literal year filter would instead
+    # be constant-propagated into a static partition filter (also good,
+    # covered by test_partition_pruning).
+    dim = (
+        table(spark, sf_small, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("ship_year"))
+        .distinct()
+    )
+    j = fact.join(F.broadcast(dim), "ship_year")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    got_years = {r["ship_year"] for r in j.select("ship_year").distinct().collect()}
+    want_years = {r["ship_year"] for r in dim.collect()}
+    assert got_years == want_years
