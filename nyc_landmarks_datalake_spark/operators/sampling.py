@@ -112,3 +112,54 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed token-budget bins in a
+# stable order — the batch-construction step of an LLM training
+# pipeline. bin = floor((running_total - n_tokens) / budget), i.e. a
+# document starts a new bin when the budget would overflow mid-doc is
+# allowed to straddle (greedy contiguous packing). One window shuffle;
+# at 100 TB the ORDER BY becomes a range partition and each partition
+# packs locally — the same plan Spark already produces here.
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 512  # whitespace tokens per bin
+
+
+@query(
+    "q_sequence_pack",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               (SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                   // {PACK_BUDGET} AS bin_id
+        FROM toks
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

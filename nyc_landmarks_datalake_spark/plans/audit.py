@@ -72,5 +72,7 @@ def audit(df: DataFrame, execute: bool = False) -> PlanAudit:
         has_python_eval=("BatchEvalPython" in plan)
         or ("ArrowEvalPython" in plan)
         or ("FlatMapGroupsInPandas" in plan)
-        or ("MapInPandas" in plan),
+        or ("MapInPandas" in plan)
+        or ("AggregateInPandas" in plan)
+        or ("ArrowAggregatePython" in plan),
     )

@@ -1,0 +1,43 @@
+"""Registry-wide plan invariants: every one of the ~90 queries must
+stay on the JVM expression path unless it is an explicitly-declared
+Pandas-UDF operator. This is the executable form of 'UDFs are the slow
+path' — any future query (or refactor of a shared helper) that silently
+drops into row-at-a-time Python fails here before it ever reaches the
+bench."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_landmarks_datalake_spark import registry
+from nyc_landmarks_datalake_spark.plans.audit import audit
+
+registry.load_all()
+
+#: operators whose POINT is Arrow-batched Python (declared Pandas-UDF
+#: surface); everything else must be pure JVM.
+PYTHON_ALLOWED = {
+    "q_pandas_udf_score",
+    "q_grouped_agg_udf",
+    "q_multimodal_features",
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_jvm_only_unless_declared(spark, sf_small, name):
+    df = registry.QUERIES[name](spark, sf_small)
+    a = audit(df)
+    if name in PYTHON_ALLOWED:
+        assert a.has_python_eval, f"{name} is declared Pandas-UDF but plans JVM-only"
+    else:
+        assert not a.has_python_eval, f"{name} fell off the JVM path"
+
+
+def test_every_query_reads_some_scan_schema(spark, sf_small):
+    # cheap sanity that audit() itself parses plans across the corpus
+    # (q_dup_clusters is excluded: its localCheckpoint leaves are RDD
+    # scans with no file ReadSchema)
+    sampled = ["q01_pricing_summary", "q_cdc_keep_latest", "q_sequence_pack"]
+    for name in sampled:
+        a = audit(registry.QUERIES[name](spark, sf_small))
+        assert a.read_schemas, name
