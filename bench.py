@@ -34,7 +34,10 @@ HEADLINE = [
     "q_asof_join_events_orders",
     "q_json_props",
     "q_dedup_minhash_lsh",
+    "q_dup_clusters",
     "q_dedup_ngram_jaccard",
+    "q_merge_upsert",
+    "q_sequence_pack",
     "q_simhash_signatures",
     "q_dedup_simhash_hamming",
     "q_cosine_topk",
