@@ -99,3 +99,17 @@ def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
     got_years = {r["ship_year"] for r in j.select("ship_year").distinct().collect()}
     want_years = {r["ship_year"] for r in dim.collect()}
     assert got_years == want_years
+
+
+def test_schema_evolution_mergeschema(spark, sf_small, tmp_path):
+    # silver tables evolve: later writers add columns; mergeSchema reads
+    # the union with nulls backfilled for old files.
+    base = table(spark, sf_small, "orders").limit(100)
+    path = str(tmp_path / "orders_evolving")
+    base.write.mode("overwrite").parquet(path)
+    evolved = base.withColumn("ingest_round", F.lit(2))
+    evolved.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    assert "ingest_round" in back.columns
+    assert back.count() == 200
+    assert back.filter(F.col("ingest_round").isNull()).count() == 100
