@@ -47,6 +47,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: far too coarse.
 _COMPUTE_CHUNK_BYTES = 256 << 10
 
+#: (sf_dir, name) → scan partition count; probing via df.rdd builds a
+#: JavaRDD each call, so repeated compute_table calls memoize it (the
+#: test parquet inputs are immutable).
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
 
 def compute_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like :func:`table`, but guarantees enough partitions for
@@ -77,7 +82,10 @@ def compute_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             nbytes // _COMPUTE_CHUNK_BYTES,
         ),
     )
-    if target > 1 and df.rdd.getNumPartitions() < target:
+    key = (sf_dir, name)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    if target > 1 and _SCAN_PARTS[key] < target:
         df = df.repartition(target)
     return df
 
