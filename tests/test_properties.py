@@ -1,0 +1,93 @@
+"""Property-style checks (SURVEY §5.2.4): massage idempotence, WKT
+encode/parse invariants, and hash-sampling partition-independence —
+hypothesis generates the inputs, one Spark job evaluates each batch."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.geometry import (
+    wkt_blank,
+    wkt_colon_encode,
+    wkt_parse,
+    wkt_unparse,
+)
+from nyc_landmarks_datalake_spark.ingest.csv_ingest import massage_lines
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+_FIELD = st.text(
+    alphabet=st.sampled_from("ABCdef123 ,.-\""), min_size=0, max_size=12
+)
+_COORD = st.tuples(
+    st.floats(-180, 180, allow_nan=False), st.floats(-90, 90, allow_nan=False)
+)
+
+
+def _wkt(coords):
+    body = ", ".join(f"{x:.6f} {y:.6f}" for x, y in coords)
+    return f"MULTIPOLYGON ((({body})))"
+
+
+@st.composite
+def _csv_line(draw):
+    fields = draw(st.lists(_FIELD, min_size=1, max_size=5))
+    coords = draw(st.lists(_COORD, min_size=1, max_size=4))
+    pos = draw(st.integers(0, len(fields)))
+    fields.insert(pos, f'"{_wkt(coords)}"')
+    return ",".join(fields)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_csv_line(), min_size=1, max_size=30))
+def test_massage_idempotent(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    once = massage_lines(df).withColumnRenamed("value", "v1")
+    twice = massage_lines(massage_lines(df)).withColumnRenamed("value", "v2")
+    got = [
+        (a["v1"], b["v2"])
+        for a, b in zip(sorted(once.collect()), sorted(twice.collect()))
+    ]
+    for v1, v2 in got:
+        assert v1 == v2
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_COORD, min_size=1, max_size=6), min_size=1, max_size=20))
+def test_wkt_invariants(spark, coord_lists):
+    df = spark.createDataFrame([(_wkt(c),) for c in coord_lists], ["g"])
+    normalized = wkt_unparse(wkt_parse(F.col("g")))
+    out = df.select(
+        wkt_blank(F.col("g")).alias("blanked"),
+        wkt_colon_encode(F.col("g")).alias("encoded"),
+        normalized.alias("norm1"),
+        wkt_unparse(wkt_parse(normalized)).alias("norm2"),
+    ).collect()
+    for r in out:
+        # de-facto mode deletes the whole geometry (SURVEY §1.4.1)
+        assert "MULTIPOLYGON" not in r["blanked"] and "(" not in r["blanked"]
+        # intended colon-encoding eliminates WKT separators entirely
+        assert " " not in r["encoded"] and "," not in r["encoded"]
+        assert ":" in r["encoded"]
+        # unparse∘parse is a normal form: applying it again is identity
+        assert r["norm1"] == r["norm2"]
+
+
+def test_hash_sample_partition_independent(spark, sf_small):
+    from nyc_landmarks_datalake_spark.operators.sampling import q_stratified_sample
+
+    a = sorted(r["doc_id"] for r in q_stratified_sample(spark, sf_small).collect())
+    docs = table(spark, sf_small, "documents").repartition(7)
+    from nyc_landmarks_datalake_spark.operators.sampling import (
+        _permille,
+        _rate_spark,
+    )
+
+    b = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            _permille(F.col("doc_id").cast("string")) < _rate_spark()
+        ).collect()
+    )
+    assert a == b
