@@ -173,3 +173,49 @@ def stream_stream_purchase_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_cols: list[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC upsert via foreachBatch: each micro-batch is first
+    compacted to its newest row per key, then SCD1-merged into the
+    parquet silver table. This is the Delta-less form of
+    ``MERGE INTO silver USING batch`` — the same two primitives
+    (keep_latest + merge_upsert) the batch tier exposes, driven by the
+    streaming engine with exactly-once batch IDs from the checkpoint.
+
+    The full-table rewrite per batch is the parquet limitation (no
+    transactional row updates); with a table format the merge would
+    target only matched files. Keyed layout (bucketing) bounds the
+    rewrite at scale."""
+    from nyc_landmarks_datalake_spark.operators.merge import (
+        keep_latest,
+        merge_upsert,
+    )
+
+    spark = stream.sparkSession
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        compacted = keep_latest(batch, keys, order_cols)
+        try:
+            base = spark.read.parquet(dest_dir)
+            merged = merge_upsert(base, compacted, keys)
+        except Exception:  # first batch: no silver table yet
+            merged = compacted
+        # materialize before overwriting the directory being read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(dest_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -192,3 +192,44 @@ def test_stream_stream_interval_join(spark, sf_small, tmp_path):
     ).count()
     # streaming may hold back pairs near the tail watermark but must not invent rows
     assert 0 < len(got) <= expected
+
+
+def test_stream_upsert_sink(spark, tmp_path):
+    from nyc_landmarks_datalake_spark.streaming.pipeline import stream_upsert_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    dest, ckpt = str(tmp_path / "silver"), str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+            "user_id", F.col("ts_str").cast("timestamp").alias("ts"), "value"
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    write_batch("b1", [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:01:00", 2.0)])
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).parquet(str(src / "*")),
+        dest, ckpt, keys=["user_id"], order_cols=["ts"],
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["value"] for r in spark.read.parquet(dest).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+    # second batch updates user 1 (newer ts) and inserts user 3; the
+    # stale ts for user 2 must NOT win (keep_latest inside the batch,
+    # updates-win across batches).
+    write_batch("b2", [(1, "2024-01-01 01:00:00", 10.0), (3, "2024-01-01 00:05:00", 3.0)])
+    q2 = stream_upsert_sink(
+        spark.readStream.schema(schema).parquet(str(src / "*")),
+        dest, ckpt, keys=["user_id"], order_cols=["ts"],
+    )
+    q2.awaitTermination(120)
+    got = {r["user_id"]: r["value"] for r in spark.read.parquet(dest).collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 3.0}
