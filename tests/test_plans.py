@@ -91,3 +91,44 @@ def test_q21_bounded_shuffles(spark, sf_oracle):
     a = audit(registry.QUERIES["q21_waiting_suppliers"](spark, sf_oracle))
     assert a.broadcast_hash_joins >= 1, a
     assert not a.has_python_eval
+
+
+def test_aqe_splits_skewed_join(spark):
+    # one key carries 2/3 of the fact rows; with thresholds scaled to
+    # test data, AQE must mark the sort-merge join skew=true in the
+    # final plan (the runtime half of SCALING.md's skew story — the
+    # planned half is q_salted_join_orders).
+    skewed = spark.range(300_000).select(
+        F.when(F.col("id") < 200_000, 0)
+        .otherwise((F.col("id") % 500) + 1)
+        .alias("k"),
+        F.rand(42).alias("v"),
+    )
+    dim = spark.range(501).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    saved = {
+        c: spark.conf.get(c, None)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        j = skewed.join(dim, "k")
+        assert len(j.collect()) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, plan[:1200]
+    finally:
+        for c, v in saved.items():
+            if v is not None:
+                spark.conf.set(c, v)
