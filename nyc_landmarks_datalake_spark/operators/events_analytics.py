@@ -1,0 +1,125 @@
+"""Product-analytics operators over the ``events`` stream table:
+funnel conversion and weekly retention cohorts — the two standard
+event-log rollups a lake's analytics tier serves (ABSENT in the
+reference, whose streaming unit is a whole file: CSVIngest.java:217).
+
+Both are two-level aggregations over user timelines: shuffle once by
+user_id to derive per-user facts, then a small census aggregation.
+Week arithmetic is pure date math (days since epoch / 7) — no
+timezone-dependent functions, so results are identical under any
+session timezone in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+CONVERSION_DAYS = 7
+
+
+# ---------------------------------------------------------------------------
+# Funnel: of users whose first event-funnel step is a view, how many
+# purchase within CONVERSION_DAYS of that first view.
+# ---------------------------------------------------------------------------
+@query(
+    "q_funnel_conversion",
+    sql=f"""
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+        GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_viewers,
+           CAST(SUM(CASE WHEN first_purchase IS NOT NULL
+                          AND first_purchase <= first_view + INTERVAL {CONVERSION_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN first_purchase IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ever_purchased
+    FROM fv LEFT JOIN fp USING (user_id)
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    joined = fv.join(fp, "user_id", "left_outer")
+    converted = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase")
+        <= F.col("first_view") + F.expr(f"INTERVAL {CONVERSION_DAYS} DAYS")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.sum(F.when(converted, 1).otherwise(0)).cast("long").alias("n_converted"),
+        F.sum(F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ever_purchased"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention: users grouped by first-activity week; for each later week
+# offset, how many of the cohort were active.
+# ---------------------------------------------------------------------------
+def _week_idx_spark(ts):
+    return F.floor(
+        F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    )
+
+
+def _week_idx_sql(ts: str) -> str:
+    return f"(datediff('day', DATE '1970-01-01', ({ts})::DATE) // 7)"
+
+
+@query(
+    "q_retention_cohorts",
+    sql=f"""
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id, {_week_idx_sql('ts')} AS week_idx
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week_idx) AS cohort_week
+        FROM user_weeks GROUP BY 1
+    )
+    SELECT cohort_week,
+           week_idx - cohort_week AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM user_weeks JOIN cohorts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    user_weeks = events.select(
+        "user_id", _week_idx_spark(F.col("ts")).alias("week_idx")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week_idx").alias("cohort_week")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -68,3 +68,4 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.functions_battery  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.merge  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.graph  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.events_analytics  # noqa: F401
