@@ -123,3 +123,63 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap filling / densification: every 6-hour slot between the stream's
+# min and max, per event type, with 0-filled counts — the sparse→dense
+# resample every time-series consumer needs. The slot spine generates
+# from ONE sequence() row per event type (no driver loop, no UDF); the
+# left join is a broadcast of the (tiny) per-type aggregate spine onto
+# the windowed counts at scale.
+# ---------------------------------------------------------------------------
+SLOT_HOURS = 6
+
+
+@query(
+    "q_gap_fill",
+    sql=f"""
+    WITH bounds AS (
+        SELECT event_type,
+               date_trunc('day', MIN(ts)) AS lo,
+               date_trunc('day', MAX(ts)) AS hi
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL {SLOT_HOURS} HOUR)) AS slot
+        FROM bounds
+    ),
+    counts AS (
+        SELECT event_type,
+               time_bucket(INTERVAL {SLOT_HOURS} HOUR, ts) AS slot,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT spine.event_type, spine.slot,
+           COALESCE(n, 0) AS n_events
+    FROM spine LEFT JOIN counts
+      ON counts.event_type = spine.event_type AND counts.slot = spine.slot
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {SLOT_HOURS} HOURS"))
+        ).alias("slot"),
+    )
+    counts = events.groupBy(
+        "event_type",
+        F.window("ts", f"{SLOT_HOURS} hours")["start"].alias("slot"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(counts, ["event_type", "slot"], "left_outer")
+        .select(
+            "event_type", "slot", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+    )
