@@ -89,3 +89,57 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup applied end-to-end: keep one canonical doc (min id) per near-dup
+# cluster and census the surviving corpus — the actual deliverable of a
+# dedup pipeline. Non-canonical members anti-join out of the corpus;
+# at 100 TB the drop list is tiny (near-dup members only) and
+# broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_apply",
+    sql=f"""
+    WITH RECURSIVE {LSH_PAIR_CTES},
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc2 AS src, doc1 AS dst FROM lsh_pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS lbl FROM verts
+        UNION
+        SELECT e.dst AS doc, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    clusters AS (
+        SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+    ),
+    dropped AS (SELECT doc FROM clusters WHERE doc <> cluster_id)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc FROM dropped)
+    GROUP BY 1
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    pairs = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
+    clusters = connected_components(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
