@@ -163,3 +163,34 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_initcap_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     return part.select("p_name", F.initcap(F.col("p_name")).alias("title")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Group-concat + boolean aggregates: string_agg with a deterministic
+# order (Spark: sort the collected array, then join — collect_list
+# order is partition-dependent, array_sort restores determinism at any
+# parallelism) and bool_and/bool_or.
+# ---------------------------------------------------------------------------
+@query(
+    "q_group_concat_bools",
+    sql="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_group_concat_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.count(F.lit(1)).alias("n"),
+    )
