@@ -47,6 +47,68 @@ HEADLINE = [
 ]
 
 
+def _bench_ingest(spark, sf_dir: str) -> float:
+    """Time the bronze→silver ingest pipeline (the reference's entire
+    production surface, R1-R14) over a CSV staged from the documents
+    table with a synthesized WKT geometry column. Staging is outside
+    the timer; the measured span is read+validate+massage+partitioned
+    parquet write."""
+    import json as _json
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.ingest.csv_ingest import ingest_csv
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        reps = 10
+        big = docs.crossJoin(
+            spark.range(reps).withColumnRenamed("id", "rep")
+        )
+        wkt = F.concat(
+            F.lit("MULTIPOLYGON ((("),
+            F.concat_ws(
+                ", ",
+                F.concat_ws(" ", (F.col("doc_id") % 100).cast("string"),
+                            (F.col("doc_id") % 50).cast("string")),
+                F.concat_ws(" ", ((F.col("doc_id") + 7) % 100).cast("string"),
+                            ((F.col("doc_id") + 3) % 50).cast("string")),
+            ),
+            F.lit(")))"),
+        )
+        staged = (
+            big.select(
+                (F.col("doc_id") * reps + F.col("rep")).alias("id"),
+                "text",
+                wkt.alias("the_geom"),
+                "lang",
+            )
+        )
+        bronze = os.path.join(tmp, "bronze")
+        staged.coalesce(4).write.option("header", True).mode("overwrite").csv(bronze)
+        sidecar = os.path.join(tmp, "sidecar.json")
+        with open(sidecar, "w") as f:
+            _json.dump(
+                [
+                    {"key": "id", "type": "bigint", "partition_key": "false", "comment": ""},
+                    {"key": "text", "type": "string", "partition_key": "false", "comment": ""},
+                    {"key": "the_geom", "type": "string", "partition_key": "false", "comment": ""},
+                    {"key": "lang", "type": "string", "partition_key": "true", "comment": ""},
+                ],
+                f,
+            )
+        silver = os.path.join(tmp, "silver")
+        t0 = _time.time()
+        ingest_csv(spark, bronze, sidecar, silver, geometry_mode="encode")
+        return round(_time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -67,6 +129,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+    timings["ingest_csv_silver"] = _bench_ingest(spark, sf_dir)
     total = round(time.time() - t_all, 3)
 
     print(
