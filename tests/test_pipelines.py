@@ -51,3 +51,27 @@ def test_largest_landmarks(silver):
     areas = [r["shape_area"] for r in rows]
     assert areas == sorted(areas, reverse=True)
     assert all(a > 0 for a in areas)
+
+
+def test_merge_upsert_edge_cases(spark):
+    from nyc_landmarks_datalake_spark.operators.merge import keep_latest, merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    empty = spark.createDataFrame([], base.schema)
+    # empty updates → base unchanged
+    assert sorted(tuple(r) for r in merge_upsert(base, empty, ["k"]).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # full overlap → updates win completely
+    upd = spark.createDataFrame([(1, "A"), (2, "B")], ["k", "v"])
+    assert sorted(tuple(r) for r in merge_upsert(base, upd, ["k"]).collect()) == [
+        (1, "A"),
+        (2, "B"),
+    ]
+    # keep_latest ties broken by the last order column
+    log = spark.createDataFrame(
+        [(1, 5, "x"), (1, 5, "y"), (1, 4, "z")], ["k", "ver", "v"]
+    )
+    got = keep_latest(log, ["k"], ["ver", "v"]).collect()
+    assert [(r["k"], r["ver"], r["v"]) for r in got] == [(1, 5, "y")]
