@@ -41,18 +41,51 @@ def davg_sql(expr: str) -> str:
     return f"({dsum_sql(expr)} / COUNT({expr}))"
 
 
+#: operand precision for exact product sums: (18,6) x (18,6) multiplies
+#: to (37,12) with NO rounding in either engine.
+_PPREC, _PSCALE = 18, 6
+
+
+def dprod_sum(x: Column, y: Column) -> Column:
+    """Exact sum of products: decimalize each operand ONCE, multiply in
+    decimal (lossless), sum exactly, cast back to double.
+
+    Summing ``dsum(x*y)`` instead would round the double product x*y to
+    6dp a SECOND time, and Spark (Java HALF_UP) and DuckDB break exact
+    .5 ties differently — observed as a 1-ulp corr divergence at sf0.1.
+    Decimal-first multiplication has no second rounding to disagree on."""
+    xd = x.cast(f"decimal({_PPREC},{_PSCALE})")
+    yd = y.cast(f"decimal({_PPREC},{_PSCALE})")
+    return F.sum(xd * yd).cast("double")
+
+
+def dprod_sum_sql(x: str, y: str) -> str:
+    # DuckDB stores width<=18 decimals in int64 and overflows their
+    # product; width 19 forces the int128 path (product width 38, still
+    # exact). The VALUES equal Spark's (18,6) operands — only storage
+    # width differs. The final decimal→double cast must route through
+    # VARCHAR: DuckDB's direct int128-decimal→double is not correctly
+    # rounded at scale 12 (double(int)/double(10^12), two roundings),
+    # while string→double and Spark's BigDecimal path both are.
+    w = _PPREC + 1
+    return (
+        f"CAST(CAST(SUM(CAST(({x}) AS DECIMAL({w},{_PSCALE})) * "
+        f"CAST(({y}) AS DECIMAL({w},{_PSCALE}))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
 def dstddev(col: Column) -> Column:
     """Deterministic sample stddev from exact sums (float64 derivation)."""
     n = F.count(col).cast("double")
     sx = dsum(col)
-    sx2 = dsum(col * col)
+    sx2 = dprod_sum(col, col)
     return F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1.0)))
 
 
 def dstddev_sql(expr: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     sx = dsum_sql(expr)
-    sx2 = dsum_sql(f"({expr}) * ({expr})")
+    sx2 = dprod_sum_sql(expr, expr)
     return f"sqrt(({sx2} - {sx} * {sx} / {n}) / ({n} - 1.0))"
 
 
@@ -60,7 +93,7 @@ def dcorr(x: Column, y: Column) -> Column:
     """Deterministic Pearson correlation from exact sums."""
     n = F.count(x).cast("double")
     sx, sy = dsum(x), dsum(y)
-    sxx, syy, sxy = dsum(x * x), dsum(y * y), dsum(x * y)
+    sxx, syy, sxy = dprod_sum(x, x), dprod_sum(y, y), dprod_sum(x, y)
     return (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
@@ -69,8 +102,8 @@ def dcorr(x: Column, y: Column) -> Column:
 def dcorr_sql(x: str, y: str) -> str:
     n = f"CAST(COUNT(*) AS DOUBLE)"
     sx, sy = dsum_sql(x), dsum_sql(y)
-    sxx, syy = dsum_sql(f"({x})*({x})"), dsum_sql(f"({y})*({y})")
-    sxy = dsum_sql(f"({x})*({y})")
+    sxx, syy = dprod_sum_sql(x, x), dprod_sum_sql(y, y)
+    sxy = dprod_sum_sql(x, y)
     return (
         f"(({n} * {sxy} - {sx} * {sy}) / "
         f"(sqrt({n} * {sxx} - {sx} * {sx}) * sqrt({n} * {syy} - {sy} * {sy})))"
