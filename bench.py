@@ -122,15 +122,22 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # best-of-N (default 2) per query: single-shot numbers carry JVM/JIT
+    # noise that swamps real regressions round-over-round.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    t_all = time.time()
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     timings["ingest_csv_silver"] = _bench_ingest(spark, sf_dir)
-    total = round(time.time() - t_all, 3)
+    # total = sum of recorded per-query times (NOT the wall across all
+    # reps, which would scale with rep count rather than engine speed)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
