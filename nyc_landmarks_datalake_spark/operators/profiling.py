@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
+from nyc_landmarks_datalake_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    dstddev,
+    dstddev_sql,
+    dsum,
+    dsum_sql,
+)
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import table
 
@@ -109,4 +116,44 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             dsum(F.col("o_totalprice")).alias("bucket_total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection: orders whose totalprice sits beyond 3
+# sample-stddevs of their priority group — the standard quality-monitor
+# rollup over a silver table. Group stats derive from exact decimal
+# sums (functions/numeric.py) so the threshold itself is bit-stable at
+# any parallelism; one grouped agg + one broadcast join back.
+# ---------------------------------------------------------------------------
+Z_CUT = 3.0
+
+
+@query(
+    "q_anomaly_zscore",
+    sql=f"""
+    WITH stats AS (
+        SELECT o_orderpriority AS pri,
+               {davg_sql('o_totalprice')} AS mu,
+               {dstddev_sql('o_totalprice')} AS sigma
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o_orderpriority,
+           o_totalprice,
+           (o_totalprice - mu) / sigma AS z
+    FROM orders JOIN stats ON o_orderpriority = pri
+    WHERE abs((o_totalprice - mu) / sigma) > {Z_CUT}
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    stats = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        davg(F.col("o_totalprice")).alias("mu"),
+        dstddev(F.col("o_totalprice")).alias("sigma"),
+    )
+    z = (F.col("o_totalprice") - F.col("mu")) / F.col("sigma")
+    return (
+        orders.join(F.broadcast(stats), orders.o_orderpriority == stats.pri)
+        .filter(F.abs(z) > Z_CUT)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", z.alias("z"))
     )

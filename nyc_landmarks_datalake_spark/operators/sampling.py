@@ -163,3 +163,36 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample: the k documents with the smallest md5 key-hashes — a
+# deterministic fixed-SIZE uniform sample (hash-threshold sampling above
+# fixes the RATE instead). Also the classic bottom-k sketch: two tables'
+# bottom-k sets estimate their Jaccard overlap. One TakeOrdered-style
+# global top-k, no full sort.
+# ---------------------------------------------------------------------------
+BOTTOM_K = 100
+
+
+@query(
+    "q_bottomk_sample",
+    sql=f"""
+    SELECT doc_id, h
+    FROM (
+        SELECT doc_id, {md5_long_sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    ORDER BY h, doc_id
+    LIMIT {BOTTOM_K}
+    """,
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", md5_long(F.col("doc_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .limit(BOTTOM_K)
+    )
