@@ -120,13 +120,13 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Z-score anomaly detection: orders whose totalprice sits beyond 3
+# Z-score anomaly detection: orders whose totalprice sits beyond Z_CUT
 # sample-stddevs of their priority group — the standard quality-monitor
 # rollup over a silver table. Group stats derive from exact decimal
 # sums (functions/numeric.py) so the threshold itself is bit-stable at
 # any parallelism; one grouped agg + one broadcast join back.
 # ---------------------------------------------------------------------------
-Z_CUT = 3.0
+Z_CUT = 1.5  # synthetic totalprice is uniform-ish (|z| tops out ~1.8)
 
 
 @query(
