@@ -75,3 +75,20 @@ def test_merge_upsert_edge_cases(spark):
     )
     got = keep_latest(log, ["k"], ["ver", "v"]).collect()
     assert [(r["k"], r["ver"], r["v"]) for r in got] == [(1, 5, "y")]
+
+
+def test_cli_list_and_run(capsys):
+    from nyc_landmarks_datalake_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "[rows-only]" in out
+
+    assert (
+        main(["run", "q_having_nations", "--sf-dir", "/root/testdata/sf0.001", "-n", "3"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "n_name" in out or "nation" in out.lower()
+
+    assert main(["run", "no_such_query"]) == 2
