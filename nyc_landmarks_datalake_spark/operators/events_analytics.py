@@ -142,7 +142,7 @@ SLOT_HOURS = 6
     WITH bounds AS (
         SELECT event_type,
                date_trunc('day', MIN(ts)) AS lo,
-               date_trunc('day', MAX(ts)) AS hi
+               time_bucket(INTERVAL {SLOT_HOURS} HOUR, MAX(ts)) AS hi
         FROM events GROUP BY 1
     ),
     spine AS (
@@ -163,9 +163,16 @@ SLOT_HOURS = 6
 )
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
+    # upper bound = the LAST OCCUPIED slot (bucket of max ts), not the
+    # day floor — a day-truncated bound would drop the final partial
+    # day's slots (and their events) from the densified output.
+    slot_secs = SLOT_HOURS * 3600
     bounds = events.groupBy("event_type").agg(
         F.date_trunc("day", F.min("ts")).alias("lo"),
-        F.date_trunc("day", F.max("ts")).alias("hi"),
+        F.expr(
+            f"timestamp_seconds(unix_timestamp(max(ts)) div {slot_secs}"
+            f" * {slot_secs})"
+        ).alias("hi"),
     )
     spine = bounds.select(
         "event_type",

@@ -92,3 +92,17 @@ def test_cli_list_and_run(capsys):
     assert "n_name" in out or "nation" in out.lower()
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_gap_fill_conserves_events(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark import registry
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    registry.load_all()
+    dense = registry.QUERIES["q_gap_fill"](spark, sf_small)
+    total = dense.agg(F.sum("n_events")).collect()[0][0]
+    assert total == table(spark, sf_small, "events").count()
+    # and it really densifies: zero-filled slots exist
+    assert dense.filter(F.col("n_events") == 0).count() > 0
