@@ -202,12 +202,21 @@ def stream_upsert_sink(
     spark = stream.sparkSession
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        import glob as _glob
+        import os as _os
+
         compacted = keep_latest(batch, keys, order_cols)
-        try:
+        # explicit existence check, NOT try/except around the read: a
+        # transient read or merge failure on a populated table must
+        # propagate (and fail the batch for retry) — swallowing it here
+        # would overwrite the silver table with just this micro-batch.
+        if _os.path.isdir(dest_dir) and _glob.glob(
+            _os.path.join(dest_dir, "*.parquet")
+        ):
             base = spark.read.parquet(dest_dir)
             merged = merge_upsert(base, compacted, keys)
-        except Exception:  # first batch: no silver table yet
-            merged = compacted
+        else:
+            merged = compacted  # first batch: no silver table yet
         # materialize before overwriting the directory being read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(dest_dir)
 
