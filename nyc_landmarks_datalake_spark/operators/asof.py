@@ -61,23 +61,31 @@ def _asof_window(
     by_right: str,
     how: str,
 ) -> DataFrame:
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     lcols = left.columns
     rcols = right.columns
-    # One unioned stream: right rows sort before left rows at equal ts
-    # (is_left asc ⇒ exact matches are visible to the left row).
+    # The right row travels as ONE struct (non-null for every right row
+    # even when its members are null), so the window carries the whole
+    # matched row atomically — per-column last(ignorenulls) would fill
+    # a null member from an OLDER right row, mixing rows; and the
+    # struct's own null-ness is the exact match indicator.
+    r_struct_t = T.StructType(right.schema.fields)
     r_stream = right.select(
         F.col(by_right).alias("__key"),
         F.col(on_right).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
     )
+    # One unioned stream: right rows sort before left rows at equal ts
+    # (is_left asc ⇒ exact matches are visible to the left row).
     l_stream = left.select(
         F.col(by_left).alias("__key"),
         F.col(on_left).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+        F.lit(None).cast(r_struct_t).alias("__r"),
     )
     w = (
         Window.partitionBy("__key")
@@ -85,18 +93,14 @@ def _asof_window(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r_stream.unionByName(l_stream).select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in rcols
-        ],
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rm")
     )
-    out = carried.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(f"__r_{c}").alias(c) for c in rcols]
-    )
+    out = carried.filter(F.col("__is_left") == 1)
     if how == "inner":
-        out = out.filter(F.col(rcols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__rm").isNotNull())
+    return out.select(
+        *lcols, *[F.col("__rm").getField(c).alias(c) for c in rcols]
+    )
 
 
 def _asof_cogroup(

@@ -54,3 +54,30 @@ def test_left_keeps_unmatched(spark, sf_small):
         how="left", strategy="window",
     )
     assert out.count() == n_events
+
+
+def test_asof_window_matches_atomically_with_null_members(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 5, None, "a"), (1, 15, 99, None)], ["rk", "rt", "v1", "v2"]
+    )
+    got = asof_join(left, right, "t", "rt", "k", "rk", how="left").orderBy("t").collect()
+    # t=10 → rt=5 row: v1 stays NULL (not backfilled from nowhere);
+    # t=20 → rt=15 row: v2 stays NULL (not taken from the rt=5 row).
+    assert (got[0]["v1"], got[0]["v2"]) == (None, "a")
+    assert (got[1]["v1"], got[1]["v2"]) == (99, None)
+
+
+def test_asof_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from nyc_landmarks_datalake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame([(1, 5)], ["rk", "rt"])
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "t", "rt", "k", "rk", how="full")
