@@ -27,9 +27,20 @@ from nyc_landmarks_datalake_spark.registry import QUERIES, query
 MAX_ITERS = 20
 
 
-def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = MAX_ITERS, algorithm: str = "plain"
+) -> DataFrame:
     """(doc1, doc2) undirected pair list → (doc_id, cluster_id) with
-    cluster_id = min doc id reachable from the vertex."""
+    cluster_id = min doc id reachable from the vertex.
+
+    ``algorithm='plain'`` converges in O(cluster diameter) rounds —
+    right for near-dup graphs, whose clusters are quasi-cliques.
+    ``algorithm='jump'`` adds pointer jumping (label := label's label)
+    each round, converging in O(log diameter) — the choice for graphs
+    with long chains (e.g. web-link components), at the cost of one
+    extra self-join of the (small) label table per round."""
+    if algorithm not in ("plain", "jump"):
+        raise ValueError(f"algorithm must be 'plain' or 'jump', got {algorithm!r}")
     fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -52,8 +63,18 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
                 "doc",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()
         )
+        if algorithm == "jump":
+            # label := label-of-label; every label is a vertex id (min
+            # over the vertex set), so the inner join is total.
+            jump = new_labels.select(
+                F.col("doc").alias("jdoc"), F.col("lbl").alias("jlbl")
+            )
+            new_labels = (
+                new_labels.join(jump, new_labels.lbl == jump.jdoc)
+                .select("doc", F.col("jlbl").alias("lbl"))
+            )
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")

@@ -106,3 +106,22 @@ def test_gap_fill_conserves_events(spark, sf_small):
     assert total == table(spark, sf_small, "events").count()
     # and it really densifies: zero-filled slots exist
     assert dense.filter(F.col("n_events") == 0).count() > 0
+
+
+def test_connected_components_jump_equivalence(spark):
+    from nyc_landmarks_datalake_spark.operators.graph import connected_components
+
+    # a 20-vertex chain (diameter 19 — the jump variant's motivation)
+    # plus a disjoint triangle.
+    chain = [(i, i + 1) for i in range(19)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(chain + tri, ["doc1", "doc2"])
+    plain = sorted(
+        tuple(r) for r in connected_components(pairs, algorithm="plain").collect()
+    )
+    jump = sorted(
+        tuple(r) for r in connected_components(pairs, algorithm="jump").collect()
+    )
+    assert plain == jump
+    assert all(c == 0 for _, c in plain[:20])
+    assert all(c == 20 for _, c in plain[20:])
