@@ -193,7 +193,16 @@ def stream_upsert_sink(
     The full-table rewrite per batch is the parquet limitation (no
     transactional row updates); with a table format the merge would
     target only matched files. Keyed layout (bucketing) bounds the
-    rewrite at scale."""
+    rewrite at scale.
+
+    Durability: the merged table is written to a sibling temp directory
+    and swapped in with directory renames, so the previous silver table
+    stays intact on disk until the new one is fully committed — a
+    mid-write executor loss fails the batch for retry with the old table
+    untouched (no reliance on cached lineage blocks). On a local/HDFS
+    filesystem the rename is atomic; on S3-like stores the real fix is a
+    transactional table format (see SCALING.md) — this sink is the
+    filesystem form of that commit protocol."""
     from nyc_landmarks_datalake_spark.operators.merge import (
         keep_latest,
         merge_upsert,
@@ -204,6 +213,14 @@ def stream_upsert_sink(
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         import glob as _glob
         import os as _os
+        import shutil as _shutil
+
+        # crash recovery: a previous batch may have died between the two
+        # renames below (dest gone, .replaced-* still holding the data)
+        if not _os.path.isdir(dest_dir):
+            leftovers = sorted(_glob.glob(f"{dest_dir}.replaced-*"))
+            if leftovers:
+                _os.rename(leftovers[-1], dest_dir)
 
         compacted = keep_latest(batch, keys, order_cols)
         # explicit existence check, NOT try/except around the read: a
@@ -217,8 +234,16 @@ def stream_upsert_sink(
             merged = merge_upsert(base, compacted, keys)
         else:
             merged = compacted  # first batch: no silver table yet
-        # materialize before overwriting the directory being read
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(dest_dir)
+
+        tmp_dir = f"{dest_dir}.inprogress-{batch_id:020d}"
+        old_dir = f"{dest_dir}.replaced-{batch_id:020d}"
+        _shutil.rmtree(tmp_dir, ignore_errors=True)  # stale retry leftovers
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        # swap only after the new table is fully on disk
+        if _os.path.isdir(dest_dir):
+            _os.rename(dest_dir, old_dir)
+        _os.rename(tmp_dir, dest_dir)
+        _shutil.rmtree(old_dir, ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(_merge_batch)

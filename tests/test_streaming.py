@@ -233,3 +233,22 @@ def test_stream_upsert_sink(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["user_id"]: r["value"] for r in spark.read.parquet(dest).collect()}
     assert got == {1: 10.0, 2: 2.0, 3: 3.0}
+
+    # the swap must leave no in-progress/replaced scratch dirs behind
+    assert not list(tmp_path.glob("silver.inprogress-*"))
+    assert not list(tmp_path.glob("silver.replaced-*"))
+
+    # crash recovery: simulate dying between the two swap renames (dest
+    # renamed away, new table never moved in). The next batch must
+    # restore the old table instead of rebuilding silver from one batch.
+    import os
+
+    os.rename(dest, f"{dest}.replaced-{0:020d}")
+    write_batch("b3", [(4, "2024-01-01 02:00:00", 4.0)])
+    q3 = stream_upsert_sink(
+        spark.readStream.schema(schema).parquet(str(src / "*")),
+        dest, ckpt, keys=["user_id"], order_cols=["ts"],
+    )
+    q3.awaitTermination(120)
+    got = {r["user_id"]: r["value"] for r in spark.read.parquet(dest).collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 3.0, 4: 4.0}
