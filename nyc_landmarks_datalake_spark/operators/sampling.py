@@ -119,9 +119,10 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stable order — the batch-construction step of an LLM training
 # pipeline. bin = floor((running_total - n_tokens) / budget), i.e. a
 # document starts a new bin when the budget would overflow mid-doc is
-# allowed to straddle (greedy contiguous packing). One window shuffle;
-# at 100 TB the ORDER BY becomes a range partition and each partition
-# packs locally — the same plan Spark already produces here.
+# allowed to straddle (greedy contiguous packing). The global running
+# sum goes through distributed_running_sum (range partition + local
+# running sum + broadcast prefix offsets), so no single-partition
+# window touches the data at any scale.
 # ---------------------------------------------------------------------------
 PACK_BUDGET = 512  # whitespace tokens per bin
 
@@ -146,16 +147,18 @@ PACK_BUDGET = 512  # whitespace tokens per bin
     """,
 )
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from nyc_landmarks_datalake_spark.operators.windows import (
+        distributed_running_sum,
+    )
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    packed = distributed_running_sum(
+        toks, ["doc_id"], "n_tokens", out_col="__running"
+    ).withColumn(
+        "bin_id", F.floor((F.col("__running") - F.col("n_tokens")) / PACK_BUDGET)
     )
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

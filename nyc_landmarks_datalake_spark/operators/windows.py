@@ -119,7 +119,98 @@ def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ntile + percent_rank + dense_rank battery.
+# Distributed global row_number: the scale-path replacement for
+# Window.orderBy(...) with no partitionBy (which funnels the whole table
+# through ONE task). Two passes, both distributed:
+#   1. range-repartition on the sort key; count rows per range partition
+#      (a P-row summary — P = shuffle partitions, not data);
+#   2. prefix-sum the P counts (window over P rows) and broadcast-join
+#      the offsets back; local row_number within each range + offset =
+#      exact global row_number.
+# The only "global" window in the plan runs over the P-row partition
+# summary — the same coordinator-sized step RDD.zipWithIndex performs —
+# never over the data. Equal sort keys land in one range partition
+# (RangePartitioner splits on key values), so rank ties never straddle
+# partitions.
+# ---------------------------------------------------------------------------
+def _ranged_with_offsets(
+    df: DataFrame,
+    order_cols: list[str],
+    measure,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Range-partition ``df`` on ``order_cols`` and attach ``__off`` =
+    sum of ``measure`` over all PRECEDING range partitions (plus __pid).
+
+    persist() is load-bearing, not a cache hint: the summary branch and
+    the data branch must see the SAME range boundaries and partition
+    ids. Unpersisted, Catalyst plans the subtree twice and each copy
+    re-samples boundaries with a different RDD-id-derived seed —
+    offsets could then disagree with the data's pids. Persisting pins
+    one materialization (MEMORY_AND_DISK, spills at scale) that both
+    branches read — the same contract RDD.zipWithIndex relies on.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    per_part = ranged.groupBy("__pid").agg(F.sum(measure).alias("__m"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        "__pid", F.coalesce(F.sum("__m").over(w_off), F.lit(0)).alias("__off")
+    )
+    return ranged.join(F.broadcast(offsets), "__pid")
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    joined = _ranged_with_offsets(df, order_cols, F.lit(1), num_partitions)
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return joined.withColumn(
+        rn_col, (F.row_number().over(w_local) + F.col("__off")).cast("long")
+    ).drop("__pid", "__off")
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ORDER BY running sum without a single-partition window:
+    local running sum within each range partition + the prefix-summed
+    per-partition totals (a P-row summary) broadcast back."""
+    joined = _ranged_with_offsets(df, order_cols, F.col(value_col), num_partitions)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn(
+        out_col, F.sum(value_col).over(w_local) + F.col("__off")
+    ).drop("__pid", "__off")
+
+
+# ---------------------------------------------------------------------------
+# ntile + percent_rank + dense_rank battery — distributed formulation.
+#
+# The naive form (Window.orderBy with no partitionBy for all four ranks)
+# is exact but single-partition. Here:
+#   * ntile/percent_rank over the near-unique (c_acctbal, c_custkey) key
+#     derive arithmetically from distributed_row_number + the total count
+#     (SQL-standard bucket sizing: first n%B buckets get one extra row);
+#   * dense_rank/rank over the tiny-cardinality keys (5 segments, 25
+#     nations) aggregate FIRST (distributed groupBy), then window over
+#     the aggregated ≤25-row relation — the shuffle the plan pays is the
+#     hash-agg, never a full-table single-partition sort.
 # ---------------------------------------------------------------------------
 @query(
     "q_rank_battery",
@@ -133,14 +224,64 @@ def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    w_bal = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        F.ntile(4).over(w_bal).cast("long").alias("quartile"),
-        F.percent_rank().over(w_bal).alias("pct_rank"),
-        F.dense_rank().over(Window.orderBy("c_mktsegment")).cast("long").alias("seg_rank"),
-        F.rank().over(Window.orderBy("c_nationkey")).cast("long").alias("nation_rank"),
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "c_nationkey"
+    )
+
+    # pass 1+2: exact global row number over the unique composite key
+    base = distributed_row_number(cust, ["c_acctbal", "c_custkey"], rn_col="__rn")
+
+    total = cust.agg(F.count(F.lit(1)).alias("__n"))
+    b = base.crossJoin(F.broadcast(total))
+
+    # SQL-standard ntile(B): q = n div B rows per bucket, first r = n mod B
+    # buckets take one extra row
+    buckets = F.lit(4)
+    qsize = F.floor(F.col("__n") / buckets)
+    r = F.col("__n") % buckets
+    big = r * (qsize + 1)
+    rn = F.col("__rn")
+    quartile = F.when(
+        rn <= big, F.floor((rn - 1) / (qsize + 1)) + 1
+    ).otherwise(r + F.floor((rn - big - 1) / F.greatest(qsize, F.lit(1))) + 1)
+    # unique sort key → rank == row_number, so percent_rank is arithmetic
+    pct = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (rn - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    )
+
+    # dense_rank over 5 segments: distinct (distributed) then a 5-row window
+    w_seg = Window.orderBy("c_mktsegment")
+    segs = (
+        cust.select("c_mktsegment")
+        .distinct()
+        .select(
+            "c_mktsegment", F.row_number().over(w_seg).cast("long").alias("seg_rank")
+        )
+    )
+    # rank over 25 nations: per-key counts (distributed agg) then a
+    # 25-row prefix-sum window; rank = preceding rows + 1
+    w_nat = Window.orderBy("c_nationkey").rowsBetween(Window.unboundedPreceding, -1)
+    nations = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "c_nationkey",
+            (F.coalesce(F.sum("__cnt").over(w_nat), F.lit(0)) + 1)
+            .cast("long")
+            .alias("nation_rank"),
+        )
+    )
+
+    return (
+        b.join(F.broadcast(segs), "c_mktsegment")
+        .join(F.broadcast(nations), "c_nationkey")
+        .select(
+            "c_custkey",
+            quartile.cast("long").alias("quartile"),
+            pct.alias("pct_rank"),
+            "seg_rank",
+            "nation_rank",
+        )
     )
 
 

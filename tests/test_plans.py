@@ -132,3 +132,68 @@ def test_aqe_splits_skewed_join(spark):
         for c, v in saved.items():
             if v is not None:
                 spark.conf.set(c, v)
+
+
+def _single_partition_exchanges_carry_only_summaries(df):
+    """Every Exchange SinglePartition in the plan must sit over an
+    aggregated summary (HashAggregate appears in its subtree before any
+    parquet scan) — i.e. coordinator-sized data, never the full table."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        for below in lines[i + 1 :]:
+            if "HashAggregate" in below:
+                break
+            assert "Scan parquet" not in below, (
+                "single-partition exchange over raw table data:\n" + line
+            )
+    return plan
+
+
+def test_rank_battery_distributed(spark, sf_oracle):
+    # VERDICT r1 flagged the bare Window.orderBy here as the repo's
+    # clearest single-partition bottleneck; pin the two-pass form.
+    df = registry.QUERIES["q_rank_battery"](spark, sf_oracle)
+    plan = _single_partition_exchanges_carry_only_summaries(df)
+    assert "rangepartitioning" in plan  # two-pass distributed rank active
+    a = audit(df)
+    assert not a.has_python_eval
+
+
+def test_sequence_pack_distributed(spark, sf_oracle):
+    df = registry.QUERIES["q_sequence_pack"](spark, sf_oracle)
+    plan = _single_partition_exchanges_carry_only_summaries(df)
+    assert "rangepartitioning" in plan
+    a = audit(df)
+    assert not a.has_python_eval
+
+
+def test_distributed_row_number_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from nyc_landmarks_datalake_spark.operators.windows import (
+        distributed_row_number,
+        distributed_running_sum,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("uid"), (F.col("id") % 7).alias("v")
+    )
+    got = distributed_row_number(df, ["k", "uid"], rn_col="rn", num_partitions=13)
+    naive = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "uid")).cast("long")
+    )
+    assert got.orderBy("rn").collect() == naive.orderBy("rn").collect()
+
+    got_rs = distributed_running_sum(df, ["k", "uid"], "v", out_col="rs", num_partitions=13)
+    naive_rs = df.withColumn(
+        "rs",
+        F.sum("v").over(
+            Window.orderBy("k", "uid").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert (
+        got_rs.orderBy("uid").collect() == naive_rs.orderBy("uid").collect()
+    )
