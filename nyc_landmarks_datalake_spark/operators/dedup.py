@@ -41,6 +41,16 @@ ROWS_PER_BAND = 4
 COEFFS = minhash_coeffs(NUM_HASHES)
 JACCARD_THRESHOLD = 0.3
 SIMHASH_BITS = 60
+#: inverted-index document-frequency cap: shingles appearing in more
+#: than this many documents are dropped from the index before pair
+#: expansion. This bounds the hottest bucket's pair blowup at
+#: O(MAX_SHINGLE_DF^2) regardless of corpus size — without it a
+#: stop-word-like shingle on a 100 TB corpus produces an O(df^2)
+#: expansion on ONE task. Discriminative power lives in rare shingles
+#: (the same reason MinHash-LSH banding implicitly ignores ubiquitous
+#: features), so the cap trades a bounded jaccard underestimate on
+#: stop-shingle-only overlaps for a hard skew bound.
+MAX_SHINGLE_DF = 100
 
 
 # ---------------------------------------------------------------------------
@@ -97,34 +107,24 @@ _SHINGLED_DUCK = f"""
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup via inverted-index join.
 # ---------------------------------------------------------------------------
-@query(
-    "q_dedup_ngram_jaccard",
-    sql=f"""
-    WITH sh AS ({_SHINGLED_DUCK}),
-    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    pairs AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               COUNT(*) AS n_common
-        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT doc1, doc2,
-           (n_common * 1.0) /
-           (len(s1.shingles) + len(s2.shingles) - n_common) AS jaccard
-    FROM pairs
-    JOIN sh s1 ON s1.doc_id = doc1
-    JOIN sh s2 ON s2.doc_id = doc2
-    WHERE (n_common * 1.0) /
-          (len(s1.shingles) + len(s2.shingles) - n_common) >= {JACCARD_THRESHOLD}
-    """,
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Inverted index WITHOUT a self-join: group postings per shingle,
-    # expand ordered pairs in place (bucket sizes are bounded by the
-    # hottest shingle's doc-frequency), then one shuffle per pair for the
-    # intersection counts. Doc sizes travel with the postings so no
-    # extra sizes-join (which would recompute the shingling) is needed.
-    sh = shingled(compute_table(spark, sf_dir, "documents"))
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-dup candidate pairs with Jaccard >= threshold over 3-gram
+    shingles, via an inverted index WITHOUT a self-join: group postings
+    per shingle, expand ordered pairs in place, then one shuffle per
+    pair for the intersection counts. Doc sizes travel with the
+    postings so no extra sizes-join is needed.
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE pair expansion — the hottest bucket expands at most
+    max_df*(max_df-1)/2 pairs on one task, a hard skew bound at any
+    corpus size. Jaccard is then computed over retained shingles only
+    (denominators stay full-size, so capped scores only ever
+    underestimate — conservative for dedup)."""
+    sh = shingled(docs)
     inv = sh.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
@@ -132,7 +132,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         inv.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("m")).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_df))
     )
     pairs = buckets.select(
         F.explode(
@@ -151,9 +151,40 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("n_common") * F.lit(1.0) / (
         F.col("n1") + F.col("n2") - F.col("n_common")
     )
-    return counted.filter(jaccard >= JACCARD_THRESHOLD).select(
+    return counted.filter(jaccard >= threshold).select(
         "doc1", "doc2", jaccard.alias("jaccard")
     )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    sql=f"""
+    WITH sh AS ({_SHINGLED_DUCK}),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    keep AS (
+        SELECT shingle FROM inv0
+        GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+    ),
+    inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           (n_common * 1.0) /
+           (len(s1.shingles) + len(s2.shingles) - n_common) AS jaccard
+    FROM pairs
+    JOIN sh s1 ON s1.doc_id = doc1
+    JOIN sh s2 ON s2.doc_id = doc2
+    WHERE (n_common * 1.0) /
+          (len(s1.shingles) + len(s2.shingles) - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(compute_table(spark, sf_dir, "documents"))
 
 
 # --- MinHash ----------------------------------------------------------------

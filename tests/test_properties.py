@@ -91,3 +91,31 @@ def test_hash_sample_partition_independent(spark, sf_small):
         ).collect()
     )
     assert a == b
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
+    from nyc_landmarks_datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 30 docs share one hot phrase (shingle df = 30) but are otherwise
+    # unrelated; two docs are true near-dups via rare shingles.
+    hot = "the quick brown"
+    rows = [(i, f"{hot} filler{i} alpha{i} beta{i} gamma{i}") for i in range(30)]
+    rows += [
+        (100, "rare shingle overlap one two three four five"),
+        (101, "rare shingle overlap one two three four nine"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_df=10)
+    got = {(r.doc1, r.doc2) for r in capped.collect()}
+    # the hot-shingle-only cluster must contribute NO pairs (its one
+    # common shingle is dropped by the cap) ...
+    assert all(d1 >= 100 for d1, _ in got), got
+    # ... while the rare-shingle near-dup pair survives
+    assert (100, 101) in got
+
+    # uncapped, the hot shingle expands 30*29/2 pairs (none pass the
+    # threshold here, but each costs a task-side expansion) — pin that
+    # the cap is what removed them, not the threshold
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=10_000)
+    assert uncapped.filter("doc1 < 100").count() == 30 * 29 // 2
