@@ -45,17 +45,43 @@ def davg_sql(expr: str) -> str:
 #: to (37,12) with NO rounding in either engine.
 _PPREC, _PSCALE = 18, 6
 
+#: operand-magnitude ceiling for dprod_sum/dstddev/dcorr: DECIMAL(18,6)
+#: holds 12 integer digits, so any |operand| >= 10^12 overflows the
+#: cast. In non-ANSI Spark that yields NULL (row silently skipped by
+#: SUM) while DuckDB's DECIMAL(19,6) cast errors — the engines would
+#: diverge. dsum/davg use (30,6) and are NOT subject to this bound.
+PROD_OPERAND_BOUND = 10.0 ** (_PPREC - _PSCALE)
 
-def dprod_sum(x: Column, y: Column) -> Column:
+
+def dprod_sum(x: Column, y: Column, checked: bool = False) -> Column:
     """Exact sum of products: decimalize each operand ONCE, multiply in
     decimal (lossless), sum exactly, cast back to double.
 
     Summing ``dsum(x*y)`` instead would round the double product x*y to
     6dp a SECOND time, and Spark (Java HALF_UP) and DuckDB break exact
     .5 ties differently — observed as a 1-ulp corr divergence at sf0.1.
-    Decimal-first multiplication has no second rounding to disagree on."""
-    xd = x.cast(f"decimal({_PPREC},{_PSCALE})")
-    yd = y.cast(f"decimal({_PPREC},{_PSCALE})")
+    Decimal-first multiplication has no second rounding to disagree on.
+
+    Operands must satisfy |v| < PROD_OPERAND_BOUND (10^12) — see the
+    constant above. ``checked=True`` inserts a per-row raise_error guard
+    so out-of-range data fails loudly in Spark exactly where DuckDB's
+    narrower cast would error, at the cost of one branch per row."""
+
+    def _guard(c: Column) -> Column:
+        if not checked:
+            return c
+        return F.when(
+            F.abs(c) >= F.lit(PROD_OPERAND_BOUND),
+            F.raise_error(
+                F.concat(
+                    F.lit("dprod_sum operand out of decimal(18,6) range: "),
+                    c.cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(c)
+
+    xd = _guard(x).cast(f"decimal({_PPREC},{_PSCALE})")
+    yd = _guard(y).cast(f"decimal({_PPREC},{_PSCALE})")
     return F.sum(xd * yd).cast("double")
 
 
@@ -75,7 +101,8 @@ def dprod_sum_sql(x: str, y: str) -> str:
 
 
 def dstddev(col: Column) -> Column:
-    """Deterministic sample stddev from exact sums (float64 derivation)."""
+    """Deterministic sample stddev from exact sums (float64 derivation).
+    Inherits dprod_sum's |v| < 10^12 operand bound (PROD_OPERAND_BOUND)."""
     n = F.count(col).cast("double")
     sx = dsum(col)
     sx2 = dprod_sum(col, col)
@@ -90,7 +117,8 @@ def dstddev_sql(expr: str) -> str:
 
 
 def dcorr(x: Column, y: Column) -> Column:
-    """Deterministic Pearson correlation from exact sums."""
+    """Deterministic Pearson correlation from exact sums.
+    Inherits dprod_sum's |v| < 10^12 operand bound (PROD_OPERAND_BOUND)."""
     n = F.count(x).cast("double")
     sx, sy = dsum(x), dsum(y)
     sxx, syy, sxy = dprod_sum(x, x), dprod_sum(y, y), dprod_sum(x, y)

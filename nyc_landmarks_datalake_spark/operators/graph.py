@@ -39,6 +39,8 @@ def connected_components(
     each round, converging in O(log diameter) — the choice for graphs
     with long chains (e.g. web-link components), at the cost of one
     extra self-join of the (small) label table per round."""
+    import warnings
+
     if algorithm not in ("plain", "jump"):
         raise ValueError(f"algorithm must be 'plain' or 'jump', got {algorithm!r}")
     fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
@@ -84,6 +86,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iters with labels still moving —
+        # components wider than the iteration budget would come back
+        # split. Surface it instead of returning silently-wrong labels.
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters or use algorithm='jump' for long-chain graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -31,33 +31,33 @@ _NUMERIC = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType)
 
 def profile(df: DataFrame) -> DataFrame:
     """One-pass per-column profile → long-format DataFrame
-    (column, n_nulls, n_distinct, min_str, max_str)."""
+    (column, n_nulls, n_distinct, min_str, max_str).
+
+    Fully lazy: the wide 1-row aggregate is unpivoted with ``stack``
+    inside the same plan — no collect/createDataFrame round-trip, so
+    building the profile triggers no job until the caller acts."""
     aggs = []
     for f in df.schema.fields:
         c = f.name
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
             # min/max on the NATIVE type, stringified after (casting
             # first would make numeric ranges lexicographic: "999">"1499")
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    row = df.agg(*aggs).collect()[0]
-    out = [
-        (
-            f.name,
-            int(row[f"{f.name}__nulls"]),
-            int(row[f"{f.name}__distinct"]),
-            row[f"{f.name}__min"],
-            row[f"{f.name}__max"],
-        )
-        for f in df.schema.fields
-    ]
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        out, "column string, n_nulls long, n_distinct long, min_str string, max_str string"
+    names = [f.name for f in df.schema.fields]
+    stack = "stack({}, {}) as (column, n_nulls, n_distinct, min_str, max_str)".format(
+        len(names),
+        ", ".join(
+            f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+            for c in names
+        ),
     )
+    return df.agg(*aggs).select(F.expr(stack))
 
 
 # ---------------------------------------------------------------------------
