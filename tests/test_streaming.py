@@ -252,3 +252,154 @@ def test_stream_upsert_sink(spark, tmp_path):
     q3.awaitTermination(120)
     got = {r["user_id"]: r["value"] for r in spark.read.parquet(dest).collect()}
     assert got == {1: 10.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+
+def test_replay_windowed_counts_equals_oracle_checked_twin(spark, sf_small, tmp_path):
+    """Full-value replay: the streaming engine over a file-dropped copy
+    of events must reproduce the oracle-checked batch twin
+    (q_tumbling_window) row for row — not just in cardinality."""
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+    stream, _ = _events_stream(spark, sf_small, tmp_path)
+    got = (
+        _run_stream_to_memory(
+            spark, windowed_counts(stream), "replay_win", output_mode="complete"
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        QUERIES["q_tumbling_window"](spark, sf_small)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["window_start"].tolist() == want["window_start"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    # streaming sums plain doubles (accumulation-order dependent);
+    # the twin sums via decimal — equal to float tolerance
+    assert np.allclose(got["total_value"], want["total_value"], rtol=1e-9)
+
+
+def test_replay_sessionized_equals_oracle_checked_twin(spark, sf_small, tmp_path):
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+    stream, _ = _events_stream(spark, sf_small, tmp_path)
+    got = (
+        _run_stream_to_memory(
+            spark, sessionized_stream(stream), "replay_sess", output_mode="complete"
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        QUERIES["q_session_window"](spark, sf_small)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["session_start"].tolist() == want["session_start"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(got["session_value"], want["session_value"], rtol=1e-9)
+
+
+def test_late_data_dropped_across_checkpointed_restarts(spark, tmp_path):
+    """Deterministic late-data semantics: an event older than the
+    checkpointed watermark must NOT change an already-emitted window.
+    Three availableNow runs against one checkpoint simulate arrival
+    order exactly (no reliance on file-discovery order)."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "late_src"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "late_sink"), str(tmp_path / "late_ckpt")
+
+    def drop_file(name, rows):
+        spark.createDataFrame(
+            [(i, u, t, ts, v) for (i, u, t, ts, v) in rows],
+            ["event_id", "user_id", "event_type", "ts_str", "value"],
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts_str").cast("timestamp").alias("ts"), "value",
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run_once():
+        q = (
+            windowed_counts(
+                spark.readStream.schema(schema).parquet(str(src / "*")),
+                window_duration="15 minutes",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: two events in the 10:00 window; 13:00 advances the
+    # watermark to 12:30, closing and emitting the 10:00 window
+    drop_file(
+        "b1",
+        [
+            (1, 1, "A", "2024-01-01 10:00:00", 1.0),
+            (2, 1, "A", "2024-01-01 10:05:00", 1.0),
+            (3, 2, "B", "2024-01-01 13:00:00", 1.0),
+        ],
+    )
+    run_once()
+    emitted = spark.read.schema(
+        "window_start timestamp, window_end timestamp, event_type string,"
+        "n_events long, total_value double"
+    ).parquet(sink).toPandas()
+    assert len(emitted[emitted.event_type == "A"]) == 1
+    assert emitted[emitted.event_type == "A"].n_events.iloc[0] == 2
+
+    # run 2: a LATE event for the closed 10:00 window (behind the
+    # checkpointed 12:30 watermark) plus an on-time 13:20 event
+    drop_file(
+        "b2",
+        [
+            (4, 1, "A", "2024-01-01 10:07:00", 99.0),  # late → dropped
+            (5, 2, "B", "2024-01-01 13:20:00", 1.0),
+        ],
+    )
+    run_once()
+    # run 3: 14:30 advances the watermark past both 13:xx windows
+    drop_file("b3", [(6, 3, "C", "2024-01-01 14:30:00", 1.0)])
+    run_once()
+
+    final = spark.read.schema(
+        "window_start timestamp, window_end timestamp, event_type string,"
+        "n_events long, total_value double"
+    ).parquet(sink).toPandas()
+    a_rows = final[final.event_type == "A"]
+    # the late event neither re-emitted the 10:00 window nor changed it
+    assert len(a_rows) == 1
+    assert a_rows.n_events.iloc[0] == 2
+    assert a_rows.total_value.iloc[0] == 2.0
+    b_rows = final[final.event_type == "B"].sort_values("window_start")
+    assert b_rows.n_events.tolist() == [1, 1]  # 13:00 and 13:15 windows
