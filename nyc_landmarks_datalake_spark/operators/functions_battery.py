@@ -194,3 +194,37 @@ def q_group_concat_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise expression battery over integer keys (hash/partition math and
+# flag fields all ride on these): and/or/xor, shifts, bit_count.
+# All pure codegen in Spark; DuckDB spells xor as a function and
+# shifts with operators.
+# ---------------------------------------------------------------------------
+@query(
+    "q_bitwise_ops",
+    sql="""
+    SELECT c_custkey,
+           c_custkey & 255 AS low_byte,
+           c_custkey | 4096 AS with_flag,
+           xor(c_custkey, 1431655765) AS xored,
+           c_custkey << 3 AS shl3,
+           c_custkey >> 2 AS shr2,
+           CAST(bit_count(c_custkey) AS INT) AS popcount
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+)
+def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.filter(k % 10 == 0).select(
+        "c_custkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1431655765)).alias("xored"),
+        F.shiftleft(k.cast("int"), 3).cast("long").alias("shl3"),
+        F.shiftright(k.cast("int"), 2).cast("long").alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -1,0 +1,311 @@
+"""Training-data curation operators over ``documents``: benchmark
+contamination checking, per-source (domain) corpus stats, global top
+n-grams, composable quality filtering, deterministic per-group
+sampling, and token-length histograms.
+
+These are the curation steps an LLM data pipeline runs between raw
+crawl and training batches (the reference stops at bronze→silver CSV
+massage; SURVEY §2.B extends the surface). Design for 100 TB:
+
+- contamination: benchmark shingle set is tiny (eval suites are KBs) →
+  broadcast semi-join against the corpus's exploded shingles; the
+  corpus never shuffles for the probe, only for the final census;
+- per-source stats: one hash-agg; share-of-total windows over the
+  aggregated (small) relation, never the raw table;
+- top n-grams: explode → hash-agg (map-side combined) → global top-k
+  (TakeOrderedAndProject — per-partition heaps, no full sort);
+- quality filter: pure map-side higher-order functions, zero Python;
+- per-group sample: md5-ranked row_number inside each group — one
+  shuffle on the group key, deterministic under any partitioning
+  (same rationale as hash-threshold sampling in sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
+from nyc_landmarks_datalake_spark.operators.dedup import _SHINGLED_DUCK, shingled
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
+
+#: deterministic stand-in for an eval/benchmark doc set (no eval suite
+#: ships with the synthetic testdata): every 97th doc id.
+BENCH_MOD = 97
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check: a training doc is contaminated if it
+# shares any 3-gram shingle with a benchmark doc. The real-world use is
+# decontaminating a crawl against eval suites (benchmarks are tiny, so
+# their shingle set broadcasts; the 100 TB side only explodes map-side
+# and semi-joins against the broadcast).
+# ---------------------------------------------------------------------------
+@query(
+    "q_contamination_check",
+    sql=f"""
+    WITH sh AS ({_SHINGLED_DUCK}),
+    bench_sh AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    train AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    hits AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM train) t
+        JOIN bench_sh USING (shingle)
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+    FROM documents d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+    GROUP BY 1
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    sh = shingled(docs)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_sh = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        sh.filter(~is_bench)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(hits.withColumn("hit", F.lit(1)), "doc_id", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source ("domain") corpus stats with share-of-corpus: the standard
+# crawl-composition report (and the input to per-domain caps/reweighting).
+# ---------------------------------------------------------------------------
+@query(
+    "q_source_stats",
+    sql=f"""
+    WITH per AS (
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               {davg_sql('n_chars')} AS avg_chars
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_chars, avg_chars,
+           (n_docs * 1.0) / SUM(n_docs) OVER () AS doc_share
+    FROM per
+    """,
+)
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.functions.numeric import davg
+
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        davg(F.col("n_chars")).alias("avg_chars"),
+    )
+    # window over the aggregated (sources x langs) relation, not the corpus
+    w_all = Window.partitionBy()
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        (F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w_all)).alias(
+            "doc_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global top-20 trigrams by document frequency: explode distinct
+# shingles per doc, hash-agg, TakeOrdered top-k (ties broken by the
+# shingle text so both engines agree).
+# ---------------------------------------------------------------------------
+TOP_NGRAMS_K = 20
+
+
+@query(
+    "q_top_ngrams",
+    sql=f"""
+    WITH sh AS ({_SHINGLED_DUCK})
+    SELECT shingle, COUNT(*) AS df
+    FROM (SELECT unnest(shingles) AS shingle FROM sh)
+    GROUP BY 1
+    ORDER BY df DESC, shingle
+    LIMIT {TOP_NGRAMS_K}
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled(compute_table(spark, sf_dir, "documents"))
+    return (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composable quality filter (C4/Gopher-style rules, all map-side):
+# length bounds, mean token length, stopword ratio, distinct-token
+# ratio. Output is the per-(lang, verdict) census a pipeline uses to
+# tune thresholds before applying the keep-predicate.
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+MIN_CHARS, MAX_CHARS = 50, 5000
+MIN_MEAN_TOK, MAX_MEAN_TOK = 2.0, 10.0
+MIN_STOPWORD_RATIO = 0.01
+MIN_DISTINCT_RATIO = 0.2
+
+_STOP_SET_SQL = "(" + ", ".join(f"'{s}'" for s in _STOPWORDS) + ")"
+
+
+@query(
+    "q_quality_filter",
+    sql=f"""
+    WITH feats AS (
+        SELECT lang, n_chars,
+               len(toks) AS n_toks,
+               (list_sum(list_transform(toks, t -> len(t))) * 1.0) / len(toks)
+                   AS mean_tok_len,
+               (len(list_filter(toks, t -> t IN {_STOP_SET_SQL})) * 1.0) / len(toks)
+                   AS stop_ratio,
+               (len(list_distinct(toks)) * 1.0) / len(toks) AS distinct_ratio
+        FROM (SELECT lang, n_chars, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT lang,
+           CASE
+             WHEN n_chars < {MIN_CHARS} OR n_chars > {MAX_CHARS} THEN 'drop_length'
+             WHEN mean_tok_len < {MIN_MEAN_TOK} OR mean_tok_len > {MAX_MEAN_TOK}
+                 THEN 'drop_token_len'
+             WHEN stop_ratio < {MIN_STOPWORD_RATIO} THEN 'drop_stopwords'
+             WHEN distinct_ratio < {MIN_DISTINCT_RATIO} THEN 'drop_repetition'
+             ELSE 'keep'
+           END AS verdict,
+           COUNT(*) AS n_docs
+    FROM feats
+    GROUP BY 1, 2
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    mean_tok_len = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        )
+        * F.lit(1.0)
+        / n_toks
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) * F.lit(1.0) / n_toks
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_toks
+    verdict = (
+        F.when(
+            (F.col("n_chars") < MIN_CHARS) | (F.col("n_chars") > MAX_CHARS),
+            "drop_length",
+        )
+        .when(
+            (mean_tok_len < MIN_MEAN_TOK) | (mean_tok_len > MAX_MEAN_TOK),
+            "drop_token_len",
+        )
+        .when(stop_ratio < MIN_STOPWORD_RATIO, "drop_stopwords")
+        .when(distinct_ratio < MIN_DISTINCT_RATIO, "drop_repetition")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-group sample: md5-ranked row_number inside each
+# group. Unlike rand()-based sampling this is stable under any
+# partitioning/retry (the property a reproducible data pipeline needs)
+# and both engines rank the same hex strings.
+# ---------------------------------------------------------------------------
+SAMPLE_PER_GROUP = 5
+
+
+@query(
+    "q_sample_per_group",
+    sql=f"""
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= {SAMPLE_PER_GROUP}
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_PER_GROUP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram per lang (bucket = 32 tokens): the
+# length-distribution report that drives sequence-length planning.
+# ---------------------------------------------------------------------------
+TOKEN_BUCKET = 32
+
+
+@query(
+    "q_token_len_histogram",
+    sql=f"""
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) // {TOKEN_BUCKET} AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("lang", F.floor(n_toks / TOKEN_BUCKET).alias("bucket"),
+                    n_toks.alias("n_toks"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )

@@ -314,3 +314,37 @@ def q_range_window_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.count(F.lit(1)).over(w).cast("long").alias("orders_trailing_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cume_dist over the whole table — distributed: cume_dist(x) = (number
+# of rows with value <= x, peers included) / n. With the composite
+# (c_acctbal, c_custkey) made unique, that count is max(rn) over the
+# value's peer group — a partitionBy window over acctbal, never a
+# global sort. The naive form is cume_dist() OVER (ORDER BY c_acctbal):
+# single-partition.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cume_dist_acctbal",
+    sql="""
+    SELECT c_custkey, c_acctbal,
+           cume_dist() OVER (ORDER BY c_acctbal) AS cd
+    FROM customer
+    """,
+)
+def q_cume_dist_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    base = distributed_row_number(cust, ["c_acctbal", "c_custkey"], rn_col="__rn")
+    total = cust.agg(F.count(F.lit(1)).alias("__n"))
+    w_peers = Window.partitionBy("c_acctbal")
+    return (
+        base.withColumn("__le_count", F.max("__rn").over(w_peers))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("__le_count").cast("double") / F.col("__n").cast("double")).alias(
+                "cd"
+            ),
+        )
+    )
