@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
 from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
@@ -320,4 +321,41 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= IVF_TOP_K)
         .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids — the (re)training step of the IVF coarse
+# quantizer above: element-wise mean vector per label. posexplode is
+# map-side; one hash-agg on (label, pos) carries 8-byte floats, never
+# vectors; decimal-exact means keep the result bit-stable at any
+# parallelism (and hash-comparable against the oracle).
+# ---------------------------------------------------------------------------
+@query(
+    "q_label_centroids",
+    sql=f"""
+    WITH flat AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT label, pos, {davg_sql('val')} AS mean_val, COUNT(*) AS n_vecs
+    FROM flat
+    GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.functions.numeric import davg
+
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            davg(F.col("val").cast("double")).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
     )

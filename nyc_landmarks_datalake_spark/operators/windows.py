@@ -138,9 +138,11 @@ def _ranged_with_offsets(
     order_cols: list[str],
     measure,
     num_partitions: int | None,
+    agg: str = "sum",
 ) -> DataFrame:
     """Range-partition ``df`` on ``order_cols`` and attach ``__off`` =
-    sum of ``measure`` over all PRECEDING range partitions (plus __pid).
+    ``agg`` (sum|max) of ``measure`` over all PRECEDING range partitions
+    (plus __pid). For ``max`` the offset is NULL in the first partition.
 
     persist() is load-bearing, not a cache hint: the summary branch and
     the data branch must see the SAME range boundaries and partition
@@ -157,11 +159,13 @@ def _ranged_with_offsets(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    per_part = ranged.groupBy("__pid").agg(F.sum(measure).alias("__m"))
+    agg_fn = {"sum": F.sum, "max": F.max}[agg]
+    per_part = ranged.groupBy("__pid").agg(agg_fn(measure).alias("__m"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_part.select(
-        "__pid", F.coalesce(F.sum("__m").over(w_off), F.lit(0)).alias("__off")
-    )
+    off = agg_fn("__m").over(w_off)
+    if agg == "sum":
+        off = F.coalesce(off, F.lit(0))
+    offsets = per_part.select("__pid", off.alias("__off"))
     return ranged.join(F.broadcast(offsets), "__pid")
 
 
@@ -347,4 +351,52 @@ def q_cume_dist_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cd"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) via distributed running max: an order
+# is on the frontier iff its totalprice strictly exceeds every
+# earlier-dated order's price. The global exclusive cumulative max is
+# the same two-pass shape as distributed_row_number — local exclusive
+# cummax within each range partition, prefix-maxed per-partition
+# maxima broadcast back — so the skyline never funnels through one
+# task. (The naive form is a bare ROWS UNBOUNDED PRECEDING window.)
+# ---------------------------------------------------------------------------
+@query(
+    "q_pareto_frontier",
+    sql="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_orderdate, o_totalprice,
+               MAX(o_totalprice) OVER (
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM orders
+    )
+    WHERE prev_max IS NULL OR o_totalprice > prev_max
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    order_cols = ["o_orderdate", "o_orderkey"]
+    joined = _ranged_with_offsets(
+        orders, order_cols, F.col("o_totalprice"), None, agg="max"
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.greatest(
+        F.coalesce(F.max("o_totalprice").over(w_local), F.lit(float("-inf"))),
+        F.coalesce(F.col("__off"), F.lit(float("-inf"))),
+    )
+    return (
+        joined.withColumn("__prev", prev_max)
+        .filter(F.col("o_totalprice") > F.col("__prev"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
