@@ -64,11 +64,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so queries without a past green driver CORRECTNESS row come
-    first (the driver checks a bounded prefix per round); within each
-    bucket, registration order. Names and semantics never change.
+    first (the driver checks a bounded prefix per round). Among the
+    unverified, OLDER queries outrank newer ones (query_manifest.json
+    records the round each name was registered) so additions never push
+    long-waiting queries out of the checked prefix; ties keep
+    registration order. Names and semantics never change.
     """
     green = _verified_names()
-    ordered = sorted(registry.QUERIES, key=lambda name: name in green)
+    try:
+        with open(os.path.join(_REPO_DIR, "query_manifest.json")) as f:
+            first_round = json.load(f)
+    except (OSError, ValueError):
+        first_round = {}
+    ordered = sorted(
+        registry.QUERIES,
+        key=lambda name: (name in green, first_round.get(name, 99)),
+    )
     return {name: registry.QUERIES[name] for name in ordered}
 
 

@@ -197,3 +197,19 @@ def test_distributed_row_number_matches_naive_window(spark):
     assert (
         got_rs.orderBy("uid").collect() == naive_rs.orderBy("uid").collect()
     )
+
+
+def test_query_manifest_covers_registry():
+    # query_manifest.json drives the driver-prefix rotation in
+    # __spark_entry__.queries(): every registered query must carry its
+    # first-registered round so new additions never evict long-waiting
+    # queries from the verified prefix.
+    import json
+    import os
+
+    manifest = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "query_manifest.json"))
+    )
+    assert set(manifest) == set(registry.QUERIES), (
+        set(manifest) ^ set(registry.QUERIES)
+    )
