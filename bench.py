@@ -44,6 +44,9 @@ HEADLINE = [
     "q_ivf_topk",
     "q_embedding_neardup",
     "q_text_stats",
+    # added r2: the curation composition + contamination probe
+    "q_curation_census",
+    "q_contamination_check",
 ]
 
 

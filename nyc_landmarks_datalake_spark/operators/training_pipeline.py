@@ -309,3 +309,162 @@ def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top term per document. The idf here is the RATIONAL form
+# N/df (not ln(N/df)): natural log is not guaranteed bit-identical
+# between Java and C libms, and the oracle gate hashes values — the
+# rational form preserves the exact same term ranking for a fixed
+# document (tf * N/df is monotone in tf/df) while staying
+# cross-engine exact (one IEEE multiply + divide on integer-derived
+# doubles). Shape: explode → two hash-aggs (term df, per-doc tf) →
+# broadcast the (small) df table → top-1 per doc via row_number.
+# ---------------------------------------------------------------------------
+@query(
+    "q_tfidf_top_term",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               (tf.tf * 1.0) * ((SELECT n_docs FROM n) * 1.0 / df.df) AS score
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term AS top_term, score
+    FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS rk
+        FROM scored
+    )
+    WHERE rk = 1
+    """,
+)
+def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * F.lit(1.0)
+                * (F.col("n_docs") * F.lit(1.0) / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation census: the composed deliverable of the pipeline —
+# quality filter + exact dedup + benchmark decontamination applied
+# together, reporting how many docs each stage removes per lang. This
+# is the acceptance report a 100 TB curation run produces; stages
+# compose as independent map-side/broadcast predicates so the corpus
+# is scanned once.
+# ---------------------------------------------------------------------------
+@query(
+    "q_curation_census",
+    sql=f"""
+    WITH sh AS ({_SHINGLED_DUCK}),
+    bench_sh AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+              WHERE doc_id % {BENCH_MOD} <> 0) t
+        JOIN bench_sh USING (shingle)
+    ),
+    dup AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk > 1
+    ),
+    staged AS (
+        SELECT d.lang,
+               CASE
+                 WHEN d.doc_id % {BENCH_MOD} = 0 THEN 'benchmark'
+                 WHEN d.n_chars < {MIN_CHARS} OR d.n_chars > {MAX_CHARS}
+                     THEN 'drop_quality'
+                 WHEN dup.doc_id IS NOT NULL THEN 'drop_duplicate'
+                 WHEN c.doc_id IS NOT NULL THEN 'drop_contaminated'
+                 ELSE 'keep'
+               END AS stage
+        FROM documents d
+        LEFT JOIN dup ON d.doc_id = dup.doc_id
+        LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    )
+    SELECT lang, stage, COUNT(*) AS n_docs
+    FROM staged GROUP BY 1, 2
+    """,
+)
+def q_curation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    sh = shingled(docs)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_sh = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        sh.filter(~is_bench)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dup = (
+        docs.withColumn("rk", F.row_number().over(w_dup))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(1))
+    )
+    stage = (
+        F.when(is_bench, "benchmark")
+        .when(
+            (F.col("n_chars") < MIN_CHARS) | (F.col("n_chars") > MAX_CHARS),
+            "drop_quality",
+        )
+        .when(F.col("is_dup").isNotNull(), "drop_duplicate")
+        .when(F.col("is_cont").isNotNull(), "drop_contaminated")
+        .otherwise("keep")
+    )
+    return (
+        docs.join(F.broadcast(dup), "doc_id", "left_outer")
+        .join(F.broadcast(contaminated), "doc_id", "left_outer")
+        .select("lang", stage.alias("stage"))
+        .groupBy("lang", "stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
