@@ -90,14 +90,36 @@ def compute_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (sf_dir) → inferred events schema; inference runs a footer-read job
+#: under the legacy-nanos flag, so memoize it per directory.
+_EVENTS_SCHEMA: dict[str, object] = {}
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read nanos as long and truncate to microseconds (the
-    same truncation DuckDB applies when casting ns→µs timestamps)."""
+    same truncation DuckDB applies when casting ns→µs timestamps).
+
+    The legacy ``nanosAsLong`` flag is needed only while INFERRING the
+    schema (a footer-read job), so it is set and restored around that
+    step alone; the actual scan uses an explicit schema and leaves
+    session config untouched — a reader must not permanently mutate
+    shared session state."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    if sf_dir not in _EVENTS_SCHEMA:
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            _EVENTS_SCHEMA[sf_dir] = spark.read.parquet(path).schema
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    df = spark.read.schema(_EVENTS_SCHEMA[sf_dir]).parquet(path)
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
