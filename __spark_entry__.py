@@ -42,13 +42,31 @@ def _verified_names() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            # Green = ran without error and every *_match flag present is
-            # true (rows-only checks may omit hash/schema flags).
-            if row.get("err") is None and all(
+            # Green = ran without error and every recorded *_match flag is
+            # true. At least one flag must actually be present — a row
+            # whose comparison never produced flags is NOT verified.
+            flags = [
                 v for k, v in row.items() if k.endswith("_match") and v is not None
-            ):
+            ]
+            if row.get("err") is None and flags and all(flags):
                 green.add(name)
-    return green
+    return green - REVERIFY
+
+
+#: queries whose implementation or oracle changed since their last green
+#: driver row — their stale green flags must not excuse them from the
+#: checked prefix. Maintained per round; clear entries once re-verified.
+REVERIFY = frozenset(
+    {
+        # round 2: df-cap changed candidate-pair semantics
+        "q_dedup_ngram_jaccard",
+        # round 2: rewritten on the distributed two-pass rank machinery
+        "q_rank_battery",
+        "q_sequence_pack",
+        # round 2: stack-unpivot rewrite
+        "q_profile_orders",
+    }
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -224,7 +224,10 @@ def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseAND(F.lit(255)).alias("low_byte"),
         k.bitwiseOR(F.lit(4096)).alias("with_flag"),
         k.bitwiseXOR(F.lit(1431655765)).alias("xored"),
-        F.shiftleft(k.cast("int"), 3).cast("long").alias("shl3"),
-        F.shiftright(k.cast("int"), 2).cast("long").alias("shr2"),
+        # shift on the LONG column directly — an int cast would wrap for
+        # custkey >= 2^31 (and overflow shl3 from 2^28), diverging from
+        # the oracle's 64-bit shifts at large scale factors
+        F.shiftleft(k, 3).cast("long").alias("shl3"),
+        F.shiftright(k, 2).cast("long").alias("shr2"),
         F.bit_count(k).alias("popcount"),
     )

@@ -53,6 +53,7 @@ def connected_components(
         .withColumn("lbl", F.col("doc"))
         .localCheckpoint()
     )
+    changed = 0  # max_iters=0 skips the loop; 0 suppresses the warning
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.src == labels.doc)
@@ -90,13 +91,14 @@ def connected_components(
         # the loop exhausted max_iters with labels still moving —
         # components wider than the iteration budget would come back
         # split. Surface it instead of returning silently-wrong labels.
-        warnings.warn(
-            f"connected_components did not converge in {max_iters} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iters or use algorithm='jump' for long-chain graphs",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        if changed:
+            warnings.warn(
+                f"connected_components did not converge in {max_iters} "
+                f"iterations ({changed} labels still changing); raise "
+                "max_iters or use algorithm='jump' for long-chain graphs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

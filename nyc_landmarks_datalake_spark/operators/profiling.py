@@ -50,10 +50,18 @@ def profile(df: DataFrame) -> DataFrame:
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     names = [f.name for f in df.schema.fields]
+
+    def _lit(c: str) -> str:  # escape for a single-quoted SQL literal
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def _bt(c: str) -> str:  # escape for a backquoted identifier
+        return "`" + c.replace("`", "``") + "`"
+
     stack = "stack({}, {}) as (column, n_nulls, n_distinct, min_str, max_str)".format(
         len(names),
         ", ".join(
-            f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+            f"{_lit(c)}, {_bt(c + '__nulls')}, {_bt(c + '__distinct')}, "
+            f"{_bt(c + '__min')}, {_bt(c + '__max')}"
             for c in names
         ),
     )

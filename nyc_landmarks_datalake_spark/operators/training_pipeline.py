@@ -358,8 +358,11 @@ def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # no broadcast hint on df: a web-scale vocabulary is heavy-tailed and
+    # unbounded, so the term-df table must be allowed to shuffle-join;
+    # Catalyst still auto-broadcasts it under the size threshold
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -461,9 +464,12 @@ def q_curation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("is_cont").isNotNull(), "drop_contaminated")
         .otherwise("keep")
     )
+    # dup and contaminated grow with the corpus (duplicates are a large
+    # fraction of any real crawl) — no broadcast hint; only the
+    # benchmark shingle set above is bounded enough to broadcast
     return (
-        docs.join(F.broadcast(dup), "doc_id", "left_outer")
-        .join(F.broadcast(contaminated), "doc_id", "left_outer")
+        docs.join(dup, "doc_id", "left_outer")
+        .join(contaminated, "doc_id", "left_outer")
         .select("lang", stage.alias("stage"))
         .groupBy("lang", "stage")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -144,20 +144,24 @@ def _ranged_with_offsets(
     ``agg`` (sum|max) of ``measure`` over all PRECEDING range partitions
     (plus __pid). For ``max`` the offset is NULL in the first partition.
 
-    persist() is load-bearing, not a cache hint: the summary branch and
-    the data branch must see the SAME range boundaries and partition
-    ids. Unpersisted, Catalyst plans the subtree twice and each copy
-    re-samples boundaries with a different RDD-id-derived seed —
-    offsets could then disagree with the data's pids. Persisting pins
-    one materialization (MEMORY_AND_DISK, spills at scale) that both
-    branches read — the same contract RDD.zipWithIndex relies on.
+    The localCheckpoint is load-bearing, not a cache hint: the summary
+    branch and the data branch must see the SAME range boundaries and
+    partition ids. Without it, Catalyst plans the subtree twice and
+    each copy re-samples boundaries with a different RDD-id-derived
+    seed — offsets could then disagree with the data's pids. A lazy
+    local checkpoint pins one materialization (MEMORY_AND_DISK, spills
+    at scale) that both branches read — the contract RDD.zipWithIndex
+    relies on. localCheckpoint (not persist) because its blocks are
+    released by the ContextCleaner once the plan is garbage-collected;
+    persist() would pin an entry in the session CacheManager on every
+    invocation and leak a cached copy of the table per call.
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         df.repartitionByRange(p, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     agg_fn = {"sum": F.sum, "max": F.max}[agg]
     per_part = ranged.groupBy("__pid").agg(agg_fn(measure).alias("__m"))

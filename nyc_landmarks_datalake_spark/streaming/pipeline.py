@@ -216,11 +216,21 @@ def stream_upsert_sink(
         import shutil as _shutil
 
         # crash recovery: a previous batch may have died between the two
-        # renames below (dest gone, .replaced-* still holding the data)
+        # renames below (dest gone, .replaced-* still holding the data).
+        # When dest_dir EXISTS it is authoritative and every scratch dir
+        # is garbage from an interrupted batch — sweep them, or a
+        # replayed batch id would hit ENOTEMPTY renaming onto its own
+        # leftover, and a stale higher-id .replaced dir could shadow
+        # real data in a later recovery.
         if not _os.path.isdir(dest_dir):
             leftovers = sorted(_glob.glob(f"{dest_dir}.replaced-*"))
             if leftovers:
                 _os.rename(leftovers[-1], dest_dir)
+        else:
+            for stale in _glob.glob(f"{dest_dir}.replaced-*") + _glob.glob(
+                f"{dest_dir}.inprogress-*"
+            ):
+                _shutil.rmtree(stale, ignore_errors=True)
 
         compacted = keep_latest(batch, keys, order_cols)
         # explicit existence check, NOT try/except around the read: a
@@ -237,7 +247,6 @@ def stream_upsert_sink(
 
         tmp_dir = f"{dest_dir}.inprogress-{batch_id:020d}"
         old_dir = f"{dest_dir}.replaced-{batch_id:020d}"
-        _shutil.rmtree(tmp_dir, ignore_errors=True)  # stale retry leftovers
         merged.write.mode("overwrite").parquet(tmp_dir)
         # swap only after the new table is fully on disk
         if _os.path.isdir(dest_dir):

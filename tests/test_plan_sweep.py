@@ -35,9 +35,9 @@ def test_jvm_only_unless_declared(spark, sf_small, name):
 
 def test_every_query_reads_some_scan_schema(spark, sf_small):
     # cheap sanity that audit() itself parses plans across the corpus
-    # (q_dup_clusters is excluded: its localCheckpoint leaves are RDD
-    # scans with no file ReadSchema)
-    sampled = ["q01_pricing_summary", "q_cdc_keep_latest", "q_sequence_pack"]
+    # (q_dup_clusters/q_sequence_pack are excluded: their localCheckpoint
+    # leaves are RDD scans with no file ReadSchema)
+    sampled = ["q01_pricing_summary", "q_cdc_keep_latest", "q_token_len_histogram"]
     for name in sampled:
         a = audit(registry.QUERIES[name](spark, sf_small))
         assert a.read_schemas, name

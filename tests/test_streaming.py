@@ -253,6 +253,22 @@ def test_stream_upsert_sink(spark, tmp_path):
     got = {r["user_id"]: r["value"] for r in spark.read.parquet(dest).collect()}
     assert got == {1: 10.0, 2: 2.0, 3: 3.0, 4: 4.0}
 
+    # replayed-batch recovery: a batch that swapped but died before
+    # cleanup leaves dest_dir AND a stale .replaced-{id} dir; the
+    # replay must clear the stale dir instead of wedging on ENOTEMPTY.
+    stale = f"{dest}.replaced-{99:020d}"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("stale")
+    write_batch("b4", [(5, "2024-01-01 03:00:00", 5.0)])
+    q4 = stream_upsert_sink(
+        spark.readStream.schema(schema).parquet(str(src / "*")),
+        dest, ckpt, keys=["user_id"], order_cols=["ts"],
+    )
+    q4.awaitTermination(120)
+    got = {r["user_id"]: r["value"] for r in spark.read.parquet(dest).collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 3.0, 4: 4.0, 5: 5.0}
+
 
 def test_replay_windowed_counts_equals_oracle_checked_twin(spark, sf_small, tmp_path):
     """Full-value replay: the streaming engine over a file-dropped copy
