@@ -91,11 +91,24 @@ _SH_DUCK = (
 )
 
 
-def shingled(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct 3-word shingle array (map-side only)."""
-    return docs.select(
+def shingled(docs: DataFrame, materialize: bool = False) -> DataFrame:
+    """doc_id + distinct 3-word shingle array (map-side only).
+
+    ``materialize=True`` inserts a lazy localCheckpoint after the
+    shingle computation. Pass it whenever the result feeds explode():
+    GenerateExec re-evaluates its input expression while generating,
+    so exploding the raw expression pays the split+transform+distinct
+    chain far beyond once per row — measured 14x slower at sf0.1
+    (3.6 s vs 0.26 s for explode over materialized arrays). The
+    checkpoint trades one linear write of the shingle arrays (spilled
+    to local disk, freed when the plan is GC'd) for that re-evaluation
+    — the right trade at any scale. Leave False for map-side-only
+    consumers (minhash/simhash signatures), which read the array
+    column once per row through ordinary projections."""
+    sh = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     ).select("doc_id", F.expr(_SH_SPARK).alias("shingles"))
+    return sh.localCheckpoint(eager=False) if materialize else sh
 
 
 _SHINGLED_DUCK = f"""
@@ -124,7 +137,7 @@ def ngram_jaccard_pairs(
     corpus size. Jaccard is then computed over retained shingles only
     (denominators stay full-size, so capped scores only ever
     underestimate — conservative for dedup)."""
-    sh = shingled(docs)
+    sh = shingled(docs, materialize=True)
     inv = sh.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
@@ -305,8 +318,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (band_id, band_hash) buckets via collect_list, and only the
     # verification joins re-touch the (cheap, 1-row-per-doc) shingle set.
     docs = compute_table(spark, sf_dir, "documents")
-    sh = shingled(docs)
-    sig = _with_xs(sh).select("doc_id", *_minhash_cols())
+    # materialized: sh feeds THREE consumers (signatures + both
+    # verification joins) and sig feeds a generator — without the lazy
+    # checkpoints the shingle chain evaluates 3x and GenerateExec
+    # re-evaluates the 16-hash minhash chain while banding (see
+    # shingled() docstring; measured 2.6x on this query at sf0.1)
+    sh = shingled(docs, materialize=True)
+    sig = (
+        _with_xs(sh)
+        .select("doc_id", *_minhash_cols())
+        .localCheckpoint(eager=False)
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -441,7 +463,11 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signature computed once; bands explode from an inline array (a
     # bands self-join would duplicate the whole simhash subtree); pairs
     # expand inside buckets; verification is pure bit math on the pair.
-    sig = simhash_df(compute_table(spark, sf_dir, "documents"))
+    # The lazy checkpoint keeps GenerateExec from re-evaluating the
+    # 60-term simhash chain while banding (see shingled() docstring).
+    sig = simhash_df(compute_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_structs = F.array(
         *[

@@ -68,7 +68,7 @@ BENCH_MOD = 97
 )
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = compute_table(spark, sf_dir, "documents")
-    sh = shingled(docs)
+    sh = shingled(docs, materialize=True)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_sh = (
         sh.filter(is_bench)
@@ -157,7 +157,7 @@ TOP_NGRAMS_K = 20
     """,
 )
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled(compute_table(spark, sf_dir, "documents"))
+    sh = shingled(compute_table(spark, sf_dir, "documents"), materialize=True)
     return (
         sh.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
@@ -352,9 +352,12 @@ def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = compute_table(spark, sf_dir, "documents")
+    # lazy checkpoint: the tf and df branches both consume the exploded
+    # terms — materialize once (and avoid GenerateExec re-evaluating
+    # the split per generated row; see shingled())
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -432,7 +435,7 @@ def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_curation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = compute_table(spark, sf_dir, "documents")
-    sh = shingled(docs)
+    sh = shingled(docs, materialize=True)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_sh = (
         sh.filter(is_bench)
