@@ -44,9 +44,11 @@ HEADLINE = [
     "q_ivf_topk",
     "q_embedding_neardup",
     "q_text_stats",
-    # added r2: the curation composition + contamination probe
+    # added r2: the curation composition + contamination probe, and the
+    # distributed global-rank rewrite (r1 VERDICT's flagged bottleneck)
     "q_curation_census",
     "q_contamination_check",
+    "q_rank_battery",
 ]
 
 
