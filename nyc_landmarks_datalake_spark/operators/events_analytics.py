@@ -190,3 +190,41 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "slot", F.coalesce("n", F.lit(0)).alias("n_events")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix: counts of consecutive (prev -> next)
+# event types per user stream — the Markov-chain summary behind
+# journey/anomaly analysis. One window shuffle on user_id (the same
+# partitioning every other per-user op here uses), then a hash-agg on
+# the (from, to) pair.
+# ---------------------------------------------------------------------------
+@query(
+    "q_event_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -219,3 +219,44 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Array set-operations battery: union/intersect/except/overlap between
+# each document's token set and a fixed probe vocabulary — all
+# map-side higher-order array functions (the building blocks the dedup
+# tier composes). Sorted outputs make the arrays order-stable across
+# engines.
+# ---------------------------------------------------------------------------
+_PROBE_VOCAB = ("table", "scan", "merge", "window")
+_PROBE_SQL = "[" + ", ".join(f"'{t}'" for t in _PROBE_VOCAB) + "]"
+
+
+@query(
+    "q_array_setops",
+    sql=f"""
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               list_sort(list_distinct(list_intersect(toks, {_PROBE_SQL}))), ','
+           ), '') AS common_toks,
+           len(list_distinct(list_concat(toks, {_PROBE_SQL}))) AS union_size,
+           len(list_filter(list_distinct(toks),
+                           t -> NOT list_contains({_PROBE_SQL}, t)))
+               AS n_only_doc,
+           list_has_any(toks, {_PROBE_SQL}) AS overlaps
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    probe = F.array(*[F.lit(t) for t in _PROBE_VOCAB])
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect(toks, probe))), ","
+        ).alias("common_toks"),
+        F.size(F.array_union(toks, probe)).alias("union_size"),
+        F.size(F.array_except(F.array_distinct(toks), probe)).alias("n_only_doc"),
+        F.arrays_overlap(toks, probe).alias("overlaps"),
+    )

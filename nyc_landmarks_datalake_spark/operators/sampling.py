@@ -199,3 +199,51 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(BOTTOM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (per-stratum rate) sampling: each source gets its own keep
+# rate — the downsample-the-big-domains / upsample-the-rare-ones step
+# of corpus mixing. Same hash-threshold machinery as the uniform
+# sample (partition-stable, reproducible, pushable), with the rate
+# joined from a tiny broadcast rate table instead of a constant.
+# ---------------------------------------------------------------------------
+SOURCE_RATES = {"src0": 250, "src1": 500, "src2": 750}  # permille
+SOURCE_DEFAULT_RATE = 1000
+
+
+def _rates_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(SOURCE_RATES.items())
+    )
+    return f"CASE {whens} ELSE {SOURCE_DEFAULT_RATE} END"
+
+
+@query(
+    "q_weighted_sample",
+    sql=f"""
+    SELECT source, lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE {_permille_sql("CAST(doc_id AS VARCHAR)")} < {_rates_case_sql()}
+    GROUP BY 1, 2
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in sorted(SOURCE_RATES.items())
+        ],
+        F.lit(SOURCE_DEFAULT_RATE),
+    )
+    return (
+        docs.filter(_permille(F.col("doc_id").cast("string")) < rate)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
