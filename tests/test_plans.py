@@ -216,3 +216,38 @@ def test_query_manifest_covers_registry():
     assert set(manifest) == set(registry.QUERIES), (
         set(manifest) ^ set(registry.QUERIES)
     )
+
+
+def test_distributed_row_number_edge_cases(spark):
+    from pyspark.sql import types as T
+
+    from nyc_landmarks_datalake_spark.operators.windows import (
+        distributed_row_number,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("uid", T.LongType())]
+    )
+    # empty input → empty output, same schema plus rn
+    empty = spark.createDataFrame([], schema)
+    got = distributed_row_number(empty, ["k", "uid"], rn_col="rn", num_partitions=7)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "uid", "rn"}
+
+    # single row → rn 1
+    one = spark.createDataFrame([(5, 1)], schema)
+    assert distributed_row_number(one, ["k", "uid"], rn_col="rn").collect()[0][
+        "rn"
+    ] == 1
+
+    # all-equal sort keys: every row lands in ONE range partition (ties
+    # may not straddle partitions); row_numbers must still be a
+    # permutation of 1..n
+    same = spark.createDataFrame([(7, i) for i in range(100)], schema)
+    rns = [
+        r["rn"]
+        for r in distributed_row_number(
+            same, ["k"], rn_col="rn", num_partitions=8
+        ).collect()
+    ]
+    assert sorted(rns) == list(range(1, 101))
