@@ -512,3 +512,112 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2", "hamming")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: estimated Jaccard (fraction of agreeing
+# signature components) vs exact Jaccard for every LSH candidate pair.
+# This is the diagnostic that tunes bands/rows against the S-curve —
+# run it on a sample whenever NUM_HASHES/BANDS change. Same bucketed
+# candidate generation as the dedup path (never all-pairs); both
+# scores are integer ratios, so cross-engine exact.
+# ---------------------------------------------------------------------------
+_EST_SQL = (
+    "(("
+    + " + ".join(
+        f"CASE WHEN a.sig_{i:02d} = b.sig_{i:02d} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    + f") * 1.0) / {NUM_HASHES}"
+)
+
+
+@query(
+    "q_minhash_calibration",
+    sql=f"""
+    WITH {LSH_PAIR_CTES},
+    est AS (
+        SELECT doc1, doc2, {_EST_SQL} AS est_jaccard
+        FROM cand
+        JOIN sig a ON a.doc_id = doc1
+        JOIN sig b ON b.doc_id = doc2
+    )
+    SELECT e.doc1, e.doc2, e.est_jaccard,
+           (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
+           len(list_distinct(list_concat(s1.shingles, s2.shingles)))
+               AS exact_jaccard
+    FROM est e
+    JOIN sh s1 ON s1.doc_id = e.doc1
+    JOIN sh s2 ON s2.doc_id = e.doc2
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    sh = shingled(docs, materialize=True)
+    sig = (
+        _with_xs(sh)
+        .select("doc_id", "shingles", *_minhash_cols())
+        .localCheckpoint(eager=False)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
+            )
+            for j in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS doc1, b AS doc2))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("d1"),
+        F.col("shingles").alias("sh1"),
+        *[F.col(f"sig_{i:02d}").alias(f"a_{i:02d}") for i in range(NUM_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("d2"),
+        F.col("shingles").alias("sh2"),
+        *[F.col(f"sig_{i:02d}").alias(f"b_{i:02d}") for i in range(NUM_HASHES)],
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a_{i:02d}") == F.col(f"b_{i:02d}"), 1).otherwise(0)
+            for i in range(NUM_HASHES)
+        )
+        * F.lit(1.0)
+        / NUM_HASHES
+    )
+    exact = (
+        F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))) * F.lit(1.0)
+    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    return (
+        cand.join(a, F.col("doc1") == F.col("d1"))
+        .join(b, F.col("doc2") == F.col("d2"))
+        .select(
+            "doc1",
+            "doc2",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+    )
