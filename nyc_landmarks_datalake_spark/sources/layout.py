@@ -63,8 +63,15 @@ def compact(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
-    # atomic-ish swap via filesystem rename
+    # swap keeping the old zone on disk until the new one is fully
+    # committed (same protocol as the streaming upsert sink): a crash
+    # mid-swap leaves either the old or the new zone intact, never
+    # neither
+    import os
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = path.rstrip("/") + "__replaced"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)

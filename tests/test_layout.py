@@ -113,3 +113,43 @@ def test_schema_evolution_mergeschema(spark, sf_small, tmp_path):
     assert "ingest_round" in back.columns
     assert back.count() == 200
     assert back.filter(F.col("ingest_round").isNull()).count() == 100
+
+
+def test_bucketed_fact_fact_q03_shape(spark, sf_small):
+    """The q03/q10/q21-class join (lineitem JOIN orders ON orderkey) run
+    end-to-end over bucketed silver variants: with both fact tables
+    bucketed on the join key, the join plans ZERO hash exchanges — the
+    layout pre-pays the shuffle once at write time, which is the whole
+    bucketing story at 100 TB."""
+    li = table(spark, sf_small, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = table(spark, sf_small, "orders")
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(orders, "b_orders2", "o_orderkey", 8, sort_col="o_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+
+        j = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders2"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # join side: no exchange; only the final tiny groupBy may shuffle
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in join_part, plan[:2000]
+        li_plain = table(spark, sf_small, "lineitem")
+        plain = (
+            li_plain.join(orders, li_plain.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .count()
+        )
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders2")
