@@ -404,3 +404,41 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("__prev"))
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Centered moving average (ROWS k PRECEDING .. k FOLLOWING) per
+# customer — the symmetric-frame smoothing shape (trend lines, outlier
+# damping). Frame sums go through decimal for bit-stable division.
+# ---------------------------------------------------------------------------
+@query(
+    "q_moving_avg_orders",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS ma5,
+           CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+    )
+    """,
+)
+def q_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 2)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma5"),
+        F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
+    )
