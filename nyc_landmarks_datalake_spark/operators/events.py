@@ -178,3 +178,54 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (15-minute width, 5-minute slide): each event lands in
+# width/slide = 3 overlapping windows. Spark's window() emits the
+# overlap natively; the oracle expands each event into its 3 windows
+# via a tiny range unnest (the standard batch twin of a sliding
+# stream). The 3x row expansion happens map-side before the hash-agg.
+# ---------------------------------------------------------------------------
+SLIDE_WIDTH_MIN, SLIDE_STEP_MIN = 15, 5
+
+
+@query(
+    "q_sliding_window",
+    sql=f"""
+    WITH expanded AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL '{SLIDE_STEP_MIN} minutes', ts)
+                   - CAST(off AS INT) * INTERVAL '{SLIDE_STEP_MIN} minutes'
+                   AS window_start
+        FROM events,
+             unnest(range({SLIDE_WIDTH_MIN // SLIDE_STEP_MIN})) AS t(off)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '{SLIDE_WIDTH_MIN} minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", f"{SLIDE_WIDTH_MIN} minutes", f"{SLIDE_STEP_MIN} minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -419,3 +419,35 @@ def test_late_data_dropped_across_checkpointed_restarts(spark, tmp_path):
     assert a_rows.total_value.iloc[0] == 2.0
     b_rows = final[final.event_type == "B"].sort_values("window_start")
     assert b_rows.n_events.tolist() == [1, 1]  # 13:00 and 13:15 windows
+
+
+def test_replay_sliding_window_equals_oracle_checked_twin(spark, sf_small, tmp_path):
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    stream, _ = _events_stream(spark, sf_small, tmp_path)
+    got = (
+        _run_stream_to_memory(
+            spark,
+            windowed_counts(
+                stream, window_duration="15 minutes", slide="5 minutes"
+            ),
+            "replay_slide",
+            output_mode="complete",
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        registry.QUERIES["q_sliding_window"](spark, sf_small)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["window_start"].tolist() == want["window_start"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(got["total_value"], want["total_value"], rtol=1e-9)
