@@ -153,3 +153,45 @@ def test_bucketed_fact_fact_q03_shape(spark, sf_small):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders2")
+
+
+def test_ivf_cell_layout_partition_pruning(spark, sf_small, tmp_path):
+    """SCALING.md's IVF claim, pinned: a corpus written partitionBy(cell)
+    turns each probe into a partition-pruned scan — the on-disk analogue
+    of an IVF index. The probe filter must reach PartitionFilters (not
+    a post-scan filter over all cells)."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.similarity import (
+        CENTROID_MOD,
+        _cent_scored,
+    )
+
+    emb = table(spark, sf_small, "embeddings")
+    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    cent_arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "c_emb"))).alias("cents")
+    )
+    assign = emb.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(_cent_scored(F.col("embedding")))["neg_id"]).alias("c_id"),
+    )
+    dest = str(tmp_path / "ivf_corpus")
+    assign.write.partitionBy("c_id").parquet(dest)
+
+    probe_cells = [r["c_id"] for r in cent.select("c_id").limit(2).collect()]
+    probed = spark.read.parquet(dest).filter(F.col("c_id").isin(*probe_cells))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the probe predicate must live in PartitionFilters, not PushedFilters
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "c_id" in pf, plan[:1500]
+    # and pruning actually bounds the scan: only the probed cells' rows
+    n_cells = assign.select("c_id").distinct().count()
+    assert n_cells > 2
+    probed_rows = probed.count()
+    all_rows = spark.read.parquet(dest).count()
+    assert 0 < probed_rows < all_rows
