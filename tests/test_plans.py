@@ -251,3 +251,24 @@ def test_distributed_row_number_edge_cases(spark):
         ).collect()
     ]
     assert sorted(rns) == list(range(1, 101))
+
+
+def test_distributed_windows_partition_count_invariant(spark, sf_oracle):
+    """The two-pass distributed windows must give identical results at
+    any parallelism — the determinism contract a retry/rescale on a
+    real cluster relies on (and what makes the oracle hash meaningful)."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for p in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", p)
+            results[p] = {
+                name: sorted(
+                    tuple(r) for r in registry.QUERIES[name](spark, sf_oracle).collect()
+                )
+                for name in ("q_rank_battery", "q_sequence_pack", "q_pareto_frontier")
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    for name in results["3"]:
+        assert results["3"][name] == results["17"][name], name
