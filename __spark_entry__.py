@@ -94,14 +94,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             first_round = json.load(f)
     except (OSError, ValueError):
         first_round = {}
-    # never-verified queries outrank re-verifications (which once held a
-    # green row on an older implementation) within the same round
+    # never-verified queries (of ANY round) outrank re-verifications,
+    # which once held a green row on an older implementation
     ordered = sorted(
         registry.QUERIES,
         key=lambda name: (
             name in green,
-            first_round.get(name, 99),
             name in REVERIFY,
+            first_round.get(name, 99),
         ),
     )
     return {name: registry.QUERIES[name] for name in ordered}

@@ -304,6 +304,47 @@ LSH_PAIR_CTES = f"""sh AS ({_SHINGLED_DUCK}),
     )"""
 
 
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc1, doc2) candidate pairs from a minhash signature frame:
+    bands explode from an array of band structs (a self-join on bands
+    would duplicate the signature subtree into every branch — 8x the
+    md5 work), candidate pairs expand inside (band_id, band_hash)
+    buckets via collect_list. Shared by the dedup path and the
+    calibration diagnostic so banding changes can never desynchronize
+    them."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
+            )
+            for j in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS doc1, b AS doc2))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .distinct()
+    )
+
+
 @query(
     "q_dedup_minhash_lsh",
     sql=f"""
@@ -312,11 +353,8 @@ LSH_PAIR_CTES = f"""sh AS ({_SHINGLED_DUCK}),
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signatures are computed ONCE: bands explode from an array of band
-    # structs (a self-join on bands would duplicate the signature subtree
-    # into every branch — 8x the md5 work), candidate pairs expand inside
-    # (band_id, band_hash) buckets via collect_list, and only the
-    # verification joins re-touch the (cheap, 1-row-per-doc) shingle set.
+    # Signatures are computed ONCE; verification joins re-touch only the
+    # (cheap, 1-row-per-doc) shingle set.
     docs = compute_table(spark, sf_dir, "documents")
     # materialized: sh feeds THREE consumers (signatures + both
     # verification joins) and sig feeds a generator — without the lazy
@@ -329,34 +367,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *_minhash_cols())
         .localCheckpoint(eager=False)
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
-            )
-            for j in range(BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc1, b AS doc2))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(sig)
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
     jaccard = (
@@ -553,53 +564,27 @@ _EST_SQL = (
 )
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = compute_table(spark, sf_dir, "documents")
+    # sig stays doc_id + 16 longs (shingles join back from the already
+    # materialized sh, as in the dedup path) — carrying the shingle
+    # arrays through the banding explode and both candidate joins would
+    # checkpoint and shuffle the largest column twice for nothing
     sh = shingled(docs, materialize=True)
     sig = (
         _with_xs(sh)
-        .select("doc_id", "shingles", *_minhash_cols())
+        .select("doc_id", *_minhash_cols())
         .localCheckpoint(eager=False)
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
-            )
-            for j in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_hash").alias("band_hash"),
-    )
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS doc1, b AS doc2))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(sig)
     a = sig.select(
         F.col("doc_id").alias("d1"),
-        F.col("shingles").alias("sh1"),
         *[F.col(f"sig_{i:02d}").alias(f"a_{i:02d}") for i in range(NUM_HASHES)],
     )
     b = sig.select(
         F.col("doc_id").alias("d2"),
-        F.col("shingles").alias("sh2"),
         *[F.col(f"sig_{i:02d}").alias(f"b_{i:02d}") for i in range(NUM_HASHES)],
     )
+    s1 = sh.select(F.col("doc_id").alias("e1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("e2"), F.col("shingles").alias("sh2"))
     est = (
         sum(
             F.when(F.col(f"a_{i:02d}") == F.col(f"b_{i:02d}"), 1).otherwise(0)
@@ -614,6 +599,8 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, F.col("doc1") == F.col("d1"))
         .join(b, F.col("doc2") == F.col("d2"))
+        .join(s1, F.col("doc1") == F.col("e1"))
+        .join(s2, F.col("doc2") == F.col("e2"))
         .select(
             "doc1",
             "doc2",

@@ -253,8 +253,12 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.array_join(
-            F.array_sort(F.array_distinct(F.array_intersect(toks, probe))), ","
+        # coalesce matches the oracle's: NULL text yields '' on both sides
+        F.coalesce(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.array_intersect(toks, probe))), ","
+            ),
+            F.lit(""),
         ).alias("common_toks"),
         F.size(F.array_union(toks, probe)).alias("union_size"),
         F.size(F.array_except(F.array_distinct(toks), probe)).alias("n_only_doc"),

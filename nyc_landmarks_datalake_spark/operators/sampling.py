@@ -45,18 +45,24 @@ def _permille_sql(expr: str) -> str:
     return f"({md5_long_sql(expr)} % 1000)"
 
 
-def _rate_spark() -> Column:
-    rate = F.lit(DEFAULT_RATE)
-    for lang, r in sorted(STRATUM_RATES.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+def _rate_spark(col: str = "lang", rates: dict | None = None,
+                default: int | None = None) -> Column:
+    rates = STRATUM_RATES if rates is None else rates
+    default = DEFAULT_RATE if default is None else default
+    rate = F.lit(default)
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(col) == key, F.lit(r)).otherwise(rate)
     return rate
 
 
-def _rate_sql() -> str:
+def _rate_sql(col: str = "lang", rates: dict | None = None,
+              default: int | None = None) -> str:
+    rates = STRATUM_RATES if rates is None else rates
+    default = DEFAULT_RATE if default is None else default
     whens = " ".join(
-        f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(STRATUM_RATES.items())
+        f"WHEN {col} = '{key}' THEN {r}" for key, r in sorted(rates.items())
     )
-    return f"(CASE {whens} ELSE {DEFAULT_RATE} END)"
+    return f"(CASE {whens} ELSE {default} END)"
 
 
 # ---------------------------------------------------------------------------
@@ -212,13 +218,6 @@ SOURCE_RATES = {"src0": 250, "src1": 500, "src2": 750}  # permille
 SOURCE_DEFAULT_RATE = 1000
 
 
-def _rates_case_sql() -> str:
-    whens = " ".join(
-        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(SOURCE_RATES.items())
-    )
-    return f"CASE {whens} ELSE {SOURCE_DEFAULT_RATE} END"
-
-
 @query(
     "q_weighted_sample",
     sql=f"""
@@ -226,19 +225,13 @@ def _rates_case_sql() -> str:
            COUNT(*) AS n_kept,
            CAST(SUM(n_chars) AS BIGINT) AS kept_chars
     FROM documents
-    WHERE {_permille_sql("CAST(doc_id AS VARCHAR)")} < {_rates_case_sql()}
+    WHERE {_permille_sql("CAST(doc_id AS VARCHAR)")} < {_rate_sql("source", SOURCE_RATES, SOURCE_DEFAULT_RATE)}
     GROUP BY 1, 2
     """,
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    rate = F.coalesce(
-        *[
-            F.when(F.col("source") == s, F.lit(r))
-            for s, r in sorted(SOURCE_RATES.items())
-        ],
-        F.lit(SOURCE_DEFAULT_RATE),
-    )
+    rate = _rate_spark("source", SOURCE_RATES, SOURCE_DEFAULT_RATE)
     return (
         docs.filter(_permille(F.col("doc_id").cast("string")) < rate)
         .groupBy("source", "lang")

@@ -52,6 +52,17 @@ def compact(
 ) -> None:
     """Rewrite a parquet zone into ~target_files well-sized files
     (per partition-value slice when partitioned)."""
+    import os as _os
+    import shutil as _shutil
+
+    # crash recovery: a previous compact may have died between its two
+    # swap renames (zone renamed aside, new zone never moved in) —
+    # restore the old zone before doing anything else
+    base = path.rstrip("/")
+    old = base + "__replaced"
+    if not _os.path.isdir(base) and _os.path.isdir(old):
+        _os.rename(old, base)
+
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     writer = (
@@ -64,14 +75,10 @@ def compact(
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
     # swap keeping the old zone on disk until the new one is fully
-    # committed (same protocol as the streaming upsert sink): a crash
-    # mid-swap leaves either the old or the new zone intact, never
-    # neither
-    import os
-    import shutil
-
-    old = path.rstrip("/") + "__replaced"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
-    shutil.rmtree(old, ignore_errors=True)
+    # committed (same protocol as the streaming upsert sink, including
+    # the recovery above): a crash mid-swap leaves the data in either
+    # the zone or its __replaced sibling, and the next compact restores
+    _shutil.rmtree(old, ignore_errors=True)
+    _os.rename(base, old)
+    _os.rename(tmp, base)
+    _shutil.rmtree(old, ignore_errors=True)

@@ -449,5 +449,6 @@ def test_replay_sliding_window_equals_oracle_checked_twin(spark, sf_small, tmp_p
     )
     assert len(got) == len(want)
     assert got["window_start"].tolist() == want["window_start"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert np.allclose(got["total_value"], want["total_value"], rtol=1e-9)
