@@ -142,13 +142,20 @@ def test_bucketed_fact_fact_q03_shape(spark, sf_small):
         join_part = plan.split("HashAggregate")[-1]
         assert "Exchange hashpartitioning" not in join_part, plan[:2000]
         li_plain = table(spark, sf_small, "lineitem")
-        plain = (
-            li_plain.join(orders, li_plain.l_orderkey == orders.o_orderkey)
+        plain = sorted(
+            (r["o_orderpriority"], r["n_items"])
+            for r in li_plain.join(
+                orders, li_plain.l_orderkey == orders.o_orderkey
+            )
             .groupBy("o_orderpriority")
-            .count()
-            .count()
+            .agg(F.count(F.lit(1)).alias("n_items"))
+            .collect()
         )
-        assert j.count() == plain
+        got = sorted((r["o_orderpriority"], r["n_items"]) for r in j.collect())
+        # full value equality — a bucket mis-read that drops/duplicates
+        # rows still yields 5 priority groups, so group COUNTS prove
+        # nothing
+        assert got == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
