@@ -231,3 +231,33 @@ def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).cast("long").alias("shr2"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance battery: levenshtein against a canonical token — the
+# primitive under fuzzy entity matching / typo-tolerant dedup. Pure
+# map-side codegen; the near-match filter shows the predicate shape a
+# fuzzy-join blocking stage pushes down.
+# ---------------------------------------------------------------------------
+@query(
+    "q_edit_distance",
+    sql="""
+    SELECT p_partkey, p_brand,
+           CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS dist_canon,
+           CAST(levenshtein(p_type, p_brand) AS INT) AS dist_cross,
+           (levenshtein(p_brand, 'Brand#33') <= 2) AS near_canon
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        "p_brand",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).alias("dist_canon"),
+        F.levenshtein(F.col("p_type"), F.col("p_brand")).alias("dist_cross"),
+        (F.levenshtein(F.col("p_brand"), F.lit("Brand#33")) <= 2).alias(
+            "near_canon"
+        ),
+    )

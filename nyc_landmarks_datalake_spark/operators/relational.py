@@ -587,3 +587,42 @@ def q_math_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcorr(bal, key_d).alias("bal_key_corr"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unionByName with missing columns: the schema-drift-tolerant append a
+# silver tier needs when writers evolve independently (nulls backfill
+# the absent columns on each side).
+# ---------------------------------------------------------------------------
+@query(
+    "q_union_by_name",
+    sql="""
+    SELECT c_custkey AS entity_id, c_acctbal AS balance,
+           c_mktsegment AS segment, NULL AS priority
+    FROM customer WHERE c_custkey % 100 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey AS entity_id, o_totalprice AS balance,
+           NULL AS segment, o_orderpriority AS priority
+    FROM orders WHERE o_orderkey % 1000 = 0
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            F.col("o_orderkey").alias("entity_id"),
+            F.col("o_totalprice").alias("balance"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return cust.unionByName(orders, allowMissingColumns=True)
