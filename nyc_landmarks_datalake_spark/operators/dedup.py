@@ -404,7 +404,15 @@ _SIMHASH_DUCK = f"""
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
-    """doc_id + 60-bit simhash — pure map-side codegen, no shuffle."""
+    """doc_id + 60-bit simhash — pure map-side, no shuffle.
+
+    Cost note (measured at sf0.1): the 60 filter/size terms evaluate
+    ~60 shift-and ops per token through Spark's interpreted
+    higher-order-function path — ~1.7 s for 5k docs vs DuckDB's 0.2 s
+    vectorized run. A packed-counter rewrite (4 counters per long, 15
+    traversals) measured the SAME: the cost is total elementary ops,
+    not traversal count, so the straightforward form stays. Scales
+    linearly with corpus size and parallelizes embarrassingly."""
     hs = F.transform(
         F.array_distinct(F.split(F.col("text"), " ")), lambda w: md5_long(w)
     )
