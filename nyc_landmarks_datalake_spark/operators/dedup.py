@@ -616,3 +616,69 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall census: compare the banded candidate pipeline's verified
+# pairs against the exact inverted-index pairs at the same threshold —
+# ONE summary row (pairs found by both / only exact / only LSH). The
+# acceptance metric for any approximate-dedup deployment; "only_exact"
+# is the banding's recall loss, "only_lsh" must be 0 (LSH pairs are
+# verified against exact Jaccard, so they are a subset by
+# construction — the row proves it).
+# ---------------------------------------------------------------------------
+@query(
+    "q_lsh_recall_census",
+    sql=f"""
+    WITH {LSH_PAIR_CTES},
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    keep AS (
+        SELECT shingle FROM inv0
+        GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+    ),
+    inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
+    exact_pairs AS (
+        SELECT doc1, doc2 FROM (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+            FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sh s1 ON s1.doc_id = p.doc1
+        JOIN sh s2 ON s2.doc_id = p.doc2
+        WHERE (n_common * 1.0) /
+              (len(s1.shingles) + len(s2.shingles) - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    l AS (SELECT doc1, doc2 FROM lsh_pairs)
+    SELECT
+        CAST(SUM(CASE WHEN e.doc1 IS NOT NULL AND l.doc1 IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN l.doc1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_only_exact,
+        CAST(SUM(CASE WHEN e.doc1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_only_lsh
+    FROM exact_pairs e
+    FULL OUTER JOIN l ON e.doc1 = l.doc1 AND e.doc2 = l.doc2
+    """,
+)
+def q_lsh_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs).select("doc1", "doc2")
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    e = exact.withColumn("in_e", F.lit(1))
+    l = lsh.withColumn("in_l", F.lit(1))
+    joined = e.join(l, ["doc1", "doc2"], "full_outer")
+    return joined.agg(
+        F.sum(
+            F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(F.col("in_l").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_exact"),
+        F.sum(F.when(F.col("in_e").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_lsh"),
+    )

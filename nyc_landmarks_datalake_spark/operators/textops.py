@@ -194,3 +194,71 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_fp.alias("vocab_fp"),
         rolling.alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the evaluation rollup of the classifier
+# above — per (true lang, predicted lang) counts plus per-cell recall
+# share. The standard quality report any heuristic/classifier stage in
+# a curation pipeline ships with. One hash-agg over the map-side
+# features; the per-lang totals come from a window over the aggregated
+# (langs x preds) relation, never the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "q_lang_confusion",
+    sql=f"""
+    WITH feat AS (
+        SELECT lang,
+               (len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) * 1.0)
+                   / len(string_split(text, ' ')) AS stop_ratio,
+               (length(replace(text, ' ', '')) * 1.0)
+                   / len(string_split(text, ' ')) AS avg_len
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN stop_ratio >= 0.08 THEN 'en'
+                    WHEN avg_len >= 5.0 THEN 'de'
+                    WHEN avg_len >= 4.5 THEN 'fr'
+                    ELSE 'other' END AS pred_lang
+        FROM feat
+    ),
+    cells AS (
+        SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang, n,
+           (n * 1.0) / SUM(n) OVER (PARTITION BY lang) AS recall_share
+    FROM cells
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = compute_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
+    )
+    avg_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * F.lit(1.0)
+        / n_tokens
+    )
+    pred = (
+        F.when(stop_ratio >= 0.08, "en")
+        .when(avg_len >= 5.0, "de")
+        .when(avg_len >= 4.5, "fr")
+        .otherwise("other")
+    )
+    cells = (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_lang = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.col("n") * F.lit(1.0) / F.sum("n").over(w_lang)).alias("recall_share"),
+    )
