@@ -234,3 +234,69 @@ def read_media_dir(
         F.col("path"),
         F.col("length").alias("n_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checked twins of the metadata-only media plans. The media
+# table synthesizes deterministically from range(N) (kind/meta are pure
+# id arithmetic), so the DuckDB oracle reproduces it from range() and
+# the frame-sampling / resize logic lands under the correctness gate —
+# payload bytes stay untouched in both engines (the plans are the
+# point: at 100 TB you never deserialize payloads to plan work).
+# ---------------------------------------------------------------------------
+_MEDIA_N = 100
+
+
+@query(
+    "q_media_frame_plan",
+    sql=f"""
+    WITH media AS (
+        SELECT range AS media_id,
+               ['image', 'audio', 'video'][CAST(range % 3 + 1 AS INT)] AS kind,
+               (range % 30 + 1) * 10 AS n_frames
+        FROM range({_MEDIA_N})
+    )
+    SELECT media_id,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(frame_idx) AS BIGINT) AS first_idx,
+           CAST(MAX(frame_idx) AS BIGINT) AS last_idx
+    FROM (
+        SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_idx
+        FROM media WHERE kind = 'video'
+    )
+    GROUP BY 1
+    """,
+)
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, _MEDIA_N)
+    return (
+        frame_sample(media, every_n=10)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("frame_idx").cast("long").alias("first_idx"),
+            F.max("frame_idx").cast("long").alias("last_idx"),
+        )
+    )
+
+
+@query(
+    "q_media_resize_plan",
+    sql=f"""
+    WITH media AS (
+        SELECT range AS media_id,
+               ['image', 'audio', 'video'][CAST(range % 3 + 1 AS INT)] AS kind,
+               (range % 16 + 1) * 64 AS width,
+               (range % 9 + 1) * 64 AS height
+        FROM range({_MEDIA_N})
+    )
+    SELECT media_id, kind,
+           CAST(trunc(width * least(1.0, 256.0 / greatest(width, height)))
+                AS INT) AS target_width,
+           CAST(trunc(height * least(1.0, 256.0 / greatest(width, height)))
+                AS INT) AS target_height
+    FROM media
+    """,
+)
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(synthesize_media(spark, _MEDIA_N), max_side=256)
