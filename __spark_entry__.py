@@ -65,6 +65,18 @@ REVERIFY = frozenset(
         "q_sequence_pack",
         # round 2: stack-unpivot rewrite
         "q_profile_orders",
+        # round 3: band-bucket member cap (MAX_BAND_BUCKET chain
+        # fallback) + LSH verification moved to the df-capped Jaccard
+        # shared with the exact n-gram path — every LSH_PAIR_CTES
+        # consumer changed semantics (Spark and oracle together)
+        "q_dedup_minhash_lsh",
+        "q_minhash_calibration",
+        "q_lsh_recall_census",
+        "q_dup_clusters",
+        "q_dedup_apply",
+        # round 3: band-bucket member cap
+        "q_dedup_simhash_hamming",
+        "q_embedding_neardup",
     }
 )
 

@@ -50,7 +50,55 @@ SIMHASH_BITS = 60
 #: (the same reason MinHash-LSH banding implicitly ignores ubiquitous
 #: features), so the cap trades a bounded jaccard underestimate on
 #: stop-shingle-only overlaps for a hard skew bound.
+#:
+#: The SAME capped definition of Jaccard — common shingles counted over
+#: df <= cap shingles only, denominators full-size — is used to verify
+#: MinHash-LSH candidates below, so "near-dup >= threshold" means one
+#: thing engine-wide and the LSH recall census's subset invariant
+#: (lsh_pairs ⊆ exact pairs) holds by construction.
 MAX_SHINGLE_DF = 100
+
+#: banded-bucket member cap for the pair expansions (MinHash-LSH bands,
+#: SimHash bands, embedding LSH buckets — similarity.py imports this).
+#: Buckets within the cap expand all ordered pairs, O(cap^2) bounded;
+#: an OVERSIZED bucket (a boilerplate-heavy crawl can put thousands of
+#: near-identical template pages behind one band hash) degrades to the
+#: CONSECUTIVE-PAIR CHAIN of its sorted members — b-1 pairs instead of
+#: b(b-1)/2, linear in bucket size, so the hottest bucket on a 100 TB
+#: corpus costs one bounded task instead of an O(b^2) array blowup.
+#: The chain preserves exactly what dedup needs from a degenerate
+#: bucket: every member stays connected to the rest, so verified-pair
+#: clustering (connected components) still recovers the full cluster —
+#: at the cost of pairwise completeness inside mega-buckets only.
+MAX_BAND_BUCKET = 100
+
+
+def pair_expand_expr(col: str, cap: int = MAX_BAND_BUCKET) -> str:
+    """Spark SQL expression: ordered member pairs from a sorted bucket
+    array ``col`` — all pairs up to ``cap`` members, consecutive-chain
+    pairs beyond (see MAX_BAND_BUCKET). Fields named ``a``/``b``."""
+    full = (
+        f"flatten(transform({col}, (a, i) -> "
+        f"transform(slice({col}, i + 2, size({col})), b -> struct(a, b))))"
+    )
+    chain = (
+        f"transform(sequence(0, size({col}) - 2), "
+        f"i -> struct({col}[i] AS a, {col}[i + 1] AS b))"
+    )
+    return f"CASE WHEN size({col}) <= {cap} THEN {full} ELSE {chain} END"
+
+
+def pair_expand_sql(col: str, cap: int = MAX_BAND_BUCKET) -> str:
+    """DuckDB mirror of :func:`pair_expand_expr` (1-based lambdas)."""
+    full = (
+        f"flatten(list_transform({col}, (a, i) -> "
+        f"list_transform({col}[i+1:], b -> {{'a': a, 'b': b}})))"
+    )
+    chain = (
+        f"list_transform(range(1, len({col})), "
+        f"i -> {{'a': {col}[i], 'b': {col}[i+1]}})"
+    )
+    return f"CASE WHEN len({col}) <= {cap} THEN {full} ELSE {chain} END"
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +172,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = MAX_SHINGLE_DF,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs with Jaccard >= threshold over 3-gram
     shingles, via an inverted index WITHOUT a self-join: group postings
@@ -136,8 +185,14 @@ def ngram_jaccard_pairs(
     max_df*(max_df-1)/2 pairs on one task, a hard skew bound at any
     corpus size. Jaccard is then computed over retained shingles only
     (denominators stay full-size, so capped scores only ever
-    underestimate — conservative for dedup)."""
-    sh = shingled(docs, materialize=True)
+    underestimate — conservative for dedup).
+
+    ``sh`` lets a caller that already materialized :func:`shingled`
+    (e.g. the LSH recall census, which feeds BOTH pair generators from
+    one shingle frame) pass it in instead of checkpointing the most
+    expensive intermediate twice."""
+    if sh is None:
+        sh = shingled(docs, materialize=True)
     inv = sh.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
@@ -274,6 +329,10 @@ def _band_hash_sql(j: int) -> str:
 #: CTE-list fragment for the LSH pair pipeline, reusable by downstream
 #: consumers (q_dup_clusters prepends WITH RECURSIVE and appends its own
 #: CTEs). Kept flat — one level of WITH — for exactly that reason.
+#: Candidate buckets are member-capped (pair_expand_sql) and the
+#: verification Jaccard is the df-capped definition shared with the
+#: exact n-gram path: common shingles counted over df <= MAX_SHINGLE_DF
+#: shingles only ("kept"), denominators full-size.
 LSH_PAIR_CTES = f"""sh AS ({_SHINGLED_DUCK}),
     sig AS (
         SELECT doc_id, shingles, {', '.join(_minhash_sql_exprs())}
@@ -285,21 +344,41 @@ LSH_PAIR_CTES = f"""sh AS ({_SHINGLED_DUCK}),
             for j in range(BANDS)
         )}
     ),
+    band_buckets AS (
+        SELECT band_id, band_hash, list_sort(list(doc_id)) AS ids
+        FROM bands
+        GROUP BY band_id, band_hash
+        HAVING COUNT(*) > 1
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-        FROM bands a
-        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                    AND a.doc_id < b.doc_id
+        SELECT DISTINCT p.a AS doc1, p.b AS doc2 FROM (
+            SELECT unnest({pair_expand_sql('ids')}) AS p FROM band_buckets
+        )
+    ),
+    hot AS (
+        SELECT coalesce(list(shingle), []) AS hot_shingles FROM (
+            SELECT shingle
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+            GROUP BY shingle
+            HAVING COUNT(*) > {MAX_SHINGLE_DF}
+        )
+    ),
+    shk AS (
+        SELECT doc_id, len(shingles) AS n_sh,
+               list_filter(shingles,
+                           s -> NOT list_contains(hot.hot_shingles, s)) AS kept
+        FROM sh CROSS JOIN hot
     ),
     lsh_pairs AS (
         SELECT doc1, doc2,
-               (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
-               len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+               (len(list_intersect(s1.kept, s2.kept)) * 1.0) /
+               (s1.n_sh + s2.n_sh - len(list_intersect(s1.kept, s2.kept)))
+                   AS jaccard
         FROM cand
-        JOIN sh s1 ON s1.doc_id = doc1
-        JOIN sh s2 ON s2.doc_id = doc2
-        WHERE (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
-              len(list_distinct(list_concat(s1.shingles, s2.shingles)))
+        JOIN shk s1 ON s1.doc_id = doc1
+        JOIN shk s2 ON s2.doc_id = doc2
+        WHERE (len(list_intersect(s1.kept, s2.kept)) * 1.0) /
+              (s1.n_sh + s2.n_sh - len(list_intersect(s1.kept, s2.kept)))
               >= {JACCARD_THRESHOLD}
     )"""
 
@@ -309,9 +388,11 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     bands explode from an array of band structs (a self-join on bands
     would duplicate the signature subtree into every branch — 8x the
     md5 work), candidate pairs expand inside (band_id, band_hash)
-    buckets via collect_list. Shared by the dedup path and the
-    calibration diagnostic so banding changes can never desynchronize
-    them."""
+    buckets via collect_list, member-capped by pair_expand_expr
+    (all-pairs up to MAX_BAND_BUCKET, consecutive chain beyond — the
+    hard bound on a degenerate band bucket). Shared by the dedup path
+    and the calibration diagnostic so banding changes can never
+    desynchronize them."""
     band_structs = F.array(
         *[
             F.struct(
@@ -331,17 +412,63 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         .filter(F.size("ids") > 1)
     )
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS doc1, b AS doc2))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        buckets.select(F.explode(F.expr(pair_expand_expr("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc1"), F.col("p.b").alias("doc2"))
         .distinct()
+    )
+
+
+def lsh_verified_pairs(sh: DataFrame) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs from a PRE-MATERIALIZED
+    shingle frame (pass ``shingled(docs, materialize=True)``).
+
+    Signatures are computed ONCE map-side; candidates expand inside
+    member-capped band buckets; verification uses the df-capped Jaccard
+    shared with the exact n-gram path (common shingles counted over
+    df <= MAX_SHINGLE_DF only, via array_except against the broadcast
+    hot-shingle set; denominators full-size). One definition of
+    "near-dup >= threshold" engine-wide — and any verified pair has a
+    retained common shingle, so lsh_pairs ⊆ exact pairs by
+    construction (the census row proves it)."""
+    sig = (
+        _with_xs(sh)
+        .select("doc_id", *_minhash_cols())
+        .localCheckpoint(eager=False)
+    )
+    cand = _lsh_candidate_pairs(sig)
+    # Hot (df > cap) shingles as ONE array on a 1-row frame, broadcast
+    # onto the per-doc shingle sets — the same ride-along-array shape as
+    # q_ivf_topk's centroids. The hot set is tiny by construction
+    # (boilerplate only) and the corpus never reshuffles for it.
+    hot_arr = (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .agg(F.collect_list("shingle").alias("hot_shingles"))
+    )
+    shk = sh.crossJoin(F.broadcast(hot_arr)).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.array_except("shingles", "hot_shingles").alias("kept"),
+    )
+    s1 = shk.select(
+        F.col("doc_id").alias("d1"),
+        F.col("n_sh").alias("n1"),
+        F.col("kept").alias("k1"),
+    )
+    s2 = shk.select(
+        F.col("doc_id").alias("d2"),
+        F.col("n_sh").alias("n2"),
+        F.col("kept").alias("k2"),
+    )
+    n_common = F.size(F.array_intersect(F.col("k1"), F.col("k2")))
+    jaccard = n_common * F.lit(1.0) / (F.col("n1") + F.col("n2") - n_common)
+    return (
+        cand.join(s1, F.col("doc1") == F.col("d1"))
+        .join(s2, F.col("doc2") == F.col("d2"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", jaccard.alias("jaccard"))
     )
 
 
@@ -353,32 +480,13 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signatures are computed ONCE; verification joins re-touch only the
-    # (cheap, 1-row-per-doc) shingle set.
     docs = compute_table(spark, sf_dir, "documents")
-    # materialized: sh feeds THREE consumers (signatures + both
-    # verification joins) and sig feeds a generator — without the lazy
-    # checkpoints the shingle chain evaluates 3x and GenerateExec
-    # re-evaluates the 16-hash minhash chain while banding (see
-    # shingled() docstring; measured 2.6x on this query at sf0.1)
-    sh = shingled(docs, materialize=True)
-    sig = (
-        _with_xs(sh)
-        .select("doc_id", *_minhash_cols())
-        .localCheckpoint(eager=False)
-    )
-    cand = _lsh_candidate_pairs(sig)
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
-    jaccard = (
-        F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))) * F.lit(1.0)
-    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
-    return (
-        cand.join(s1, F.col("doc1") == F.col("d1"))
-        .join(s2, F.col("doc2") == F.col("d2"))
-        .filter(jaccard >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", jaccard.alias("jaccard"))
-    )
+    # materialized: sh feeds THREE consumers (signatures + hot-shingle
+    # census + verification kept-sets) and sig feeds a generator —
+    # without the lazy checkpoints the shingle chain re-evaluates per
+    # consumer and GenerateExec re-evaluates the 16-hash minhash chain
+    # while banding (see shingled() docstring; measured 2.6x at sf0.1)
+    return lsh_verified_pairs(shingled(docs, materialize=True))
 
 
 # ---------------------------------------------------------------------------
@@ -444,9 +552,12 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup: band the 60-bit signature into 4x15-bit keys; docs
 # sharing a band bucket are candidates; verify hamming(sig1, sig2) <= k.
 # Pigeonhole: any pair within hamming 3 shares a clean band, so with
-# HAMMING_MAX = 3 recall is EXACT (no missed pair) — the standard web-scale
-# simhash dedup layout (signatures are 8 bytes/doc; bucketing is the
-# only shuffle and never touches text).
+# HAMMING_MAX = 3 recall is EXACT (no missed pair) for buckets within
+# MAX_BAND_BUCKET members — the standard web-scale simhash dedup layout
+# (signatures are 8 bytes/doc; bucketing is the only shuffle and never
+# touches text). An oversized bucket degrades to the consecutive-pair
+# chain (see MAX_BAND_BUCKET): pairwise completeness is traded inside
+# mega-buckets only, connectivity (what clustering consumes) is kept.
 # ---------------------------------------------------------------------------
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 15
@@ -465,12 +576,17 @@ HAMMING_MAX = 3
             for j in range(SIMHASH_BANDS)
         )}
     ),
+    bkt AS (
+        SELECT band_id, band_key,
+               list_sort(list({{'doc_id': doc_id, 'simhash': simhash}})) AS ms
+        FROM bands
+        GROUP BY band_id, band_key
+        HAVING COUNT(*) > 1
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
-                        b.doc_id AS doc2, b.simhash AS s2
-        FROM bands a
-        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                    AND a.doc_id < b.doc_id
+        SELECT DISTINCT p.a.doc_id AS doc1, p.a.simhash AS s1,
+                        p.b.doc_id AS doc2, p.b.simhash AS s2
+        FROM (SELECT unnest({pair_expand_sql('ms')}) AS p FROM bkt)
     )
     SELECT doc1, doc2,
            CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
@@ -512,14 +628,7 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct only carries surviving pairs (filter(distinct(x)) ==
     # distinct(filter(x)) since hamming is a function of the pair).
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ms, (a, i) -> "
-                    "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(F.expr(pair_expand_expr("ms"))).alias("p"))
         .select(
             F.col("p.a.doc_id").alias("doc1"),
             F.col("p.a.simhash").alias("s1"),
@@ -623,9 +732,13 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs against the exact inverted-index pairs at the same threshold —
 # ONE summary row (pairs found by both / only exact / only LSH). The
 # acceptance metric for any approximate-dedup deployment; "only_exact"
-# is the banding's recall loss, "only_lsh" must be 0 (LSH pairs are
-# verified against exact Jaccard, so they are a subset by
-# construction — the row proves it).
+# is the banding's recall loss, "only_lsh" must be 0: both paths score
+# the SAME df-capped Jaccard (common shingles over df <= MAX_SHINGLE_DF
+# only, full-size denominators), and any pair passing LSH verification
+# has a retained common shingle, so it appears in the exact inverted
+# index too — a genuine subset by construction, which the row proves.
+# Both generators feed off ONE materialized shingle frame (the most
+# expensive intermediate is checkpointed once, not twice).
 # ---------------------------------------------------------------------------
 @query(
     "q_lsh_recall_census",
@@ -664,8 +777,9 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lsh_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = compute_table(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs).select("doc1", "doc2")
-    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    sh = shingled(docs, materialize=True)
+    exact = ngram_jaccard_pairs(docs, sh=sh).select("doc1", "doc2")
+    lsh = lsh_verified_pairs(sh).select("doc1", "doc2")
     e = exact.withColumn("in_e", F.lit(1))
     l = lsh.withColumn("in_l", F.lit(1))
     joined = e.join(l, ["doc1", "doc2"], "full_outer")

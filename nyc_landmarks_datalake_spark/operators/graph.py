@@ -123,8 +123,13 @@ def connected_components(
     """,
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'jump' (pointer jumping, O(log diameter) rounds): oversized band
+    # buckets now expand as consecutive-pair CHAINS (dedup.
+    # MAX_BAND_BUCKET), so a degenerate mega-bucket yields a long-chain
+    # component that plain propagation would need O(members) rounds to
+    # label. Result is identical; only convergence speed differs.
     pairs = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
-    return connected_components(pairs)
+    return connected_components(pairs, algorithm="jump")
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +173,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_landmarks_datalake_spark.sources.catalog import table
 
     pairs = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
-    clusters = connected_components(pairs)
+    clusters = connected_components(pairs, algorithm="jump")
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     docs = table(spark, sf_dir, "documents")
     return (

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
 from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql
+from nyc_landmarks_datalake_spark.operators.dedup import (
+    pair_expand_expr,
+    pair_expand_sql,
+)
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
 
@@ -145,7 +149,11 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Embedding near-dup: candidate pairs within an LSH bucket, verified by
-# exact cosine.
+# exact cosine. Buckets are member-capped (dedup.MAX_BAND_BUCKET): all
+# pairs up to the cap, consecutive-chain pairs beyond — one degenerate
+# bucket (e.g. a spike of near-identical embeddings on a 100 TB corpus)
+# costs O(members), never O(members^2), and chained members stay
+# connected for downstream clustering.
 # ---------------------------------------------------------------------------
 @query(
     "q_embedding_neardup",
@@ -153,17 +161,26 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket
         FROM embeddings
-    )
-    SELECT a.vec_id AS vec1, c.vec_id AS vec2,
-           {cosine_sql('a.embedding', 'c.embedding')} AS cos_sim
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {cosine_sql('a.embedding', 'c.embedding')} >= {COSINE_THRESHOLD}
+    ),
+    bkt AS (
+        SELECT bucket,
+               list_sort(list({{'vec_id': vec_id, 'embedding': embedding}}))
+                   AS ms
+        FROM b
+        GROUP BY bucket
+        HAVING COUNT(*) > 1
+    ),
+    prs AS (SELECT unnest({pair_expand_sql('ms')}) AS p FROM bkt)
+    SELECT p.a.vec_id AS vec1, p.b.vec_id AS vec2,
+           {cosine_sql('p.a.embedding', 'p.b.embedding')} AS cos_sim
+    FROM prs
+    WHERE {cosine_sql('p.a.embedding', 'p.b.embedding')} >= {COSINE_THRESHOLD}
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket once (a self-join would recompute the 8 projection dots on
     # both sides), collect members per bucket, expand ordered pairs in
-    # place, then score each candidate pair exactly once.
+    # place (member-capped), then score each candidate pair exactly once.
     emb = compute_table(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id", "embedding", bucket_spark(F.col("embedding")).alias("bucket")
@@ -177,14 +194,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ms") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (a, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
-            )
-        ).alias("p")
-    )
+    pairs = buckets.select(F.explode(F.expr(pair_expand_expr("ms"))).alias("p"))
     cos = cosine(F.col("p.a.embedding"), F.col("p.b.embedding"))
     return pairs.filter(cos >= COSINE_THRESHOLD).select(
         F.col("p.a.vec_id").alias("vec1"),

@@ -119,3 +119,81 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
     # the cap is what removed them, not the threshold
     uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=10_000)
     assert uncapped.filter("doc1 < 100").count() == 30 * 29 // 2
+
+
+def test_pair_expand_both_branches_match_duckdb(spark):
+    import duckdb
+
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        pair_expand_expr,
+        pair_expand_sql,
+    )
+
+    # cap=4 exercises the all-pairs branch on the 3-member bucket and
+    # the chain branch on the 6-member one, in both engines.
+    for ids, want in [
+        ([3, 7, 9], {(3, 7), (3, 9), (7, 9)}),
+        ([1, 2, 4, 6, 8, 9], {(1, 2), (2, 4), (4, 6), (6, 8), (8, 9)}),
+    ]:
+        sdf = spark.createDataFrame([(ids,)], ["ids"]).selectExpr(
+            f"inline({pair_expand_expr('ids', cap=4)})"
+        )
+        got_spark = {(r.a, r.b) for r in sdf.collect()}
+        odf = duckdb.sql(
+            f"SELECT p.a AS a, p.b AS b FROM (SELECT unnest("
+            f"{pair_expand_sql('ids', cap=4)}) AS p "
+            f"FROM (SELECT {ids} AS ids))"
+        ).fetchall()
+        assert got_spark == want
+        assert set(odf) == want
+
+
+def test_minhash_mega_bucket_chains_not_squares(spark):
+    """A degenerate band bucket (identical template docs beyond
+    MAX_BAND_BUCKET) must expand O(n) chain pairs, never O(n^2); its
+    all-hot shingles fail the df-capped verification (exact dedup owns
+    identical copies), while a small dup group still verifies."""
+    from nyc_landmarks_datalake_spark.operators import dedup
+
+    n = dedup.MAX_BAND_BUCKET + 20
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text) for i in range(n)]
+    rows += [
+        (1000, "rare overlap one two three four five"),
+        (1001, "rare overlap one two three four five"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingled(docs, materialize=True)
+    sig = dedup._with_xs(sh).select("doc_id", *dedup._minhash_cols())
+    cand = {(r.doc1, r.doc2) for r in dedup._lsh_candidate_pairs(sig).collect()}
+    mega_cand = {(a, b) for a, b in cand if a < 1000}
+    assert mega_cand == {(i, i + 1) for i in range(n - 1)}
+    assert (1000, 1001) in cand
+    verified = {
+        (r.doc1, r.doc2) for r in dedup.lsh_verified_pairs(sh).collect()
+    }
+    # every shingle of the mega group has df = n > MAX_SHINGLE_DF, so
+    # the shared capped-Jaccard definition scores those pairs 0
+    assert all(a >= 1000 for a, _ in verified), verified
+    assert (1000, 1001) in verified
+
+
+def test_chain_component_converges_with_jump(spark):
+    """Chain fallback produces long-diameter components; pointer
+    jumping must label a >MAX_ITERS-long chain within the budget."""
+    import warnings
+
+    from nyc_landmarks_datalake_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc1", "doc2"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warns → fail
+        labels = connected_components(pairs, algorithm="jump")
+        rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.cluster_id == 0 for r in rows)
