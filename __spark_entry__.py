@@ -58,25 +58,10 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY = frozenset(
     {
-        # round 2: df-cap changed candidate-pair semantics
-        "q_dedup_ngram_jaccard",
-        # round 2: rewritten on the distributed two-pass rank machinery
-        "q_rank_battery",
+        # round 3 red row: nondeterministic hash mismatch, fixed in r4 by
+        # making _ranged_with_offsets value-deterministic (pure-function
+        # __pid from quantile-cut literals) — needs a fresh green row
         "q_sequence_pack",
-        # round 2: stack-unpivot rewrite
-        "q_profile_orders",
-        # round 3: band-bucket member cap (MAX_BAND_BUCKET chain
-        # fallback) + LSH verification moved to the df-capped Jaccard
-        # shared with the exact n-gram path — every LSH_PAIR_CTES
-        # consumer changed semantics (Spark and oracle together)
-        "q_dedup_minhash_lsh",
-        "q_minhash_calibration",
-        "q_lsh_recall_census",
-        "q_dup_clusters",
-        "q_dedup_apply",
-        # round 3: band-bucket member cap
-        "q_dedup_simhash_hamming",
-        "q_embedding_neardup",
     }
 )
 

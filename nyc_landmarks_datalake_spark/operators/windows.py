@@ -122,17 +122,42 @@ def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distributed global row_number: the scale-path replacement for
 # Window.orderBy(...) with no partitionBy (which funnels the whole table
 # through ONE task). Two passes, both distributed:
-#   1. range-repartition on the sort key; count rows per range partition
-#      (a P-row summary — P = shuffle partitions, not data);
+#   1. bucket rows by value-derived range cuts of the sort key (__pid, a
+#      pure function of row values); count rows per bucket (a P-row
+#      summary — P = shuffle partitions, not data);
 #   2. prefix-sum the P counts (window over P rows) and broadcast-join
-#      the offsets back; local row_number within each range + offset =
+#      the offsets back; local row_number within each bucket + offset =
 #      exact global row_number.
-# The only "global" window in the plan runs over the P-row partition
+# The only "global" window in the plan runs over the P-row bucket
 # summary — the same coordinator-sized step RDD.zipWithIndex performs —
-# never over the data. Equal sort keys land in one range partition
-# (RangePartitioner splits on key values), so rank ties never straddle
-# partitions.
+# never over the data. Equal sort keys get equal pids, so rank ties
+# never straddle buckets.
 # ---------------------------------------------------------------------------
+def _cut_projection(col, dtype):
+    """Monotone double image of a sort column, or None when the type has
+    no cheap monotone numeric projection (string/binary/struct)."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dtype,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    ):
+        return col.cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, T.TimestampType):
+        return col.cast("double")
+    return None
+
+
 def _ranged_with_offsets(
     df: DataFrame,
     order_cols: list[str],
@@ -140,29 +165,59 @@ def _ranged_with_offsets(
     num_partitions: int | None,
     agg: str = "sum",
 ) -> DataFrame:
-    """Range-partition ``df`` on ``order_cols`` and attach ``__off`` =
-    ``agg`` (sum|max) of ``measure`` over all PRECEDING range partitions
-    (plus __pid). For ``max`` the offset is NULL in the first partition.
+    """Attach ``__pid`` (a range-bucket id that is monotone in the sort
+    order) and ``__off`` = ``agg`` (sum|max) of ``measure`` over all
+    PRECEDING range buckets. For ``max`` the offset is NULL in the first
+    bucket.
 
-    The localCheckpoint is load-bearing, not a cache hint: the summary
-    branch and the data branch must see the SAME range boundaries and
-    partition ids. Without it, Catalyst plans the subtree twice and
-    each copy re-samples boundaries with a different RDD-id-derived
-    seed — offsets could then disagree with the data's pids. A lazy
-    local checkpoint pins one materialization (MEMORY_AND_DISK, spills
-    at scale) that both branches read — the contract RDD.zipWithIndex
-    relies on. localCheckpoint (not persist) because its blocks are
-    released by the ContextCleaner once the plan is garbage-collected;
-    persist() would pin an entry in the session CacheManager on every
-    invocation and leak a cached copy of the table per call.
+    Determinism contract: ``__pid`` is a PURE FUNCTION of row values —
+    p-1 approximate-quantile cuts of the leading sort key are collected
+    once as literals and ``__pid = #cuts <= key``. The offsets branch
+    and the data branch evaluate the identical expression, so they can
+    never disagree, no matter how Catalyst duplicates or reorders the
+    subtrees. (The previous formulation — sampled ``repartitionByRange``
+    + ``spark_partition_id()`` pinned by a lazy localCheckpoint — left a
+    race: broadcast exchanges execute on separate threads, and if one
+    branch materialized the checkpoint while the other re-planned the
+    subtree, each copy re-sampled range boundaries with a different
+    RDD-id-derived seed. That was the round-3 `q_sequence_pack`
+    nondeterministic hash mismatch.) Equal keys map to equal pids, so
+    rank ties never straddle buckets. The cut values themselves may vary
+    run-to-run (approxQuantile is an estimate); the OUTPUT does not —
+    offsets always match the bucketing they were computed from, and the
+    final rank/sum is exact for any bucketing.
+
+    Scale: the cuts job scans only the leading key column (column-pruned
+    parquet scan); the data pays ONE shuffle (the consumer's
+    window-by-__pid), not the former two (range repartition + window),
+    and nothing is checkpointed. The per-row bucket search is a linear
+    scan of the p-1 literal array — fine for p ≤ a few thousand; switch
+    to binary search via a range join if p ever needs to be larger.
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
-        df.repartitionByRange(p, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    lead = order_cols[0]
+    proj = _cut_projection(F.col(lead), df.schema[lead].dataType)
+    if proj is not None:
+        probs = [i / p for i in range(1, p)]
+        cuts = sorted(
+            set(df.select(proj.alias("__k")).approxQuantile("__k", probs, 0.01))
+        )
+        if cuts:
+            cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+            pid = F.size(F.filter(cut_arr, lambda c: c <= proj))
+        else:
+            pid = F.lit(0)
+        ranged = df.withColumn("__pid", pid.cast("int"))
+    else:
+        # Non-numeric leading key: sampled range partitioning, pinned by
+        # an EAGER local checkpoint so both branches read exactly one
+        # materialization (no consumer currently takes this path).
+        ranged = (
+            df.repartitionByRange(p, *order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
     agg_fn = {"sum": F.sum, "max": F.max}[agg]
     per_part = ranged.groupBy("__pid").agg(agg_fn(measure).alias("__m"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
