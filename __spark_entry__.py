@@ -62,6 +62,18 @@ REVERIFY = frozenset(
         # making _ranged_with_offsets value-deterministic (pure-function
         # __pid from quantile-cut literals) — needs a fresh green row
         "q_sequence_pack",
+        # round 4: bucket-membership caps (capped_bucket_pairs replaces
+        # collect-then-cap in all LSH paths; chains sort by similarity
+        # key), exact-dup star edges unioned into clustering, calibration
+        # gained capped_jaccard — Spark and oracle changed in lockstep
+        "q_dedup_ngram_jaccard",
+        "q_dedup_minhash_lsh",
+        "q_dedup_simhash_hamming",
+        "q_embedding_neardup",
+        "q_minhash_calibration",
+        "q_lsh_recall_census",
+        "q_dup_clusters",
+        "q_dedup_apply",
     }
 )
 

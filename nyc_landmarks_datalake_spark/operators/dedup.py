@@ -63,42 +63,167 @@ MAX_SHINGLE_DF = 100
 #: Buckets within the cap expand all ordered pairs, O(cap^2) bounded;
 #: an OVERSIZED bucket (a boilerplate-heavy crawl can put thousands of
 #: near-identical template pages behind one band hash) degrades to the
-#: CONSECUTIVE-PAIR CHAIN of its sorted members — b-1 pairs instead of
-#: b(b-1)/2, linear in bucket size, so the hottest bucket on a 100 TB
-#: corpus costs one bounded task instead of an O(b^2) array blowup.
-#: The chain preserves exactly what dedup needs from a degenerate
-#: bucket: every member stays connected to the rest, so verified-pair
-#: clustering (connected components) still recovers the full cluster —
-#: at the cost of pairwise completeness inside mega-buckets only.
+#: CONSECUTIVE-PAIR CHAIN of its members sorted by the path's similarity
+#: key — b-1 pairs instead of b(b-1)/2, linear in bucket size, so the
+#: hottest bucket on a 100 TB corpus costs one bounded task instead of
+#: an O(b^2) array blowup. The chain keeps every member connected at the
+#: CANDIDATE level only: downstream verification (hamming / cosine /
+#: capped Jaccard) filters each chain edge independently, so a
+#: mega-bucket whose genuine dup subgroups interleave can lose edges an
+#: all-pairs expansion would have found. Sorting chain neighbors by the
+#: similarity key (simhash value, embedding vector) makes adjacent
+#: members likely to verify; byte-identical mega-groups are additionally
+#: covered by the exact-dedup star edges unioned into clustering
+#: (see exact_dup_edges).
 MAX_BAND_BUCKET = 100
+
+
+def _all_pairs_expr(col: str) -> str:
+    """Spark SQL: all ordered member pairs of sorted array ``col``."""
+    return (
+        f"flatten(transform({col}, (a, i) -> "
+        f"transform(slice({col}, i + 2, size({col})), b -> struct(a, b))))"
+    )
+
+
+def _all_pairs_sql(col: str) -> str:
+    """DuckDB mirror of :func:`_all_pairs_expr` (1-based slices)."""
+    return (
+        f"flatten(list_transform({col}, (a, i) -> "
+        f"list_transform({col}[i+1:], b -> {{'a': a, 'b': b}})))"
+    )
 
 
 def pair_expand_expr(col: str, cap: int = MAX_BAND_BUCKET) -> str:
     """Spark SQL expression: ordered member pairs from a sorted bucket
     array ``col`` — all pairs up to ``cap`` members, consecutive-chain
-    pairs beyond (see MAX_BAND_BUCKET). Fields named ``a``/``b``."""
-    full = (
-        f"flatten(transform({col}, (a, i) -> "
-        f"transform(slice({col}, i + 2, size({col})), b -> struct(a, b))))"
-    )
+    pairs beyond (see MAX_BAND_BUCKET). Fields named ``a``/``b``.
+
+    The chain branch is guarded on size >= 2: sequence(0, size-2) on a
+    1-element array would yield the DESCENDING sequence [0, -1] and emit
+    a bogus struct(col[0], col[-1]) — unreachable from the capped
+    call sites (all filter size > 1, cap >= 2) but the helper is public
+    with an arbitrary ``cap``. The DuckDB mirror's range(1, 1) is
+    naturally empty and needs no guard."""
     chain = (
         f"transform(sequence(0, size({col}) - 2), "
         f"i -> struct({col}[i] AS a, {col}[i + 1] AS b))"
     )
-    return f"CASE WHEN size({col}) <= {cap} THEN {full} ELSE {chain} END"
+    return (
+        f"CASE WHEN size({col}) <= {cap} OR size({col}) < 2 "
+        f"THEN {_all_pairs_expr(col)} ELSE {chain} END"
+    )
 
 
 def pair_expand_sql(col: str, cap: int = MAX_BAND_BUCKET) -> str:
     """DuckDB mirror of :func:`pair_expand_expr` (1-based lambdas)."""
-    full = (
-        f"flatten(list_transform({col}, (a, i) -> "
-        f"list_transform({col}[i+1:], b -> {{'a': a, 'b': b}})))"
-    )
     chain = (
         f"list_transform(range(1, len({col})), "
         f"i -> {{'a': {col}[i], 'b': {col}[i+1]}})"
     )
-    return f"CASE WHEN len({col}) <= {cap} THEN {full} ELSE {chain} END"
+    return (
+        f"CASE WHEN len({col}) <= {cap} OR len({col}) < 2 "
+        f"THEN {_all_pairs_sql(col)} ELSE {chain} END"
+    )
+
+
+def capped_bucket_pairs(
+    members: DataFrame,
+    bucket_cols: list[str],
+    member_col: str = "m",
+    key_col: str | None = None,
+    cap: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Candidate pairs ``p = struct(a, b)`` from bucketed members, with a
+    hard bound on BOTH the pair count AND every aggregation buffer.
+
+    A bare ``groupBy(bucket).agg(collect_list(m))`` materializes the
+    whole bucket membership in ONE aggregation-buffer row before any
+    member cap can apply — a degenerate bucket with 10^7 members on a
+    100 TB corpus blows that row regardless of how the pairs are capped.
+    Here the bucket size is counted FIRST via a window count (WindowExec
+    sorts spill to disk; no single row ever holds the membership):
+
+    - buckets with 2..cap members collect (bounded <= cap structs) and
+      expand all ordered pairs in place — identical to the all-pairs
+      branch of :func:`pair_expand_expr`;
+    - oversized buckets NEVER collect: a per-bucket ``row_number`` over
+      (key_col, member) and a (bucket, rn) = (bucket, rn+1) self-join
+      emit the consecutive-member chain with O(1) state per row.
+      ``key_col`` orders chain neighbors by the path's similarity key
+      (simhash value, embedding vector) so adjacent members are likely
+      to survive downstream verification; pairs are canonicalized to
+      a < b by member order.
+
+    The window count and the small-branch groupBy hash on the same
+    bucket keys, so the exchange is reused — one data shuffle, plus a
+    (bucket, rn) shuffle over oversized-bucket rows only."""
+    from pyspark.sql import Window
+
+    w_cnt = Window.partitionBy(*bucket_cols)
+    with_n = members.withColumn("__n", F.count(F.lit(1)).over(w_cnt))
+    small = (
+        with_n.filter((F.col("__n") > 1) & (F.col("__n") <= cap))
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(member_col)).alias("__ms"))
+        .select(F.explode(F.expr(_all_pairs_expr("__ms"))).alias("p"))
+    )
+    order = ([F.col(key_col)] if key_col else []) + [F.col(member_col)]
+    w_chain = Window.partitionBy(*bucket_cols).orderBy(*order)
+    big = with_n.filter(F.col("__n") > cap).select(
+        *bucket_cols,
+        F.col(member_col).alias("__m"),
+        F.row_number().over(w_chain).alias("__rn"),
+    )
+    lhs = big.select(*bucket_cols, "__rn", F.col("__m").alias("__ma"))
+    rhs = big.select(
+        *bucket_cols, (F.col("__rn") - 1).alias("__rn"), F.col("__m").alias("__mb")
+    )
+    ma, mb = F.col("__ma"), F.col("__mb")
+    canon = F.when(ma < mb, F.struct(ma.alias("a"), mb.alias("b"))).otherwise(
+        F.struct(mb.alias("a"), ma.alias("b"))
+    )
+    chain = lhs.join(rhs, [*bucket_cols, "__rn"]).select(canon.alias("p"))
+    return small.unionByName(chain)
+
+
+def capped_pair_ctes_sql(
+    prefix: str,
+    src: str,
+    bucket_cols: list[str],
+    m_sql: str,
+    k_sql: str | None = None,
+    cap: int = MAX_BAND_BUCKET,
+) -> str:
+    """DuckDB mirror of :func:`capped_bucket_pairs`: CTE fragments
+    ``{prefix}cnt/{prefix}small/{prefix}big/{prefix}chain/{prefix}pairs``
+    over source relation ``src``; consume ``SELECT p FROM {prefix}pairs``."""
+    bc = ", ".join(bucket_cols)
+    on = " AND ".join(f"x.{c} = y.{c}" for c in bucket_cols)
+    order = f"{k_sql}, {m_sql}" if k_sql else m_sql
+    return f"""{prefix}cnt AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY {bc}) AS __n FROM {src}
+    ),
+    {prefix}small AS (
+        SELECT unnest({_all_pairs_sql('__ms')}) AS p FROM (
+            SELECT {bc}, list_sort(list({m_sql})) AS __ms
+            FROM {prefix}cnt WHERE __n BETWEEN 2 AND {cap}
+            GROUP BY {bc}
+        )
+    ),
+    {prefix}big AS (
+        SELECT {bc}, {m_sql} AS __m,
+               row_number() OVER (PARTITION BY {bc} ORDER BY {order}) AS rn
+        FROM {prefix}cnt WHERE __n > {cap}
+    ),
+    {prefix}chain AS (
+        SELECT CASE WHEN x.__m < y.__m THEN {{'a': x.__m, 'b': y.__m}}
+                    ELSE {{'a': y.__m, 'b': x.__m}} END AS p
+        FROM {prefix}big x JOIN {prefix}big y ON {on} AND y.rn = x.rn + 1
+    ),
+    {prefix}pairs AS (
+        SELECT p FROM {prefix}small UNION ALL SELECT p FROM {prefix}chain
+    )"""
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +245,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("canonical_id"),
     )
+
+
+def exact_dup_edges(docs: DataFrame) -> DataFrame:
+    """(doc1 = canonical = min id, doc2 = other member) star edges per
+    byte-identical text group — O(group size) edges via a window min,
+    never a pair expansion, so a 10^6-copy template group costs 10^6-1
+    edges on a spill-safe window sort.
+
+    Unioned into the clustering input of q_dup_clusters/q_dedup_apply:
+    the df-capped verification Jaccard scores pairs inside >MAX_SHINGLE_DF
+    template groups 0 (all their shingles are hot, kept-sets empty), so
+    LSH pairs alone would leave byte-identical mega-groups undeduped —
+    the star edges restore exactly that class. doc1 < doc2 always holds
+    (canonical is the group min)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        docs.select("doc_id", F.min("doc_id").over(w).alias("canonical_id"))
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(
+            F.col("canonical_id").alias("doc1"), F.col("doc_id").alias("doc2")
+        )
+    )
+
+
+#: DuckDB mirror of :func:`exact_dup_edges` (a complete SELECT, to be
+#: wrapped in a CTE by consumers).
+EXACT_DUP_EDGES_SQL = """
+    SELECT canonical_id AS doc1, doc_id AS doc2 FROM (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM documents
+    ) WHERE doc_id <> canonical_id
+"""
 
 
 # --- shared shingle machinery ----------------------------------------------
@@ -191,25 +351,27 @@ def ngram_jaccard_pairs(
     (e.g. the LSH recall census, which feeds BOTH pair generators from
     one shingle frame) pass it in instead of checkpointing the most
     expensive intermediate twice."""
+    from pyspark.sql import Window
+
     if sh is None:
         sh = shingled(docs, materialize=True)
     inv = sh.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
     )
+    # df is counted by a WINDOW over the postings (spill-safe sort)
+    # BEFORE any membership collects: a stop-word-like shingle with 10^7
+    # postings on a 100 TB corpus is filtered row-wise and never
+    # materializes as one aggregation-buffer array. The window and the
+    # groupBy hash on the same key, so the exchange is reused.
+    w_sh = Window.partitionBy("shingle")
     buckets = (
-        inv.groupBy("shingle")
+        inv.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        .filter((F.col("__df") > 1) & (F.col("__df") <= max_df))
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("m")).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_df))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (a, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
-            )
-        ).alias("p")
-    )
+    pairs = buckets.select(F.explode(F.expr(_all_pairs_expr("ms"))).alias("p"))
     counted = pairs.groupBy(
         F.col("p.a.doc_id").alias("doc1"),
         F.col("p.a.n_sh").alias("n1"),
@@ -329,10 +491,11 @@ def _band_hash_sql(j: int) -> str:
 #: CTE-list fragment for the LSH pair pipeline, reusable by downstream
 #: consumers (q_dup_clusters prepends WITH RECURSIVE and appends its own
 #: CTEs). Kept flat — one level of WITH — for exactly that reason.
-#: Candidate buckets are member-capped (pair_expand_sql) and the
-#: verification Jaccard is the df-capped definition shared with the
-#: exact n-gram path: common shingles counted over df <= MAX_SHINGLE_DF
-#: shingles only ("kept"), denominators full-size.
+#: Candidate buckets are member-capped with membership-bounded buffers
+#: (capped_pair_ctes_sql) and the verification Jaccard is the df-capped
+#: definition shared with the exact n-gram path: common shingles counted
+#: over df <= MAX_SHINGLE_DF shingles only ("kept"), denominators
+#: full-size.
 LSH_PAIR_CTES = f"""sh AS ({_SHINGLED_DUCK}),
     sig AS (
         SELECT doc_id, shingles, {', '.join(_minhash_sql_exprs())}
@@ -344,16 +507,9 @@ LSH_PAIR_CTES = f"""sh AS ({_SHINGLED_DUCK}),
             for j in range(BANDS)
         )}
     ),
-    band_buckets AS (
-        SELECT band_id, band_hash, list_sort(list(doc_id)) AS ids
-        FROM bands
-        GROUP BY band_id, band_hash
-        HAVING COUNT(*) > 1
-    ),
+    {capped_pair_ctes_sql('bb_', 'bands', ['band_id', 'band_hash'], 'doc_id')},
     cand AS (
-        SELECT DISTINCT p.a AS doc1, p.b AS doc2 FROM (
-            SELECT unnest({pair_expand_sql('ids')}) AS p FROM band_buckets
-        )
+        SELECT DISTINCT p.a AS doc1, p.b AS doc2 FROM bb_pairs
     ),
     hot AS (
         SELECT coalesce(list(shingle), []) AS hot_shingles FROM (
@@ -388,11 +544,12 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     bands explode from an array of band structs (a self-join on bands
     would duplicate the signature subtree into every branch — 8x the
     md5 work), candidate pairs expand inside (band_id, band_hash)
-    buckets via collect_list, member-capped by pair_expand_expr
-    (all-pairs up to MAX_BAND_BUCKET, consecutive chain beyond — the
-    hard bound on a degenerate band bucket). Shared by the dedup path
-    and the calibration diagnostic so banding changes can never
-    desynchronize them."""
+    buckets via capped_bucket_pairs — all-pairs up to MAX_BAND_BUCKET
+    members, consecutive doc-id chain beyond, and no aggregation buffer
+    ever holds more than MAX_BAND_BUCKET members (oversized buckets take
+    the row_number/self-join chain path, never a collect). Shared by the
+    dedup path and the calibration diagnostic so banding changes can
+    never desynchronize them."""
     band_structs = F.array(
         *[
             F.struct(
@@ -406,15 +563,31 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_hash").alias("band_hash"),
     )
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
     return (
-        buckets.select(F.explode(F.expr(pair_expand_expr("ids"))).alias("p"))
+        capped_bucket_pairs(bands, ["band_id", "band_hash"], member_col="doc_id")
         .select(F.col("p.a").alias("doc1"), F.col("p.b").alias("doc2"))
         .distinct()
+    )
+
+
+def _kept_sets(sh: DataFrame) -> DataFrame:
+    """Per-doc df-capped shingle sets: doc_id, n_sh (FULL shingle
+    count), kept (shingles with df <= MAX_SHINGLE_DF). Hot shingles ride
+    as ONE array on a 1-row frame, broadcast onto the per-doc sets — the
+    same ride-along-array shape as q_ivf_topk's centroids. The hot set
+    is tiny by construction (boilerplate only) and the corpus never
+    reshuffles for it."""
+    hot_arr = (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .agg(F.collect_list("shingle").alias("hot_shingles"))
+    )
+    return sh.crossJoin(F.broadcast(hot_arr)).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.array_except("shingles", "hot_shingles").alias("kept"),
     )
 
 
@@ -436,22 +609,7 @@ def lsh_verified_pairs(sh: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cand = _lsh_candidate_pairs(sig)
-    # Hot (df > cap) shingles as ONE array on a 1-row frame, broadcast
-    # onto the per-doc shingle sets — the same ride-along-array shape as
-    # q_ivf_topk's centroids. The hot set is tiny by construction
-    # (boilerplate only) and the corpus never reshuffles for it.
-    hot_arr = (
-        sh.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .agg(F.collect_list("shingle").alias("hot_shingles"))
-    )
-    shk = sh.crossJoin(F.broadcast(hot_arr)).select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.array_except("shingles", "hot_shingles").alias("kept"),
-    )
+    shk = _kept_sets(sh)
     s1 = shk.select(
         F.col("doc_id").alias("d1"),
         F.col("n_sh").alias("n1"),
@@ -576,17 +734,17 @@ HAMMING_MAX = 3
             for j in range(SIMHASH_BANDS)
         )}
     ),
-    bkt AS (
-        SELECT band_id, band_key,
-               list_sort(list({{'doc_id': doc_id, 'simhash': simhash}})) AS ms
-        FROM bands
-        GROUP BY band_id, band_key
-        HAVING COUNT(*) > 1
-    ),
+    {capped_pair_ctes_sql(
+        'sb_',
+        'bands',
+        ['band_id', 'band_key'],
+        "{'doc_id': doc_id, 'simhash': simhash}",
+        k_sql='simhash',
+    )},
     cand AS (
         SELECT DISTINCT p.a.doc_id AS doc1, p.a.simhash AS s1,
                         p.b.doc_id AS doc2, p.b.simhash AS s2
-        FROM (SELECT unnest({pair_expand_sql('ms')}) AS p FROM bkt)
+        FROM sb_pairs
     )
     SELECT doc1, doc2,
            CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
@@ -618,17 +776,19 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         F.struct("doc_id", "simhash").alias("m"), F.explode(band_structs).alias("b")
     ).select("m", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
-    buckets = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
-    # hamming is computed and filtered BEFORE the pair-dedup shuffle so
-    # the distinct only carries surviving pairs (filter(distinct(x)) ==
-    # distinct(filter(x)) since hamming is a function of the pair).
+    # Oversized buckets chain in SIMHASH order (key_col) — adjacent
+    # chain members are numerically-close signatures, so chain edges are
+    # likely to pass the hamming filter (candidate connectivity would
+    # otherwise be destroyed by verification in an id-interleaved
+    # mega-bucket). hamming is computed and filtered BEFORE the
+    # pair-dedup shuffle so the distinct only carries surviving pairs
+    # (filter(distinct(x)) == distinct(filter(x)) since hamming is a
+    # function of the pair).
     return (
-        buckets.select(F.explode(F.expr(pair_expand_expr("ms"))).alias("p"))
+        capped_bucket_pairs(
+            bands, ["band_id", "band_key"], member_col="m", key_col="m.simhash"
+        )
         .select(
             F.col("p.a.doc_id").alias("doc1"),
             F.col("p.a.simhash").alias("s1"),
@@ -644,11 +804,14 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash calibration: estimated Jaccard (fraction of agreeing
-# signature components) vs exact Jaccard for every LSH candidate pair.
-# This is the diagnostic that tunes bands/rows against the S-curve —
-# run it on a sample whenever NUM_HASHES/BANDS change. Same bucketed
-# candidate generation as the dedup path (never all-pairs); both
-# scores are integer ratios, so cross-engine exact.
+# signature components) vs BOTH the uncapped exact Jaccard (what MinHash
+# mathematically estimates — the S-curve axis) AND the df-capped Jaccard
+# (the score the dedup pipeline actually thresholds on), for every LSH
+# candidate pair. Emitting both keeps the diagnostic honest: est vs
+# exact measures the estimator, capped vs exact measures what the df cap
+# costs on real pairs. Run it on a sample whenever NUM_HASHES/BANDS
+# change. Same bucketed candidate generation as the dedup path (never
+# all-pairs); all scores are integer ratios, so cross-engine exact.
 # ---------------------------------------------------------------------------
 _EST_SQL = (
     "(("
@@ -673,10 +836,15 @@ _EST_SQL = (
     SELECT e.doc1, e.doc2, e.est_jaccard,
            (len(list_intersect(s1.shingles, s2.shingles)) * 1.0) /
            len(list_distinct(list_concat(s1.shingles, s2.shingles)))
-               AS exact_jaccard
+               AS exact_jaccard,
+           (len(list_intersect(k1.kept, k2.kept)) * 1.0) /
+           (k1.n_sh + k2.n_sh - len(list_intersect(k1.kept, k2.kept)))
+               AS capped_jaccard
     FROM est e
     JOIN sh s1 ON s1.doc_id = e.doc1
     JOIN sh s2 ON s2.doc_id = e.doc2
+    JOIN shk k1 ON k1.doc_id = e.doc1
+    JOIN shk k2 ON k2.doc_id = e.doc2
     """,
 )
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +870,17 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sh.select(F.col("doc_id").alias("e1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("e2"), F.col("shingles").alias("sh2"))
+    shk = _kept_sets(sh)
+    k1 = shk.select(
+        F.col("doc_id").alias("f1"),
+        F.col("n_sh").alias("kn1"),
+        F.col("kept").alias("kk1"),
+    )
+    k2 = shk.select(
+        F.col("doc_id").alias("f2"),
+        F.col("n_sh").alias("kn2"),
+        F.col("kept").alias("kk2"),
+    )
     est = (
         sum(
             F.when(F.col(f"a_{i:02d}") == F.col(f"b_{i:02d}"), 1).otherwise(0)
@@ -713,16 +892,21 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))) * F.lit(1.0)
     ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    n_kc = F.size(F.array_intersect(F.col("kk1"), F.col("kk2")))
+    capped = n_kc * F.lit(1.0) / (F.col("kn1") + F.col("kn2") - n_kc)
     return (
         cand.join(a, F.col("doc1") == F.col("d1"))
         .join(b, F.col("doc2") == F.col("d2"))
         .join(s1, F.col("doc1") == F.col("e1"))
         .join(s2, F.col("doc2") == F.col("e2"))
+        .join(k1, F.col("doc1") == F.col("f1"))
+        .join(k2, F.col("doc2") == F.col("f2"))
         .select(
             "doc1",
             "doc2",
             est.alias("est_jaccard"),
             exact.alias("exact_jaccard"),
+            capped.alias("capped_jaccard"),
         )
     )
 

