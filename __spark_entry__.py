@@ -58,21 +58,18 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY = frozenset(
     {
-        # round 3 red row: nondeterministic hash mismatch, fixed in r4 by
-        # making _ranged_with_offsets value-deterministic (pure-function
-        # __pid from quantile-cut literals) — needs a fresh green row
+        # red rows r3-r5 (oracle dtype skew: DuckDB HUGEINT window sum →
+        # float64); r6 casts the oracle bin_id to BIGINT — needs a fresh
+        # green row (Spark side verified bit-exact in the r5 audit)
         "q_sequence_pack",
-        # round 4: bucket-membership caps (capped_bucket_pairs replaces
-        # collect-then-cap in all LSH paths; chains sort by similarity
-        # key), exact-dup star edges unioned into clustering, calibration
-        # gained capped_jaccard — Spark and oracle changed in lockstep
-        "q_dedup_ngram_jaccard",
-        "q_dedup_minhash_lsh",
-        "q_dedup_simhash_hamming",
-        "q_embedding_neardup",
-        "q_minhash_calibration",
-        "q_lsh_recall_census",
-        "q_dup_clusters",
+        # r5 ERR: TIMESTAMP_NTZ broke unix_micros; r6 normalizes NTZ→
+        # TIMESTAMP at the catalog reader — needs a fresh green row
+        "q_range_join_pairs",
+        # r6: sketch queries gained an oracle-checked within-bound flag
+        # (previously no_oracle for 5 rounds) — need first green rows
+        "q_approx_distinct",
+        "q_approx_percentile",
+        # r6: broadcast hint dropped from the dedup-apply anti-join
         "q_dedup_apply",
     }
 )

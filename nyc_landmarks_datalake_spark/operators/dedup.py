@@ -147,17 +147,18 @@ def capped_bucket_pairs(
     - buckets with 2..cap members collect (bounded <= cap structs) and
       expand all ordered pairs in place — identical to the all-pairs
       branch of :func:`pair_expand_expr`;
-    - oversized buckets NEVER collect: a per-bucket ``row_number`` over
-      (key_col, member) and a (bucket, rn) = (bucket, rn+1) self-join
-      emit the consecutive-member chain with O(1) state per row.
+    - oversized buckets NEVER collect: ``lead(member)`` over the same
+      per-bucket window emits the consecutive-member chain with O(1)
+      state per row and NO extra shuffle (the chain window sorts within
+      the partitioning the count window already established).
       ``key_col`` orders chain neighbors by the path's similarity key
       (simhash value, embedding vector) so adjacent members are likely
       to survive downstream verification; pairs are canonicalized to
       a < b by member order.
 
-    The window count and the small-branch groupBy hash on the same
-    bucket keys, so the exchange is reused — one data shuffle, plus a
-    (bucket, rn) shuffle over oversized-bucket rows only."""
+    The window count, the small-branch groupBy, and the chain window
+    all hash on the same bucket keys, so ONE data shuffle serves the
+    whole expansion."""
     from pyspark.sql import Window
 
     w_cnt = Window.partitionBy(*bucket_cols)
@@ -170,20 +171,16 @@ def capped_bucket_pairs(
     )
     order = ([F.col(key_col)] if key_col else []) + [F.col(member_col)]
     w_chain = Window.partitionBy(*bucket_cols).orderBy(*order)
-    big = with_n.filter(F.col("__n") > cap).select(
-        *bucket_cols,
-        F.col(member_col).alias("__m"),
-        F.row_number().over(w_chain).alias("__rn"),
-    )
-    lhs = big.select(*bucket_cols, "__rn", F.col("__m").alias("__ma"))
-    rhs = big.select(
-        *bucket_cols, (F.col("__rn") - 1).alias("__rn"), F.col("__m").alias("__mb")
-    )
-    ma, mb = F.col("__ma"), F.col("__mb")
+    ma = F.col(member_col)
+    mb = F.lead(member_col).over(w_chain)
     canon = F.when(ma < mb, F.struct(ma.alias("a"), mb.alias("b"))).otherwise(
         F.struct(mb.alias("a"), ma.alias("b"))
     )
-    chain = lhs.join(rhs, [*bucket_cols, "__rn"]).select(canon.alias("p"))
+    chain = (
+        with_n.filter(F.col("__n") > cap)
+        .select(canon.alias("p"))
+        .filter(F.col("p.b").isNotNull() & F.col("p.a").isNotNull())
+    )
     return small.unionByName(chain)
 
 

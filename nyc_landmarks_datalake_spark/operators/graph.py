@@ -203,8 +203,12 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(_dup_pairs(spark, sf_dir), algorithm="auto")
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     docs = table(spark, sf_dir, "documents")
+    # No broadcast hint: at a high dup rate the drop list is O(corpus) —
+    # billions of ids at 100 TB — so a mandatory broadcast would OOM the
+    # driver. Catalyst's size-based threshold still broadcasts when the
+    # list is actually small; otherwise a shuffled anti-join is correct.
     return (
-        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        docs.join(dropped, "doc_id", "left_anti")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -142,8 +142,8 @@ PACK_BUDGET = 512  # whitespace tokens per bin
     ),
     packed AS (
         SELECT doc_id, n_tokens,
-               (SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
-                   // {PACK_BUDGET} AS bin_id
+               CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                   // {PACK_BUDGET} AS BIGINT) AS bin_id
         FROM toks
     )
     SELECT bin_id, COUNT(*) AS n_docs,

@@ -122,6 +122,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.schema(_EVENTS_SCHEMA[sf_dir]).parquet(path)
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Parquet timestamp[us] WITHOUT a timezone loads as TIMESTAMP_NTZ
+        # on Spark >= 3.4 inference paths; NTZ rejects unix_micros and
+        # withWatermark. The session timezone is pinned UTC
+        # (session.py), so reinterpreting NTZ wall-clock values as UTC
+        # instants is lossless and matches DuckDB's epoch_us semantics.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -56,7 +56,22 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> list[
     o = _normalize(oracle_df)
     for c in s.columns:
         sv, ov = s[c], o[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+        # Dtype-CLASS skew (one side integral, the other float) is a
+        # driver red row even when values agree: the driver hashes the
+        # pandas values as delivered, and 0 != 0.0 under its hash. The
+        # classic source is an uncast DuckDB integer promotion (windowed
+        # SUM → HUGEINT → fetchdf float64) — q_sequence_pack r3-r5.
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        s_flt = pd.api.types.is_float_dtype(sv)
+        o_flt = pd.api.types.is_float_dtype(ov)
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"{name}.{c}: DTYPE-CLASS SKEW spark={sv.dtype} "
+                f"oracle={ov.dtype} — driver hash mismatches even on equal "
+                f"values; CAST the oracle (or Spark) side"
+            )
+        if s_flt or o_flt:
             sa = sv.astype(float).to_numpy()
             oa = ov.astype(float).to_numpy()
             both_nan = np.isnan(sa) & np.isnan(oa)

@@ -23,3 +23,17 @@ def test_all_queries_have_oracle_or_reason():
     # Every query without an oracle must carry a documented reason.
     missing = set(registry.QUERIES) - set(registry.ORACLE) - set(registry.ROWS_ONLY)
     assert missing == set(), f"queries missing oracle SQL and reason: {missing}"
+
+
+def test_harness_flags_dtype_class_skew():
+    """The comparator must flag int-vs-float dtype skew even when the
+    values are numerically equal — that is exactly the driver-hash
+    failure mode that kept q_sequence_pack red for three rounds."""
+    import pandas as pd
+
+    from tests.oracle_harness import compare
+
+    s = pd.DataFrame({"k": ["a", "b"], "v": pd.Series([0, 1], dtype="int64")})
+    o = pd.DataFrame({"k": ["a", "b"], "v": pd.Series([0.0, 1.0], dtype="float64")})
+    problems = compare(s, o, "seeded")
+    assert any("DTYPE-CLASS SKEW" in p for p in problems), problems

@@ -82,7 +82,10 @@ def test_cli_list_and_run(capsys):
 
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "q01_pricing_summary" in out and "[rows-only]" in out
+    assert "q01_pricing_summary" in out
+    # since r6 every registered query has a DuckDB oracle, so the
+    # [rows-only] marker must NOT appear
+    assert "[rows-only]" not in out
 
     assert (
         main(["run", "q_having_nations", "--sf-dir", "/root/testdata/sf0.001", "-n", "3"])

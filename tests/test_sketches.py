@@ -1,5 +1,11 @@
-"""Accuracy bounds for the sketch aggregates (which have no DuckDB
-oracle — registry.ROWS_ONLY documents why)."""
+"""Accuracy bounds for the sketch aggregates.
+
+Since round 6 the sketch queries are oracle-checked: they reduce the
+engine-specific estimate to a within-documented-bound boolean evaluated
+against the exact answer inside the same plan. These tests assert the
+booleans hold and that the exact companions agree with an independent
+recomputation.
+"""
 
 from __future__ import annotations
 
@@ -12,10 +18,8 @@ registry.load_all()
 
 
 def test_approx_distinct_within_rsd(spark, sf_oracle):
-    approx = {
-        r["l_returnflag"]: r
-        for r in registry.QUERIES["q_approx_distinct"](spark, sf_oracle).collect()
-    }
+    rows = registry.QUERIES["q_approx_distinct"](spark, sf_oracle).collect()
+    assert rows
     exact = {
         r["l_returnflag"]: r
         for r in table(spark, sf_oracle, "lineitem")
@@ -26,27 +30,24 @@ def test_approx_distinct_within_rsd(spark, sf_oracle):
         )
         .collect()
     }
-    for flag, row in approx.items():
-        # rsd=0.02 → allow 5 sigma
-        assert abs(row["approx_parts"] - exact[flag]["parts"]) <= 0.1 * exact[flag]["parts"]
-        assert abs(row["approx_orders"] - exact[flag]["orders"]) <= 0.1 * exact[flag]["orders"]
+    for row in rows:
+        assert row["parts_within_bound"] is True
+        assert row["orders_within_bound"] is True
+        assert row["exact_parts"] == exact[row["l_returnflag"]]["parts"]
+        assert row["exact_orders"] == exact[row["l_returnflag"]]["orders"]
 
 
-def test_approx_percentile_tolerance(spark, sf_oracle):
-    approx = {
-        r["o_orderpriority"]: r
-        for r in registry.QUERIES["q_approx_percentile"](spark, sf_oracle).collect()
-    }
-    exact = {
-        r["o_orderpriority"]: r
+def test_approx_percentile_rank_bound(spark, sf_oracle):
+    rows = registry.QUERIES["q_approx_percentile"](spark, sf_oracle).collect()
+    assert rows
+    n_by_prio = {
+        r["o_orderpriority"]: r["n"]
         for r in table(spark, sf_oracle, "orders")
         .groupBy("o_orderpriority")
-        .agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("median"),
-            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    for prio, row in approx.items():
-        assert abs(row["approx_median"] - exact[prio]["median"]) / exact[prio]["median"] < 0.05
-        assert abs(row["approx_p95"] - exact[prio]["p95"]) / exact[prio]["p95"] < 0.05
+    for row in rows:
+        assert row["median_rank_ok"] is True
+        assert row["p95_rank_ok"] is True
+        assert row["n_rows"] == n_by_prio[row["o_orderpriority"]]
