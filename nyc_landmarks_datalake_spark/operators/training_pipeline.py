@@ -477,3 +477,111 @@ def q_curation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "stage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing: the batch-composition step that
+# up-samples small domains and down-samples huge ones (alpha=0.5, the
+# "temperature" of multinomial sampling in multilingual/multi-domain
+# training). Weights use INTEGER floor-sqrt and integer division so the
+# whole computation is bit-exact across engines — production would
+# float-normalize, but floor(sqrt(bigint)) is IEEE-identical in Spark
+# and DuckDB while a float SUM's addend order is not. One hash-agg over
+# the corpus; the weight normalization windows over the 20-row
+# aggregated relation (SinglePartition on summaries only — the pinned
+# pattern).
+# ---------------------------------------------------------------------------
+EPOCH_BUDGET = 1_000_000  # documents per training epoch across sources
+
+
+@query(
+    "q_mixture_weights",
+    sql=f"""
+    WITH per_src AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(FLOOR(SQRT(SUM(n_chars))) AS BIGINT) AS mix_weight
+        FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, total_chars, mix_weight,
+           CAST(({EPOCH_BUDGET} * mix_weight)
+                // SUM(mix_weight) OVER () AS BIGINT) AS target_docs
+    FROM per_src
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.floor(F.sqrt(F.sum("n_chars"))).cast("long").alias("mix_weight"),
+    )
+    total_w = F.sum("mix_weight").over(Window.partitionBy())
+    return per_src.withColumn("__total_w", total_w).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "mix_weight",
+        F.expr(f"({EPOCH_BUDGET}L * mix_weight) div __total_w")
+        .cast("long")
+        .alias("target_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals: the fraction of a document made of
+# REPEATED bigrams is a strong boilerplate/spam indicator (Rae et al.
+# 2021 use duplicate n-gram character fractions). Pure higher-order
+# array functions — zero Python, zero explode: each doc reduces to two
+# integers map-side, then one hash-agg per (lang, source). All outputs
+# integral, so parity is bit-exact by construction.
+# ---------------------------------------------------------------------------
+@query(
+    "q_repetition_signals",
+    sql="""
+    WITH feats AS (
+        SELECT lang, source,
+               len(bigrams) AS n_bi,
+               len(bigrams) - len(list_distinct(bigrams)) AS dup_bi
+        FROM (
+            SELECT lang, source,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+            FROM (SELECT lang, source, string_split(text, ' ') AS toks
+                  FROM documents)
+        )
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bi) AS BIGINT) AS total_bigrams,
+           CAST(SUM(dup_bi) AS BIGINT) AS dup_bigrams,
+           CAST(SUM(CASE WHEN 5 * dup_bi > n_bi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM feats GROUP BY 1, 2
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # zip(toks[0:n-1], toks[1:n-1]) -> n-1 bigrams; split never yields an
+    # empty array so size-1 >= 0 and slice is well-defined
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = docs.select(
+        "lang",
+        "source",
+        F.size(bigrams).alias("n_bi"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias("dup_bi"),
+    )
+    return feats.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bi").cast("long").alias("total_bigrams"),
+        F.sum("dup_bi").cast("long").alias("dup_bigrams"),
+        F.sum(F.when(5 * F.col("dup_bi") > F.col("n_bi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )

@@ -272,3 +272,20 @@ def test_distributed_windows_partition_count_invariant(spark, sf_oracle):
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     for name in results["3"]:
         assert results["3"][name] == results["17"][name], name
+
+
+def test_repetition_signals_map_side(spark, sf_oracle):
+    # each doc reduces to two integers via higher-order functions — no
+    # explode, no Python, exactly one data shuffle (the final hash agg)
+    a = audit(registry.QUERIES["q_repetition_signals"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.exchanges <= 1, a
+
+
+def test_mixture_weights_windows_aggregates_only(spark, sf_oracle):
+    # corpus shuffles once into the per-source agg; the normalization
+    # window runs on the ~20-row aggregated relation (SinglePartition
+    # on summaries only — the pinned global-window pattern)
+    a = audit(registry.QUERIES["q_mixture_weights"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.exchanges <= 2, a
