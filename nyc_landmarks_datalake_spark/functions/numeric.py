@@ -34,7 +34,16 @@ def davg(col: Column) -> Column:
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) AS DOUBLE)"
+    # The final decimal→double cast routes through VARCHAR for the same
+    # reason as dprod_sum_sql: DuckDB's int128-decimal→double is not
+    # correctly rounded (double(int)/double(10^scale), two roundings).
+    # Harmless below 2^53 scaled units, but a 10x-sf q01 sum_charge
+    # (~2.8e16 micro-units) diverged from Spark's BigDecimal path by one
+    # ulp; string→double is correctly rounded in both engines.
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) "
+        f"AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def davg_sql(expr: str) -> str:
