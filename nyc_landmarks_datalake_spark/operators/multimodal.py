@@ -2,11 +2,15 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 SURVEY §2.B "LLM-pipeline ops" / task-spec multimodal requirement. The
-container has no image/audio libraries, so the *decode* step is stubbed
-two ways (as the spec directs):
+container has no image/audio libraries; decode exists at three levels:
 
-- ``decode_image`` raises NotImplementedError unless PIL is importable
-  (import-try gate) — the real-library seam;
+- ``decode_netpbm`` — REAL decode for binary netpbm (P6 ppm / P5 pgm),
+  a pure header-plus-raw-bytes format needing only numpy: header
+  tokenizer with comment handling, raster reshape, strict validation.
+  Exercised end-to-end and oracle-checked by q_image_decode_stats;
+- ``decode_image`` routes netpbm payloads to the real decoder and
+  gates compressed formats (png/jpeg) behind a PIL import-try — the
+  explicit real-library seam the spec directs;
 - ``extract_features`` computes a deterministic md5-derived feature
   vector from the raw bytes — a fake featurizer with 100% real Spark
   plumbing: binary column in, Arrow batch iteration, ``array<float>``
@@ -120,17 +124,94 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — requires an imaging library (absent in this
-    container); the seam is explicit per the task spec."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - the expected path here
-        raise NotImplementedError(
-            "image decode requires Pillow; this environment stubs the "
-            "decode step — use extract_features for the plumbing-checked path"
-        ) from e
-    raise NotImplementedError("real decode wiring lands when a decoder exists")
+def decode_netpbm(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL image decode for binary netpbm (P6 = RGB ppm, P5 = gray
+    pgm) — a pure header-plus-raw-bytes format that needs no imaging
+    library, only numpy. Returns (width, height, channels, pixels)
+    with pixels shaped (height, width, channels), dtype uint8.
+
+    Full format handling: whitespace-separated header tokens, ``#``
+    comments anywhere in the header, single whitespace byte after
+    maxval before the raster, maxval <= 255 enforced (16-bit rasters
+    rejected rather than silently misread)."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: magic={payload[:2]!r}")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header tokenizer: skip comments, collect magic + 3 ints
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError(f"16-bit netpbm unsupported (maxval={maxval})")
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    n = width * height * channels
+    raster = payload[i : i + n]
+    if len(raster) != n:
+        raise ValueError(f"short raster: want {n} bytes, have {len(raster)}")
+    pixels = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    return width, height, channels, pixels
+
+
+def decode_image(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Image decode over a binary column via Arrow-batched mapInPandas:
+    REAL for binary netpbm payloads (:func:`decode_netpbm` — pure
+    numpy), PIL-gated for compressed formats (png/jpeg libraries are
+    absent in this container; that seam stays explicit per the task
+    spec). Emits per-image dimensions and integer per-channel sums —
+    the stats a downstream dedup/quality stage actually consumes, and
+    integer-exact so the whole Python path sits under the oracle gate
+    (q_image_decode_stats). Zero shuffle: decode is embarrassingly
+    parallel, one Arrow batch per task in flight."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("ch0_sum", T.LongType()),
+            T.StructField("ch1_sum", T.LongType()),
+            T.StructField("ch2_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                if payload[:2] in (b"P5", b"P6"):
+                    w, h, c, px = decode_netpbm(payload)
+                else:  # compressed formats: real-library seam
+                    try:
+                        import PIL.Image  # noqa: F401
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "non-netpbm decode requires Pillow; absent in "
+                            "this container"
+                        ) from e
+                    raise NotImplementedError("PIL wiring lands with the library")
+                sums = px.reshape(-1, c).sum(axis=0, dtype="int64")
+                rows.append(
+                    (pid, w, h, c, int(sums[0]),
+                     int(sums[1]) if c > 1 else 0,
+                     int(sums[2]) if c > 2 else 0)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
@@ -300,3 +381,53 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(synthesize_media(spark, _MEDIA_N), max_side=256)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL decode: build a genuine binary P6 ppm per document
+# (4x4 RGB, raster = 48 bytes from three chained md5 digests), push it
+# through decode_netpbm inside mapInPandas, and emit integer pixel
+# stats. DuckDB never decodes — it recomputes the expected channel sums
+# directly from the md5 hex — so a header-parsing or reshape bug in the
+# decoder shows up as a value mismatch, not just a test failure.
+# ---------------------------------------------------------------------------
+_PPM_W, _PPM_H = 4, 4
+
+
+def _ppm_oracle_channel_sum(c: int) -> str:
+    byte = (
+        f"('0x' || substr(h48, 2 * (3 * j + {c}) + 1, 2))::BIGINT"
+    )
+    return (
+        f"CAST(list_sum(list_transform(range(0, {_PPM_W * _PPM_H}), "
+        f"j -> {byte})) AS BIGINT)"
+    )
+
+
+@query(
+    "q_image_decode_stats",
+    sql=f"""
+    SELECT doc_id,
+           {_PPM_W} AS width, {_PPM_H} AS height, 3 AS channels,
+           {_ppm_oracle_channel_sum(0)} AS ch0_sum,
+           {_ppm_oracle_channel_sum(1)} AS ch1_sum,
+           {_ppm_oracle_channel_sum(2)} AS ch2_sum
+    FROM (
+        SELECT doc_id,
+               md5(text) || md5(text || 'a') || md5(text || 'b') AS h48
+        FROM documents
+    )
+    """,
+)
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    raster_hex = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.col("text"), F.lit("a"))),
+        F.md5(F.concat(F.col("text"), F.lit("b"))),
+    )
+    header = F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n".encode())
+    images = docs.select(
+        "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
+    )
+    return decode_image(images, id_col="doc_id")

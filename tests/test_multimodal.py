@@ -67,10 +67,56 @@ def test_resize_plan_bounds(spark):
         assert r["target_width"] > 0 and r["target_height"] > 0
 
 
-def test_decode_stub_raises(spark):
+def test_decode_non_netpbm_raises(spark):
+    # synthesize_media payloads are md5 hex text, not netpbm — the
+    # compressed-format path needs PIL (absent), surfaced at execution
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
     media = synthesize_media(spark, 3)
-    with pytest.raises(NotImplementedError, match="decode"):
-        decode_image(media)
+    with pytest.raises((PythonException, Py4JJavaError), match="Pillow|NotImplemented"):
+        decode_image(media).collect()
+
+
+def test_decode_netpbm_real_roundtrip():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import decode_netpbm
+
+    # P6 with comments and multi-line header
+    raster = bytes(range(2 * 3 * 3))
+    w, h, c, px = decode_netpbm(b"P6\n# a comment\n3 2\n# more\n255\n" + raster)
+    assert (w, h, c) == (3, 2, 3)
+    assert px.shape == (2, 3, 3) and px.dtype == np.uint8
+    assert bytes(px.reshape(-1)) == raster
+    # P5 grayscale
+    raster5 = bytes(range(6))
+    w, h, c, px = decode_netpbm(b"P5 3 2 255\n" + raster5)
+    assert (w, h, c) == (3, 2, 1) and bytes(px.reshape(-1)) == raster5
+    # error paths: bad magic, 16-bit, short raster
+    with pytest.raises(ValueError, match="magic"):
+        decode_netpbm(b"P3 1 1 255\n000")
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_netpbm(b"P6 1 1 65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="short raster"):
+        decode_netpbm(b"P6 2 2 255\n\x00\x00\x00")
+
+
+def test_decode_image_spark_path(spark):
+    # real decode through mapInPandas: 1x1 red P6 per row
+    import pyspark.sql.functions as SF
+
+    df = spark.range(3).select(
+        SF.col("id").alias("media_id"),
+        SF.concat(SF.lit(b"P6\n1 1\n255\n"), SF.lit(bytes([200, 100, 50]))).alias(
+            "payload"
+        ),
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert (r["width"], r["height"], r["channels"]) == (1, 1, 3)
+        assert (r["ch0_sum"], r["ch1_sum"], r["ch2_sum"]) == (200, 100, 50)
 
 
 def test_read_media_dir_binary_source(spark, tmp_path):

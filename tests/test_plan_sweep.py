@@ -20,6 +20,7 @@ PYTHON_ALLOWED = {
     "q_pandas_udf_score",
     "q_grouped_agg_udf",
     "q_multimodal_features",
+    "q_image_decode_stats",
 }
 
 
