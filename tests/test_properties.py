@@ -308,3 +308,75 @@ def test_chain_component_converges_with_jump(spark):
         rows = labels.collect()
     assert len(rows) == n
     assert all(r.cluster_id == 0 for r in rows)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.sampled_from([1, 3]),
+    st.integers(1, 255),
+    st.booleans(),
+    st.data(),
+)
+def test_netpbm_roundtrip_property(w, h, channels, maxval, with_comment, data):
+    """encode(header)+raster → decode_netpbm recovers dims and bytes for
+    any size/maxval/comment placement; values above maxval can't occur
+    in a valid file, so raster bytes draw from [0, maxval]."""
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import decode_netpbm
+
+    n = w * h * channels
+    raster = bytes(
+        data.draw(st.lists(st.integers(0, maxval), min_size=n, max_size=n))
+    )
+    magic = b"P6" if channels == 3 else b"P5"
+    comment = b"# c o m m e n t\n" if with_comment else b""
+    payload = magic + b"\n" + comment + f"{w} {h}\n{maxval}\n".encode() + raster
+    gw, gh, gc, px = decode_netpbm(payload)
+    assert (gw, gh, gc) == (w, h, channels)
+    assert px.shape == (h, w, channels) and px.dtype == np.uint8
+    assert bytes(px.reshape(-1)) == raster
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 999)),  # (bucket, member)
+        min_size=2,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(2, 6),
+)
+def test_capped_bucket_pairs_property(spark, members, cap):
+    """For ANY bucket membership and cap: small buckets emit exactly
+    their sorted all-pairs, oversized buckets emit exactly a
+    member-sorted chain (b-1 edges, connected), and every emitted pair
+    is canonical (a < b)."""
+    from collections import defaultdict
+
+    from nyc_landmarks_datalake_spark.operators.dedup import capped_bucket_pairs
+
+    df = spark.createDataFrame(members, ["bucket", "m"])
+    got = defaultdict(list)
+    for r in capped_bucket_pairs(df, ["bucket"], cap=cap).collect():
+        pass_through = (r["p"]["a"], r["p"]["b"])
+        got["all"].append(pass_through)
+    by_bucket = defaultdict(list)
+    for b, m in members:
+        by_bucket[b].append(m)
+    expected = []
+    for b, ms in by_bucket.items():
+        ms = sorted(ms)
+        if len(ms) < 2:
+            continue
+        if len(ms) <= cap:
+            expected.extend(
+                (ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))
+            )
+        else:
+            expected.extend((ms[i], ms[i + 1]) for i in range(len(ms) - 1))
+    assert sorted(got["all"]) == sorted(expected)
+    assert all(a < b for a, b in got["all"])
