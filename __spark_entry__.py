@@ -56,23 +56,7 @@ def _verified_names() -> set[str]:
 #: queries whose implementation or oracle changed since their last green
 #: driver row — their stale green flags must not excuse them from the
 #: checked prefix. Maintained per round; clear entries once re-verified.
-REVERIFY = frozenset(
-    {
-        # red rows r3-r5 (oracle dtype skew: DuckDB HUGEINT window sum →
-        # float64); r6 casts the oracle bin_id to BIGINT — needs a fresh
-        # green row (Spark side verified bit-exact in the r5 audit)
-        "q_sequence_pack",
-        # r5 ERR: TIMESTAMP_NTZ broke unix_micros; r6 normalizes NTZ→
-        # TIMESTAMP at the catalog reader — needs a fresh green row
-        "q_range_join_pairs",
-        # r6: sketch queries gained an oracle-checked within-bound flag
-        # (previously no_oracle for 5 rounds) — need first green rows
-        "q_approx_distinct",
-        "q_approx_percentile",
-        # r6: broadcast hint dropped from the dedup-apply anti-join
-        "q_dedup_apply",
-    }
-)
+REVERIFY: frozenset[str] = frozenset()  # all r6 entries got fresh green rows
 
 
 def entry(spark: SparkSession) -> DataFrame:
