@@ -140,3 +140,97 @@ def test_read_media_dir_binary_source(spark, tmp_path):
     assert len(feats) == 3 and all(len(f["features"]) == 8 for f in feats)
     # glob filter prunes at the source
     assert read_media_dir(spark, str(media), glob="*.png").count() == 1
+
+
+def test_decode_png_roundtrip_all_filters():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    # RGB 5x5, one scanline per filter type — every unfilter branch
+    px = rng.integers(0, 256, size=(5, 5, 3), dtype=np.uint8)
+    for filters in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0], None):
+        payload = encode_png(px, filters=filters)
+        w, h, c, got = decode_png(payload)
+        assert (w, h, c) == (5, 5, 3)
+        assert (got == px).all()
+    # gray, gray+alpha, RGBA
+    for channels in (1, 2, 4):
+        img = rng.integers(0, 256, size=(4, 6, channels), dtype=np.uint8)
+        w, h, c, got = decode_png(encode_png(img, filters=[3, 4, 1, 2]))
+        assert (w, h, c) == (6, 4, channels)
+        assert (got == img).all()
+
+
+def test_decode_png_error_paths():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(px)
+    with pytest.raises(ValueError, match="magic"):
+        decode_png(b"NOPE" + good[4:])
+    # flip one IDAT byte → CRC mismatch
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|raster|zlib|truncated|invalid"):
+        decode_png(bytes(bad))
+    # interlaced header rejected (rebuild IHDR with interlace=1, fixed CRC)
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(good[:8] + chunk + good[8 + len(chunk):])
+    # truncated stream: signature only
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(good[:8])
+
+
+def test_decode_netpbm_header_validation():
+    from nyc_landmarks_datalake_spark.operators.multimodal import decode_netpbm
+
+    # comment abutting the maxval token: '255#c' lexes as 255 + comment
+    raster = bytes([10, 20, 30])
+    w, h, c, px = decode_netpbm(b"P6 1 1 255#c\n" + raster)
+    assert (w, h, c) == (1, 1, 3) and bytes(px.reshape(-1)) == raster
+    # truncated header → descriptive error, not bare int() failure
+    with pytest.raises(ValueError, match="netpbm header"):
+        decode_netpbm(b"P6 1 1")
+    with pytest.raises(ValueError, match="netpbm header"):
+        decode_netpbm(b"P6  ")
+    # non-numeric token
+    with pytest.raises(ValueError, match="netpbm header"):
+        decode_netpbm(b"P6 a b 255\nxxx")
+
+
+def test_decode_image_routes_png(spark):
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import encode_png
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = encode_png(px, filters=[1, 4])
+    df = spark.range(2).select(
+        SF.col("id").alias("media_id"), SF.lit(payload).alias("payload")
+    )
+    rows = decode_image(df).collect()
+    sums = px.reshape(-1, 3).sum(axis=0)
+    for r in rows:
+        assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
+        assert (r["ch0_sum"], r["ch1_sum"], r["ch2_sum"]) == tuple(int(s) for s in sums)

@@ -380,3 +380,33 @@ def test_capped_bucket_pairs_property(spark, members, cap):
             expected.extend((ms[i], ms[i + 1]) for i in range(len(ms) - 1))
     assert sorted(got["all"]) == sorted(expected)
     assert all(a < b for a, b in got["all"])
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.sampled_from([1, 2, 3, 4]),
+    st.data(),
+)
+def test_png_roundtrip_property(w, h, channels, data):
+    """decode_png(encode_png(img, filters)) == img for ANY dims, channel
+    count, pixel content and per-row filter assignment — covers every
+    unfilter branch against every shape, including the bpp-edge columns
+    (x < bpp) where left/upleft are zero."""
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    n = w * h * channels
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    img = np.array(flat, dtype=np.uint8).reshape(h, w, channels)
+    gw, gh, gc, got = decode_png(encode_png(img, filters=filters))
+    assert (gw, gh, gc) == (w, h, channels)
+    assert got.dtype == np.uint8 and (got == img).all()
