@@ -87,3 +87,145 @@ def user_profiles(events: DataFrame, evict_idle_ms: int | None = None) -> DataFr
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact variant + replay runner: puts applyInPandasWithState
+# itself under the driver's bit-exact oracle gate. All columns are
+# int64 (epoch-µs timestamps, micro-unit values) so pandas accumulation
+# is exact and timezone never enters the comparison.
+# ---------------------------------------------------------------------------
+EXACT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_micros", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+EXACT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_micros", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _update_profile_exact(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += int(pdf["value_micros"].sum())
+        last_us = max(last_us, int(pdf["ts_us"].max()))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value_micros": [total],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def user_profiles_exact(events: DataFrame) -> DataFrame:
+    """Streaming per-user profile over pre-integered inputs
+    (``user_id``, ``ts_us``, ``value_micros`` — all int64): count, exact
+    micro-unit value sum, last-seen epoch-µs. Same state-store posture
+    as :func:`user_profiles`; NoTimeout so availableNow replays drain."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile_exact,
+        outputStructType=EXACT_OUTPUT_SCHEMA,
+        stateStructType=EXACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def replay_user_profiles(
+    spark, events: DataFrame, n_source_files: int = 4, timeout_s: int = 300
+) -> DataFrame:
+    """Run :func:`user_profiles_exact` as a REAL streaming query
+    (availableNow, ``maxFilesPerTrigger=1`` so state genuinely carries
+    across micro-batches) and return the final per-user profiles.
+
+    The batch source is staged to a temp dir and replayed file-by-file;
+    in update mode a user re-emits with strictly growing ``n_events``
+    whenever a batch touches it, so the final profile is the max-count
+    row per user. The temp dir must outlive the returned (lazy)
+    DataFrame, so it is left for the OS tmp reaper."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="stateful_profiles_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    events.repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        user_profiles_exact(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _register_queries() -> None:
+    """Driver-checked twin: the streaming stateful operator replayed
+    over the events table vs a plain DuckDB GROUP BY — the one oracle
+    row covering the applyInPandasWithState tier (state recovery across
+    micro-batches included, via maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stateful_user_profiles",
+        sql="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS total_value_micros,
+               MAX(epoch_us(ts)) AS last_ts_us
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def q_stateful_user_profiles(spark, sf_dir: str) -> DataFrame:
+        events = table(spark, sf_dir, "events").select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("value_micros"),
+        )
+        return replay_user_profiles(spark, events)
+
+
+_register_queries()

@@ -61,3 +61,32 @@ def test_state_accumulates_across_batches(spark, sf_small, tmp_path):
         got_n, got_total = combined[uid]
         assert got_n == n, f"user {uid}: {got_n} != {n}"
         assert abs(got_total - total) < 1e-6
+
+
+def test_replay_matches_batch_aggregation(spark, sf_small):
+    """The registered q_stateful_user_profiles replay (real streaming,
+    one file per micro-batch) equals the plain batch GROUP BY — the
+    same equivalence the driver's DuckDB oracle checks."""
+    from nyc_landmarks_datalake_spark.registry import QUERIES, load_all
+
+    load_all()
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value_micros"], r["last_ts_us"])
+        for r in QUERIES["q_stateful_user_profiles"](spark, sf_small).collect()
+    }
+    ev = table(spark, sf_small, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("value_micros"),
+    )
+    exact = {
+        r["user_id"]: (r["n"], r["total"], r["last"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_micros").alias("total"),
+            F.max("ts_us").alias("last"),
+        )
+        .collect()
+    }
+    assert got == exact
