@@ -1,24 +1,31 @@
 """Approximate/sketch aggregates: HLL++ distinct counts and GK-sketch
-approximate percentiles — with oracle-checkable accuracy flags.
+approximate percentiles — production sketch-only paths, plus
+oracle-checkable parity variants.
 
 Sketch internals (and hence the raw approximations) differ per engine,
 so the raw estimates can never hash-match a DuckDB oracle. Instead each
-query emits only hash-safe columns (group key, exact counts, booleans):
-the approximation is evaluated AGAINST THE EXACT ANSWER inside the same
-Spark plan and reduced to a within-documented-bound boolean; the DuckDB
-oracle computes the same exact answer and asserts the boolean is TRUE.
-A Spark estimate drifting outside its bound therefore turns the driver
-row red — a real independent accuracy check, not rows-only. Raw
-estimates remain covered by tests/test_sketches.py.
+registered query emits only hash-safe columns (group key, exact counts,
+booleans): the approximation is evaluated AGAINST THE EXACT ANSWER
+inside the same Spark plan and reduced to a within-documented-bound
+boolean; the DuckDB oracle computes the same exact answer and asserts
+the boolean is TRUE. A Spark estimate drifting outside its bound
+therefore turns the driver row red — a real independent accuracy check,
+not rows-only. Raw estimates remain covered by tests/test_sketches.py.
 
-Scale: the exact side rides along ONLY to make the sketch checkable at
-test scale; the production path is the sketch alone — exact distinct
-counts shuffle every distinct value, while HLL++ partial-aggregates a
-fixed ~1.5 KB sketch per group, making 100 TB distinct-counting a
-map-side problem.
+Scale: the PRODUCTION path is :func:`approx_distinct_counts` /
+:func:`approx_percentiles` with ``parity=False`` (the default) — the
+sketch alone, no exact companions. Exact distinct counts shuffle every
+distinct value, while HLL++ partial-aggregates a fixed ~1.5 KB sketch
+per group, making 100 TB distinct-counting a map-side problem; the
+``parity=True`` variant (what the registered q_ queries run) exists
+only so the sketch is independently checkable at test scale, and
+tests/test_sketches.py pins that the production plan contains no
+distinct expansion.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +45,53 @@ PCT_ACCURACY = 1000
 PCT_RANK_TOL = 0.02
 
 
+def approx_distinct_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    rsd: float = HLL_RSD,
+    parity: bool = False,
+) -> DataFrame:
+    """Per-group HLL++ distinct counts — ``approx_<col>`` per value col.
+
+    ``parity=False`` (production) aggregates ONLY the fixed-size
+    sketches: one shuffle of ~1.5 KB per (group, col), no distinct
+    expansion — the 100 TB path. ``parity=True`` rides exact
+    ``countDistinct`` companions and ``n_rows`` in the same aggregate so
+    the sketch can be judged against ground truth at test scale."""
+    aggs = [
+        F.approx_count_distinct(c, rsd=rsd).alias(f"approx_{c}")
+        for c in value_cols
+    ]
+    if parity:
+        aggs += [F.countDistinct(c).alias(f"exact_{c}") for c in value_cols]
+        aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def approx_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = PCT_ACCURACY,
+) -> DataFrame:
+    """Per-group GK-sketch percentiles — ``p<pct>`` per quantile.
+
+    Production path: one aggregation over bounded per-group sketch
+    state, nothing exact rides along. Rank verification against the
+    actual data is the parity query's job (:func:`q_approx_percentile`),
+    not a production cost."""
+    return df.groupBy(*group_cols).agg(
+        *[
+            F.percentile_approx(value_col, q, accuracy).alias(
+                f"p{int(round(q * 100))}"
+            )
+            for q in quantiles
+        ]
+    )
+
+
 @query(
     "q_approx_distinct",
     sql="""
@@ -52,12 +106,8 @@ PCT_RANK_TOL = 0.02
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("approx_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
+    agg = approx_distinct_counts(
+        li, ["l_returnflag"], ["l_partkey", "l_orderkey"], parity=True
     )
 
     def within(approx: str, exact: str):
@@ -66,11 +116,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return agg.select(
         "l_returnflag",
-        "exact_parts",
-        "exact_orders",
+        F.col("exact_l_partkey").alias("exact_parts"),
+        F.col("exact_l_orderkey").alias("exact_orders"),
         "n_rows",
-        within("approx_parts", "exact_parts").alias("parts_within_bound"),
-        within("approx_orders", "exact_orders").alias("orders_within_bound"),
+        within("approx_l_partkey", "exact_l_partkey").alias("parts_within_bound"),
+        within("approx_l_orderkey", "exact_l_orderkey").alias("orders_within_bound"),
     )
 
 
@@ -89,24 +139,25 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows <= the sketch's answer must sit within PCT_RANK_TOL of the
     requested quantile — the actual Greenwald-Khanna guarantee, stated
     without comparing engine-specific sketch values. The 5-row approx
-    frame broadcasts back onto orders; one extra pass at test scale."""
+    frame broadcasts back onto orders; the extra full pass is the
+    parity check's cost, not the production path's (which is
+    :func:`approx_percentiles` alone)."""
     orders = table(spark, sf_dir, "orders")
-    approx = orders.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, PCT_ACCURACY).alias("a50"),
-        F.percentile_approx("o_totalprice", 0.95, PCT_ACCURACY).alias("a95"),
+    approx = approx_percentiles(
+        orders, ["o_orderpriority"], "o_totalprice", (0.5, 0.95)
     )
     joined = orders.join(F.broadcast(approx), "o_orderpriority")
     ranked = joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
             F.sum(
-                F.when(F.col("o_totalprice") <= F.col("a50"), 1).otherwise(0)
+                F.when(F.col("o_totalprice") <= F.col("p50"), 1).otherwise(0)
             )
             / F.count(F.lit(1))
         ).alias("r50"),
         (
             F.sum(
-                F.when(F.col("o_totalprice") <= F.col("a95"), 1).otherwise(0)
+                F.when(F.col("o_totalprice") <= F.col("p95"), 1).otherwise(0)
             )
             / F.count(F.lit(1))
         ).alias("r95"),

@@ -51,3 +51,29 @@ def test_approx_percentile_rank_bound(spark, sf_oracle):
         assert row["median_rank_ok"] is True
         assert row["p95_rank_ok"] is True
         assert row["n_rows"] == n_by_prio[row["o_orderpriority"]]
+
+
+def test_production_sketch_path_has_no_exact_companion(spark, sf_oracle):
+    """The production (parity=False) plans aggregate ONLY sketch state:
+    no countDistinct Expand node, no second pass over the input — the
+    property that makes 100 TB distinct-counting map-side."""
+    from nyc_landmarks_datalake_spark.operators.sketches import (
+        approx_distinct_counts,
+        approx_percentiles,
+    )
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    li = table(spark, sf_oracle, "lineitem")
+    prod = approx_distinct_counts(li, ["l_returnflag"], ["l_partkey"])
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "count(distinct" not in plan.lower()
+    assert "Expand" not in plan
+    assert prod.columns == ["l_returnflag", "approx_l_partkey"]
+
+    orders = table(spark, sf_oracle, "orders")
+    pcts = approx_percentiles(orders, ["o_orderpriority"], "o_totalprice")
+    pplan = pcts._jdf.queryExecution().executedPlan().toString()
+    # exactly one scan, no join back onto the input
+    assert pplan.count("Scan parquet") + pplan.count("FileScan") <= 2
+    assert "Join" not in pplan
+    assert pcts.columns == ["o_orderpriority", "p50", "p95"]

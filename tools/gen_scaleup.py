@@ -30,6 +30,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 #: key columns to offset, per table: {column: table_whose_max_defines_stride}
@@ -57,7 +58,7 @@ def _strides(src: str) -> dict[tuple[str, str], int]:
         for _, (tbl, col) in tbl_cols.items():
             if (tbl, col) not in out:
                 arr = pq.read_table(os.path.join(src, f"{tbl}.parquet"), columns=[col])
-                out[(tbl, col)] = int(pa.compute.max(arr.column(0)).as_py()) + 1
+                out[(tbl, col)] = int(pc.max(arr.column(0)).as_py()) + 1
     return out
 
 
@@ -70,10 +71,10 @@ def scale_table(src: str, name: str, factor: int, strides) -> pa.Table:
             c = t.column(field.name)
             if name in KEYED and field.name in KEYED[name]:
                 stride = strides[KEYED[name][field.name]]
-                c = pa.compute.add(c, pa.scalar(i * stride, type=field.type))
+                c = pc.add(c, pa.scalar(i * stride, type=field.type))
             elif name == "events" and field.name == "ts":
                 us = c.cast(pa.int64())
-                us = pa.compute.add(us, pa.scalar(i * EVENT_TS_SHIFT_US, type=pa.int64()))
+                us = pc.add(us, pa.scalar(i * EVENT_TS_SHIFT_US, type=pa.int64()))
                 c = us.cast(field.type)
             elif name == "embeddings" and field.name == "embedding":
                 vals = c.combine_chunks()
