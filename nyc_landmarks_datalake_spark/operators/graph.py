@@ -45,7 +45,10 @@ AUTO_JUMP_AFTER = 3
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = MAX_ITERS, algorithm: str = "plain"
+    pairs: DataFrame,
+    max_iters: int = MAX_ITERS,
+    algorithm: str = "plain",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc1, doc2) undirected pair list → (doc_id, cluster_id) with
     cluster_id = min doc id reachable from the vertex.
@@ -60,7 +63,13 @@ def connected_components(
     (the common case) finish before ever paying for a jump, long chains
     still converge in O(log n) — this is the adaptive default for the
     dedup pipeline, where chains only exist if some band bucket hit
-    MAX_BAND_BUCKET."""
+    MAX_BAND_BUCKET.
+
+    Pass a dict as ``stats`` to receive convergence telemetry:
+    ``iterations`` (rounds run) and ``changed`` (labels moved per
+    round, last entry 0 on convergence) — the per-round driver-side
+    ``count()`` already exists for convergence detection, so recording
+    it is free. Tests pin the iteration budget with this."""
     import warnings
 
     if algorithm not in ("plain", "jump", "auto"):
@@ -78,6 +87,7 @@ def connected_components(
         .localCheckpoint()
     )
     changed = 0  # max_iters=0 skips the loop; 0 suppresses the warning
+    changed_per_round: list[int] = []
     for it in range(max_iters):
         jumping = algorithm == "jump" or (
             algorithm == "auto" and it >= AUTO_JUMP_AFTER
@@ -104,6 +114,7 @@ def connected_components(
             )
         new_labels = upd.localCheckpoint()
         changed = new_labels.filter(F.col("lbl") != F.col("__old")).count()
+        changed_per_round.append(changed)
         labels = new_labels.drop("__old")
         if changed == 0:
             break
@@ -119,6 +130,9 @@ def connected_components(
                 RuntimeWarning,
                 stacklevel=2,
             )
+    if stats is not None:
+        stats["iterations"] = len(changed_per_round)
+        stats["changed"] = changed_per_round
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -128,3 +128,23 @@ def test_connected_components_jump_equivalence(spark):
     assert plain == jump
     assert all(c == 0 for _, c in plain[:20])
     assert all(c == 20 for _, c in plain[20:])
+
+
+def test_dup_clusters_converges_fast(spark, sf_oracle):
+    """Convergence pin for the bench's most expensive query: the dedup
+    cluster graph (LSH near-dup pairs + exact-dup star edges) is
+    quasi-clique shaped and must label-propagate to a fixpoint in <= 4
+    rounds under algorithm='auto' — iteration creep here is a silent
+    bench regression, so it fails loudly instead."""
+    from nyc_landmarks_datalake_spark.operators.graph import (
+        _dup_pairs,
+        connected_components,
+    )
+
+    stats: dict = {}
+    labels = connected_components(
+        _dup_pairs(spark, sf_oracle), algorithm="auto", stats=stats
+    )
+    assert labels.count() > 0
+    assert stats["iterations"] <= 4, stats
+    assert stats["changed"][-1] == 0, f"did not converge: {stats}"
