@@ -49,6 +49,15 @@ HEADLINE = [
     "q_curation_census",
     "q_contamination_check",
     "q_rank_battery",
+    # added r7: the r6 additions (Python image-decode path especially
+    # needs a tracked number before it grows) + the r7 PNG decoder and
+    # the stateful-streaming replay
+    "q_image_decode_stats",
+    "q_mixture_weights",
+    "q_repetition_signals",
+    "q_png_decode_stats",
+    "q_wav_decode_stats",
+    "q_stateful_user_profiles",
 ]
 
 

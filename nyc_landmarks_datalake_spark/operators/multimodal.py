@@ -8,9 +8,15 @@ container has no image/audio libraries; decode exists at three levels:
   a pure header-plus-raw-bytes format needing only numpy: header
   tokenizer with comment handling, raster reshape, strict validation.
   Exercised end-to-end and oracle-checked by q_image_decode_stats;
-- ``decode_image`` routes netpbm payloads to the real decoder and
-  gates compressed formats (png/jpeg) behind a PIL import-try — the
-  explicit real-library seam the spec directs;
+- ``decode_png`` — REAL decode for non-interlaced 8-bit PNG: stdlib
+  zlib inflate + numpy unfiltering of all five scanline filters, CRC-
+  verified chunk walk. Oracle-checked by q_png_decode_stats;
+- ``decode_wav`` — REAL decode for RIFF/WAVE PCM audio (8/16-bit):
+  chunk walk with pad-byte handling, numpy frame reshape. Oracle-
+  checked by q_wav_decode_stats;
+- ``decode_image`` routes netpbm/PNG payloads to the real decoders and
+  gates the remaining compressed formats (jpeg-class) behind a PIL
+  import-try — the explicit real-library seam the spec directs;
 - ``extract_features`` computes a deterministic md5-derived feature
   vector from the raw bytes — a fake featurizer with 100% real Spark
   plumbing: binary column in, Arrow batch iteration, ``array<float>``
@@ -359,6 +365,120 @@ def encode_png(pixels: "object", filters: list[int] | None = None) -> bytes:
     )
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL audio decode for RIFF/WAVE PCM — like netpbm, a pure
+    header-plus-raw-bytes format needing only stdlib struct + numpy.
+    Returns (sample_rate, channels, n_frames, samples) with samples
+    shaped (n_frames, channels), dtype int16 (PCM16) or uint8 (PCM8).
+
+    Full chunk walk (fmt /data plus skip-over for LIST/fact/cue
+    chunks, including the spec's odd-size pad byte), PCM format code 1
+    only — compressed codecs raise rather than misread."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload: magic={payload[:4]!r}/{payload[8:12]!r}"
+        )
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # odd-size chunks carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAV unsupported (format code {audio_format})")
+    if bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (bits={bits})")
+    if channels < 1 or block_align != channels * bits // 8:
+        raise ValueError(
+            f"invalid WAV layout: channels={channels} block_align={block_align}"
+        )
+    dtype = np.dtype("<i2") if bits == 16 else np.uint8
+    if len(data) % block_align:
+        raise ValueError(
+            f"WAV data not frame-aligned: {len(data)} % {block_align} != 0"
+        )
+    samples = np.frombuffer(data, dtype=dtype).reshape(-1, channels)
+    return sample_rate, channels, samples.shape[0], samples
+
+
+def encode_wav(
+    samples: "object", sample_rate: int = 16000
+) -> bytes:
+    """Minimal PCM16 WAV encoder (fixture builder for the decode path):
+    (n_frames, channels) int16 array → canonical RIFF/fmt /data file."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, channels = arr.shape
+    raw = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2,
+        channels * 2, 16,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_audio(
+    df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio decode over a binary column via Arrow-batched mapInPandas:
+    REAL for RIFF/WAVE PCM (:func:`decode_wav`); other codecs would sit
+    behind the same real-library seam as compressed images. Emits
+    stream geometry plus integer per-channel sample sums and absolute
+    sums (the mean/energy ingredients a curation stage consumes) — all
+    integer-exact, so the whole Python path sits under the oracle gate
+    (q_wav_decode_stats). Zero shuffle; one Arrow batch per task."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("ch0_sum", T.LongType()),
+            T.StructField("ch0_abs_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, ch, n, samples = decode_wav(bytes(payload))
+                s64 = samples[:, 0].astype("int64")
+                rows.append(
+                    (pid, rate, ch, n, int(s64.sum()), int(abs(s64).sum()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def decode_image(df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
     """Image decode over a binary column via Arrow-batched mapInPandas:
     REAL for binary netpbm payloads (:func:`decode_netpbm` — pure
@@ -631,6 +751,74 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
     )
     return decode_image(images, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL WAV decode: a genuine mono PCM16 RIFF/WAVE file
+# per document — fixed 44-byte header (JVM literal) + 40 samples whose
+# raw little-endian bytes are five chained md5 digests, so the payload
+# is built entirely with Spark built-ins (concat + unhex; no Python
+# encode stage). decode_wav parses it inside mapInPandas; DuckDB never
+# touches WAV — it recomputes the signed-int16 sums from the hex.
+# ---------------------------------------------------------------------------
+_WAV_N = 40  # mono PCM16 frames → 80 raw bytes = 5 md5 digests
+
+
+def _wav_header(n_frames: int, channels: int = 1, rate: int = 16000) -> bytes:
+    import struct
+
+    raw_len = n_frames * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", raw_len)
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks) + raw_len) + chunks
+
+
+_WAV_SAMPLE_SQL = (
+    "list_transform(range(0, {n}), j -> CASE WHEN "
+    "('0x' || substr(h80, 4*j+3, 2))::BIGINT >= 128 "
+    "THEN ('0x' || substr(h80, 4*j+1, 2))::BIGINT "
+    "   + 256 * ('0x' || substr(h80, 4*j+3, 2))::BIGINT - 65536 "
+    "ELSE ('0x' || substr(h80, 4*j+1, 2))::BIGINT "
+    "   + 256 * ('0x' || substr(h80, 4*j+3, 2))::BIGINT END)"
+).format(n=_WAV_N)
+
+
+@query(
+    "q_wav_decode_stats",
+    sql=f"""
+    SELECT doc_id,
+           16000 AS sample_rate, 1 AS channels,
+           CAST({_WAV_N} AS BIGINT) AS n_frames,
+           CAST(list_sum(samples) AS BIGINT) AS ch0_sum,
+           CAST(list_sum(list_transform(samples, s -> abs(s))) AS BIGINT)
+               AS ch0_abs_sum
+    FROM (
+        SELECT doc_id, {_WAV_SAMPLE_SQL} AS samples
+        FROM (
+            SELECT doc_id,
+                   md5(text) || md5(text || 'a') || md5(text || 'b')
+                             || md5(text || 'c') || md5(text || 'd') AS h80
+            FROM documents
+        )
+    )
+    """,
+)
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    raster_hex = F.concat(
+        F.md5(F.col("text")),
+        *[F.md5(F.concat(F.col("text"), F.lit(s))) for s in "abcd"],
+    )
+    header = F.lit(_wav_header(_WAV_N))
+    waves = docs.select(
+        "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
+    )
+    return decode_audio(waves, id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -234,3 +234,62 @@ def test_decode_image_routes_png(spark):
     for r in rows:
         assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
         assert (r["ch0_sum"], r["ch1_sum"], r["ch2_sum"]) == tuple(int(s) for s in sums)
+
+
+def test_decode_wav_roundtrip_and_errors():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    # mono and stereo PCM16 roundtrips
+    for channels in (1, 2):
+        samples = rng.integers(-32768, 32768, size=(37, channels), dtype=np.int16)
+        rate, ch, n, got = decode_wav(encode_wav(samples, sample_rate=22050))
+        assert (rate, ch, n) == (22050, channels, 37)
+        assert (got == samples).all() and got.dtype == np.dtype("<i2")
+    # extra chunk before data (LIST) is skipped, odd-size pad honored
+    import struct
+
+    mono = rng.integers(-100, 100, size=(5, 1), dtype=np.int16)
+    good = encode_wav(mono)
+    listbody = b"INFOx"  # odd size 5 → pad byte
+    extra = b"LIST" + struct.pack("<I", len(listbody)) + listbody + b"\x00"
+    patched = good[:12] + extra + good[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, ch, n, got = decode_wav(patched)
+    assert n == 5 and (got == mono).all()
+    # error paths
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_wav(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError, match="non-PCM"):
+        bad = bytearray(good)
+        bad[20] = 3  # format code 3 = IEEE float
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="fmt /data"):
+        decode_wav(good[:12])
+
+
+def test_decode_audio_spark_path(spark):
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    samples = np.array([[100], [-200], [300], [-400]], dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    df = spark.range(2).select(
+        SF.col("id").alias("media_id"), SF.lit(payload).alias("payload")
+    )
+    rows = decode_audio(df).collect()
+    for r in rows:
+        assert (r["sample_rate"], r["channels"], r["n_frames"]) == (8000, 1, 4)
+        assert r["ch0_sum"] == -200 and r["ch0_abs_sum"] == 1000
