@@ -115,6 +115,40 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide per-status sums back to long (priority, status,
+# total) — Spark's native unpivot operator (zero shuffle beyond the
+# producing agg; the melt itself is a row-local Expand). Oracle is the
+# engine-agnostic UNION ALL form, which like Spark's unpivot keeps
+# NULL measures of absent (priority, status) combos.
+# ---------------------------------------------------------------------------
+@query(
+    "q_unpivot_status",
+    sql=f"""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+               {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+               {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'F' AS status, F AS total FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'O' AS status, O AS total FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'P' AS status, P AS total FROM wide
+    """,
+)
+def q_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_pivot_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="total",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles / median (deterministic interpolation both engines).
 # ---------------------------------------------------------------------------
 @query(
