@@ -21,7 +21,13 @@ PYTHON_ALLOWED = {
     "q_grouped_agg_udf",
     "q_multimodal_features",
     "q_image_decode_stats",
+    "q_png_decode_stats",  # r7: real PNG decode (zlib+numpy mapInPandas)
+    "q_wav_decode_stats",  # r7: real WAV PCM decode (struct+numpy)
 }
+# q_stateful_user_profiles is Python-path too (applyInPandasWithState),
+# but its Python stage runs inside the eager streaming replay; the
+# RETURNED plan is the JVM-only read-back of the replay output, which is
+# what audit() sees — so it takes the default JVM-only branch below.
 
 
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
