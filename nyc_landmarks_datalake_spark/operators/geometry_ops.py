@@ -87,3 +87,115 @@ def q_wkt_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         wkt_colon_encode(F.col("wkt")).alias("encoded"),
         wkt_blank(F.col("wkt")).alias("blanked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial join via grid bucketing — the scale path for point-in-polygon
+# over a landmarks-style corpus. A naive spatial join is a cartesian
+# product with a containment filter; the grid form shuffles both sides
+# on a cell key instead: every point hashes to EXACTLY ONE cell
+# (so matched pairs are emitted exactly once — no dedup pass), and each
+# rectangle replicates only to the O(area/cell²) cells it overlaps.
+# Cell size trades replication against per-cell join fan-in; skewed
+# hot cells are ordinary join skew (AQE / salting applies).
+# ---------------------------------------------------------------------------
+def spatial_grid_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    cell: int,
+    point_id: str = "point_id",
+    box_id: str = "box_id",
+) -> DataFrame:
+    """(point_id, x, y) ⋈ (box_id, xmin, ymin, xmax, ymax) →
+    containment pairs, grid-bucketed on integer coordinates
+    (non-negative; inclusive bounds). One shuffle per side on
+    (cx, cy); no cartesian anywhere."""
+    pts = points.select(
+        point_id,
+        "x",
+        "y",
+        F.expr(f"x DIV {cell}").alias("cx"),
+        F.expr(f"y DIV {cell}").alias("cy"),
+    )
+    cells = boxes.select(
+        box_id,
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+        F.explode(
+            F.sequence(F.expr(f"xmin DIV {cell}"), F.expr(f"xmax DIV {cell}"))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.expr(f"ymin DIV {cell}"), F.expr(f"ymax DIV {cell}"))
+        ).alias("cy"),
+    )
+    return (
+        pts.join(cells, ["cx", "cy"])
+        .filter(
+            F.col("x").between(F.col("xmin"), F.col("xmax"))
+            & F.col("y").between(F.col("ymin"), F.col("ymax"))
+        )
+        .select(point_id, box_id, "x", "y")
+    )
+
+
+#: deterministic integer point/box synthesis shared by both engines —
+#: the testdata carries no coordinates, so landmarks-style geometry is
+#: derived arithmetically from customer/supplier keys (same pattern as
+#: q_wkt_geometry). All arithmetic stays in int64.
+_PT_SQL = """
+    SELECT c_custkey AS point_id,
+           (c_custkey * 7919) % 100000 AS x,
+           (c_custkey * 104729) % 50000 AS y
+    FROM customer
+"""
+_BOX_SQL = """
+    SELECT s_suppkey AS box_id,
+           (s_suppkey * 48611) % 95000 AS xmin,
+           (s_suppkey * 15485863) % 45000 AS ymin,
+           (s_suppkey * 48611) % 95000 + 1000 + (s_suppkey * 31) % 4000 AS xmax,
+           (s_suppkey * 15485863) % 45000 + 1000 + (s_suppkey * 17) % 4000 AS ymax
+    FROM supplier
+"""
+
+
+@query(
+    "q_spatial_grid_join",
+    sql=f"""
+    WITH points AS ({_PT_SQL}), boxes AS ({_BOX_SQL})
+    SELECT box_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(point_id) AS BIGINT) AS sum_point_ids
+    FROM boxes JOIN points
+      ON x BETWEEN xmin AND xmax AND y BETWEEN ymin AND ymax
+    GROUP BY box_id
+    """,
+)
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed containment join, aggregated per box. The oracle
+    is the brute-force theta join — feasible at test scale, quadratic
+    at 100 TB, which is exactly why the grid form exists."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    points = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") * 7919 % 100000).alias("x"),
+        (F.col("c_custkey") * 104729 % 50000).alias("y"),
+    )
+    xmin = F.col("s_suppkey") * 48611 % 95000
+    ymin = F.col("s_suppkey") * 15485863 % 45000
+    boxes = supp.select(
+        F.col("s_suppkey").alias("box_id"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 1000 + F.col("s_suppkey") * 31 % 4000).alias("xmax"),
+        (ymin + 1000 + F.col("s_suppkey") * 17 % 4000).alias("ymax"),
+    )
+    pairs = spatial_grid_join(points, boxes, cell=5000)
+    return pairs.groupBy("box_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("point_id").alias("sum_point_ids"),
+    )

@@ -60,3 +60,36 @@ def test_entry_contract(spark):
     qs, osql = E.queries(), E.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 39
+
+
+def test_spatial_grid_join_exact_pairs(spark):
+    """Grid-bucketed containment join emits each matching pair EXACTLY
+    once (a point lives in one cell), including boxes spanning many
+    cells, and matches the brute-force reference join."""
+    from nyc_landmarks_datalake_spark.operators.geometry_ops import (
+        spatial_grid_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, (i * 37) % 100, (i * 59) % 80) for i in range(200)],
+        ["point_id", "x", "y"],
+    )
+    # box 0 spans the whole plane (many cells); others are small
+    boxes = spark.createDataFrame(
+        [(0, 0, 0, 99, 79), (1, 10, 10, 29, 19), (2, 95, 75, 99, 79)],
+        ["box_id", "xmin", "ymin", "xmax", "ymax"],
+    )
+    got = sorted(
+        (r["point_id"], r["box_id"])
+        for r in spatial_grid_join(points, boxes, cell=16).collect()
+    )
+    pts = [(i, (i * 37) % 100, (i * 59) % 80) for i in range(200)]
+    bxs = [(0, 0, 0, 99, 79), (1, 10, 10, 29, 19), (2, 95, 75, 99, 79)]
+    want = sorted(
+        (pid, bid)
+        for pid, x, y in pts
+        for bid, x0, y0, x1, y1 in bxs
+        if x0 <= x <= x1 and y0 <= y <= y1
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # no duplicate pairs
