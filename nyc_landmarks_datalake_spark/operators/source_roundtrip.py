@@ -1,0 +1,78 @@
+"""Non-parquet source/sink tier under the oracle gate.
+
+The csv/json/orc readers and writers were test-covered
+(tests/test_sources_roundtrip.py) but had no driver CORRECTNESS rows.
+Each query here writes the documents table through one format's SINK,
+reads it back through the matching SOURCE with an explicit schema, and
+aggregates — while the DuckDB oracle computes the same aggregate from
+the original parquet. A lossy writer, a mis-quoting CSV escape, or a
+schema-coercion bug in the reader shows up as a value mismatch.
+
+The roundtrip staging writes to a session temp dir (left for the OS
+reaper — the returned DataFrame lazily reads from it). Aggregation
+keys/values are integer-exact so parity is bit-exact.
+
+Scale posture: these are format-conformance probes, deliberately tiny.
+The production scan path is the same ``spark.read.<format>`` with
+pushdown (csv/json are row formats — only (path, length) prune; orc
+prunes like parquet), and the sink path is the same partitioned write
+as sources/layout.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+#: the oracle aggregate all three roundtrips must reproduce
+_AGG_SQL = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY lang
+"""
+
+
+def _roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tmp = os.path.join(
+        tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_"), "data"
+    )
+    writer = docs.write.mode("overwrite")
+    reader = spark.read
+    if fmt == "csv":
+        writer = writer.option("header", True)
+        reader = reader.option("header", True)
+    writer.format(fmt).save(tmp)
+    back = reader.schema(docs.schema).format(fmt).load(tmp)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@query("q_csv_roundtrip_agg", sql=_AGG_SQL)
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV source with explicit schema (quoting/escaping on
+    free text is the hazard this probes)."""
+    return _roundtrip_agg(spark, sf_dir, "csv")
+
+
+@query("q_json_roundtrip_agg", sql=_AGG_SQL)
+def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source (unicode escapes / type coercion)."""
+    return _roundtrip_agg(spark, sf_dir, "json")
+
+
+@query("q_orc_roundtrip_agg", sql=_AGG_SQL)
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source (the columnar alternative to parquet)."""
+    return _roundtrip_agg(spark, sf_dir, "orc")

@@ -71,4 +71,5 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.events_analytics  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.geometry_ops  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.training_pipeline  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.source_roundtrip  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.stateful  # noqa: F401
