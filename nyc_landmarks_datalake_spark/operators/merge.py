@@ -115,3 +115,52 @@ def q_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type", "value"
     )
     return keep_latest(events, ["user_id"], ["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Transactional MERGE through the commit-log table format
+# (sources/txtable.py): create the table at v0 from orders, run the
+# same SCD1 upsert as q_merge_upsert THROUGH merge_upsert_tx (stage →
+# publish v1 → snapshot read-back), and census the result. The oracle
+# is identical to q_merge_upsert's — so a broken commit protocol,
+# manifest, or snapshot reader shows up as a red driver row, not just
+# a unit-test failure.
+# ---------------------------------------------------------------------------
+@query(
+    "q_txlog_merge",
+    sql=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT {', '.join(ORDER_COLS)} FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM merged GROUP BY 1
+    """,
+)
+def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nyc_landmarks_datalake_spark.sources import txtable
+
+    base = table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    updates = (
+        base.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    path = tempfile.mkdtemp(prefix="txlog_orders_")
+    txtable.commit(spark, path, base, "create", expected_version=None)
+    txtable.merge_upsert_tx(spark, path, updates, ["o_orderkey"])
+    merged = txtable.read_snapshot(spark, path)  # latest = v1
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )

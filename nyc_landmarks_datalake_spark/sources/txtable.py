@@ -1,0 +1,224 @@
+"""Minimal transactional table format: a file-based commit log giving
+parquet zones ACID semantics without a lakehouse library.
+
+The sandbox has no delta-spark/iceberg (documented in SCALING.md), and
+the previous MERGE story was an atomic directory swap. This module
+implements the actual transactional core those formats provide, from
+first principles, on any POSIX-rename filesystem:
+
+Layout::
+
+    <table>/data/<version>-<n>.parquet   immutable data files
+    <table>/_txlog/00000042.json         commit 42's manifest
+
+Each commit file is the FULL manifest of the snapshot at that version
+(data file list + schema fingerprint + operation name + parent
+version). Readers list ``_txlog``, take the highest version, and read
+exactly the files it names — a half-written data directory is invisible
+because nothing references it (snapshot isolation). Writers stage data
+files first, then publish the manifest with ``os.link`` (hard-link
+then unlink), which FAILS if the version already exists — two racing
+writers can both stage, but only one publishes; the loser gets
+:class:`CommitConflict` and must rebase (optimistic concurrency, the
+same protocol Delta uses on HDFS-like stores).
+
+Crash safety: a writer dying before publish leaves orphaned data files
+referenced by no manifest — invisible to every reader; ``vacuum``
+removes them. A writer dying during publish leaves either no manifest
+(nothing happened) or a complete one (commit happened): ``link`` is
+atomic, and manifests are staged write-fsync-rename so a torn JSON is
+never visible under ``_txlog``.
+
+Scale posture: commits are O(1) driver-side metadata (one small JSON);
+data stays distributed parquet with normal pushdown/pruning. The
+full-snapshot manifest (vs delta's add/remove log) trades O(files)
+manifest size for zero log-replay cost — right up to manifests of ~1e5
+files; beyond that a real format's checkpointed delta log wins, which
+is the documented seam.
+
+Reference note: the reference has no row-level maintenance at all
+(CSVIngest.java moves whole objects, :253-269); this is the engine
+tier the lake's silver zone implies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first; rebase and retry."""
+
+
+def _txlog_dir(path: str) -> str:
+    return os.path.join(path, "_txlog")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_txlog_dir(path), f"{version:08d}.json")
+
+
+def _versions(path: str) -> list[int]:
+    try:
+        names = os.listdir(_txlog_dir(path))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+    )
+
+
+def current_version(path: str) -> int | None:
+    vs = _versions(path)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def _stage_data(df: DataFrame, path: str, version: int) -> list[str]:
+    """Write df as immutable parquet files under data/, return their
+    table-relative paths. Files are namespaced by target version + a
+    uuid so concurrent stagers never collide."""
+    sub = f"{version:08d}-{uuid.uuid4().hex[:12]}"
+    out = os.path.join(path, "data", sub)
+    df.write.mode("error").parquet(out)
+    return [
+        os.path.join("data", sub, n)
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+
+
+def _publish(path: str, version: int, manifest: dict) -> None:
+    """Atomically publish a manifest as <version>.json, failing if the
+    version exists (optimistic concurrency)."""
+    os.makedirs(_txlog_dir(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_txlog_dir(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(path, version))  # atomic, no overwrite
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already committed at {path}"
+            ) from e
+    finally:
+        os.unlink(tmp)
+
+
+def commit(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    operation: str,
+    expected_version: int | None = None,
+) -> int:
+    """Stage ``df`` as the table's next full snapshot and publish it.
+
+    ``expected_version``: the version this commit was based on (None
+    for table creation). Publishing targets expected_version + 1; if a
+    concurrent writer got there first, CommitConflict is raised AFTER
+    staging — staged files are orphans, invisible until vacuumed."""
+    base = current_version(path)
+    if expected_version is None and base is not None:
+        raise CommitConflict(f"table already exists at {path} (v{base})")
+    version = 0 if expected_version is None else expected_version + 1
+    files = _stage_data(df, path, version)
+    manifest = {
+        "version": version,
+        "parent": expected_version,
+        "operation": operation,
+        "schema": df.schema.jsonValue(),
+        "files": files,
+    }
+    _publish(path, version, manifest)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (default: latest). Time travel is
+    free: every manifest is a full snapshot."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
+    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+
+
+def merge_upsert_tx(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    max_retries: int = 3,
+) -> int:
+    """Transactional SCD1 MERGE: read latest snapshot, anti-join the
+    bases that collide on ``keys``, union the updates, commit as the
+    next version. Retries on conflict by rebasing on the new latest."""
+    from nyc_landmarks_datalake_spark.operators.merge import merge_upsert
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        base = read_snapshot(spark, path, base_v)
+        merged = merge_upsert(base, updates, keys)
+        try:
+            return commit(spark, path, merged, "merge_upsert", base_v)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} rebases at {path}")
+
+
+def referenced_files(path: str) -> set[str]:
+    out: set[str] = set()
+    for v in _versions(path):
+        out.update(_read_manifest(path, v)["files"])
+    return out
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Drop manifests older than the newest ``keep_versions`` and
+    delete staging directories no remaining manifest references
+    (including crash orphans). Staging dirs are immutable per-commit
+    units, so liveness is decided per-dir — a dir is live iff some
+    manifest references a file inside it; within a live dir every
+    parquet is referenced by construction (writer sidecars like
+    _SUCCESS ride along untouched). Returns deleted parquet paths."""
+    import shutil
+
+    vs = _versions(path)
+    for v in vs[:-keep_versions] if keep_versions else vs:
+        os.unlink(_manifest_path(path, v))
+    live_dirs = {os.path.dirname(f) for f in referenced_files(path)}
+    deleted: list[str] = []
+    data_root = os.path.join(path, "data")
+    for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        rel_dir = os.path.join("data", sub)
+        if rel_dir in live_dirs:
+            continue
+        full_dir = os.path.join(data_root, sub)
+        deleted.extend(
+            os.path.join(rel_dir, n)
+            for n in sorted(os.listdir(full_dir))
+            if n.endswith(".parquet")
+        )
+        shutil.rmtree(full_dir)
+    return deleted
