@@ -56,6 +56,7 @@ HEADLINE = [
     "q_mixture_weights",
     "q_repetition_signals",
     "q_png_decode_stats",
+    "q_gif_decode_stats",
     "q_wav_decode_stats",
     "q_stateful_user_profiles",
 ]

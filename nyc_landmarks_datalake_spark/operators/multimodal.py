@@ -11,11 +11,15 @@ container has no image/audio libraries; decode exists at three levels:
 - ``decode_png`` — REAL decode for non-interlaced 8-bit PNG: stdlib
   zlib inflate + numpy unfiltering of all five scanline filters, CRC-
   verified chunk walk. Oracle-checked by q_png_decode_stats;
+- ``decode_gif`` — REAL decode for non-interlaced GIF87a/89a: block
+  walk, sub-block reassembly, from-scratch LZW decompressor
+  (dictionary growth, early code-width bump, KwKwK), palette
+  expansion. Oracle-checked by q_gif_decode_stats;
 - ``decode_wav`` — REAL decode for RIFF/WAVE PCM audio (8/16-bit):
   chunk walk with pad-byte handling, numpy frame reshape. Oracle-
   checked by q_wav_decode_stats;
-- ``decode_image`` routes netpbm/PNG payloads to the real decoders and
-  gates the remaining compressed formats (jpeg-class) behind a PIL
+- ``decode_image`` routes netpbm/PNG/GIF payloads to the real decoders
+  and gates the remaining compressed formats (jpeg-class) behind a PIL
   import-try — the explicit real-library seam the spec directs;
 - ``extract_features`` computes a deterministic md5-derived feature
   vector from the raw bytes — a fake featurizer with 100% real Spark
@@ -365,6 +369,181 @@ def encode_png(pixels: "object", filters: list[int] | None = None) -> bytes:
     )
 
 
+def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytes:
+    """GIF-variant LZW decompression (LSB-first bit packing, dynamic
+    code width 3..12 bits, clear/end control codes). ``max_out`` bounds
+    output so a corrupt stream cannot balloon memory."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = dict(base)
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"LZW stream starts with non-literal {code}")
+            entry = table[code]  # first code after clear must be literal
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code} (next={next_code})")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        # the decoder's table is ONE entry behind the encoder's (no add
+        # on the first code after clear), so the width bump fires one
+        # slot early to stay in sync with encoder-side numbering
+        if next_code == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds raster size")
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL image decode for non-interlaced GIF87a/89a (first frame):
+    logical-screen + image descriptors, global/local color table,
+    sub-block reassembly, and a from-scratch LZW decompressor
+    (:func:`_lzw_decode`) — pure stdlib + numpy, matching the
+    netpbm/PNG decoders' (width, height, channels, pixels) contract
+    with palette indices expanded to RGB. Interlaced images and
+    truncated streams raise descriptive errors."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: magic={payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _w, _h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        if gct.shape[0] != n:
+            raise ValueError("truncated GIF global color table")
+        i += 3 * n
+    while i < len(payload):
+        block = payload[i]
+        i += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 1
+            while i < len(payload) and payload[i]:
+                i += payload[i] + 1
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[i : i + 9]
+            )
+            i += 9
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    payload[i : i + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = payload[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(payload) and payload[i]:
+                size = payload[i]
+                lzw += payload[i + 1 : i + 1 + size]
+                i += size + 1
+            i += 1
+            idx = _lzw_decode(min_code_size, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"short GIF raster: want {w * h} pixels, have {len(idx)}"
+                )
+            indices = np.frombuffer(idx[: w * h], dtype=np.uint8)
+            if int(indices.max(initial=0)) >= ct.shape[0]:
+                raise ValueError("GIF pixel index outside color table")
+            pixels = ct[indices].reshape(h, w, 3)
+            return w, h, 3, pixels
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(indices: "object", palette: "object") -> bytes:
+    """Minimal GIF89a encoder (fixture builder for the decode path):
+    (height, width) uint8 palette indices + (n, 3) palette → single
+    non-interlaced frame. The LZW stream emits a clear code before
+    every pixel code, so the dictionary never grows and every code is
+    min_code_size+1 bits — maximally simple, fully spec-conformant."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, int(pal.shape[0] - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: pal.shape[0]] = pal
+    clear, end = n, n + 1
+    code_size = bits + 1
+    # pack [clear, p0, clear, p1, ..., end] LSB-first
+    acc = 0
+    acc_bits = 0
+    stream = bytearray()
+    codes: list[int] = []
+    for p in idx.reshape(-1):
+        codes += [clear, int(p)]
+    codes.append(end)
+    for c in codes:
+        acc |= c << acc_bits
+        acc_bits += code_size
+        while acc_bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+    if acc_bits:
+        stream.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(bits)  # LZW min code size
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, "object"]:
     """REAL audio decode for RIFF/WAVE PCM — like netpbm, a pure
     header-plus-raw-bytes format needing only stdlib struct + numpy.
@@ -514,6 +693,8 @@ def decode_image(df: DataFrame, *, id_col: str = "media_id", payload_col: str = 
                     w, h, c, px = decode_netpbm(payload)
                 elif payload[:8] == _PNG_SIG:
                     w, h, c, px = decode_png(payload)
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, c, px = decode_gif(payload)
                 else:  # remaining compressed formats: real-library seam
                     try:
                         import PIL.Image  # noqa: F401
@@ -819,6 +1000,81 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
     )
     return decode_audio(waves, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL GIF decode: a genuine GIF89a per document — 256-
+# entry palette with entry i = (i, 2i mod 256, 3i mod 256), 5x5 indices
+# from two chained md5 digests, LZW-compressed (clear-code form) by
+# encode_gif. decode_gif walks blocks, reassembles sub-blocks, LZW-
+# decompresses and palette-expands inside mapInPandas; DuckDB never
+# touches GIF — it recomputes the channel sums from the md5 hex.
+# ---------------------------------------------------------------------------
+_GIF_W, _GIF_H = 5, 5
+
+
+def _gif_oracle_channel_sum(mult: int) -> str:
+    byte = f"('0x' || substr(h64, 2 * j + 1, 2))::BIGINT"
+    return (
+        f"CAST(list_sum(list_transform(range(0, {_GIF_W * _GIF_H}), "
+        f"j -> ({mult} * {byte}) % 256)) AS BIGINT)"
+    )
+
+
+@query(
+    "q_gif_decode_stats",
+    sql=f"""
+    SELECT doc_id,
+           {_GIF_W} AS width, {_GIF_H} AS height, 3 AS channels,
+           {_gif_oracle_channel_sum(1)} AS ch0_sum,
+           {_gif_oracle_channel_sum(2)} AS ch1_sum,
+           {_gif_oracle_channel_sum(3)} AS ch2_sum
+    FROM (
+        SELECT doc_id, md5(text) || md5(text || 'a') AS h64
+        FROM documents
+    )
+    """,
+)
+def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = compute_table(spark, sf_dir, "documents")
+    idx_hex = F.concat(
+        F.md5(F.col("text")), F.md5(F.concat(F.col("text"), F.lit("a")))
+    )
+    raw = docs.select("doc_id", F.unhex(idx_hex).alias("raster"))
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", raw.schema["doc_id"].dataType),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    n = _GIF_W * _GIF_H
+    pal = np.stack(
+        [
+            np.arange(256, dtype=np.int64) % 256,
+            (2 * np.arange(256, dtype=np.int64)) % 256,
+            (3 * np.arange(256, dtype=np.int64)) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    np.frombuffer(bytes(r)[:n], dtype=np.uint8).reshape(
+                        _GIF_H, _GIF_W
+                    ),
+                    pal,
+                )
+                for r in pdf["raster"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = raw.mapInPandas(encode, schema=enc_schema)
+    return decode_image(images, id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -293,3 +293,140 @@ def test_decode_audio_spark_path(spark):
     for r in rows:
         assert (r["sample_rate"], r["channels"], r["n_frames"]) == (8000, 1, 4)
         assert r["ch0_sum"] == -200 and r["ch0_abs_sum"] == 1000
+
+
+def _lzw_compress(min_code_size: int, data: bytes) -> bytes:
+    """Reference GIF-LZW compressor (test-side only): real dictionary
+    growth with the standard code-width convention, so the decoder's
+    growth / code-size-bump / KwKwK paths are exercised by genuine
+    streams, not just encode_gif's clear-code form."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    acc = acc_bits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += code_size
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(end)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_real_streams():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import _lzw_decode
+
+    rng = np.random.default_rng(3)
+    # repetitive data → dictionary growth + code-size bumps; KwKwK
+    # sequences occur naturally in runs
+    cases = [
+        b"\x00" * 500,
+        bytes(rng.integers(0, 4, 2000)),
+        bytes(rng.integers(0, 256, 3000)),
+        b"ababababababab" * 40,
+        bytes(range(256)) * 8,
+    ]
+    for data in cases:
+        for mcs in (2, 8):
+            if mcs == 2 and max(data) > 3:
+                continue
+            comp = _lzw_compress(mcs, data)
+            assert _lzw_decode(mcs, comp, len(data)) == data
+
+
+def test_decode_gif_roundtrip_and_errors():
+    import numpy as np
+    import struct
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    w, h, c, px = decode_gif(encode_gif(idx, pal))
+    assert (w, h, c) == (6, 4, 3)
+    assert (px == pal[idx]).all()
+    # small palette (4 colors → 3-bit min code size floor of 2)
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx4 = rng.integers(0, 4, size=(3, 3), dtype=np.uint8)
+    w, h, c, px = decode_gif(encode_gif(idx4, pal4))
+    assert (w, h, c) == (3, 3, 3) and (px == pal4[idx4]).all()
+    # a REAL dictionary-growing LZW stream through the full container:
+    # rebuild the payload with the reference compressor's stream
+    flat = idx.reshape(-1).tobytes()
+    comp = _lzw_compress(8, flat)
+    payload = bytearray(encode_gif(idx, pal))
+    # locate the image descriptor and splice in the grown stream
+    desc = payload.index(b"\x2c")
+    head = bytes(payload[: desc + 10 + 1])  # descriptor + min code size
+    sub = bytearray()
+    for off in range(0, len(comp), 255):
+        chunk = comp[off : off + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    spliced = head + bytes(sub) + b"\x00\x3b"
+    w, h, c, px = decode_gif(spliced)
+    assert (px == pal[idx]).all()
+    # error paths
+    with pytest.raises(ValueError, match="magic"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="interlaced"):
+        bad = bytearray(encode_gif(idx4, pal4))
+        d = bad.index(b"\x2c")
+        bad[d + 9] |= 0x40
+        decode_gif(bytes(bad))
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")
+
+
+def test_decode_image_routes_gif(spark):
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import encode_gif
+
+    pal = np.stack(
+        [np.arange(256) % 256, (2 * np.arange(256)) % 256,
+         (3 * np.arange(256)) % 256], axis=1,
+    ).astype(np.uint8)
+    idx = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    payload = encode_gif(idx, pal)
+    df = spark.range(2).select(
+        SF.col("id").alias("media_id"), SF.lit(payload).alias("payload")
+    )
+    rows = decode_image(df).collect()
+    px = pal[idx]
+    sums = px.reshape(-1, 3).sum(axis=0)
+    for r in rows:
+        assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
+        assert (r["ch0_sum"], r["ch1_sum"], r["ch2_sum"]) == tuple(int(s) for s in sums)

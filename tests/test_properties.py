@@ -410,3 +410,25 @@ def test_png_roundtrip_property(w, h, channels, data):
     gw, gh, gc, got = decode_png(encode_png(img, filters=filters))
     assert (gw, gh, gc) == (w, h, channels)
     assert got.dtype == np.uint8 and (got == img).all()
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(2, 8), st.data())
+def test_lzw_roundtrip_property(min_code_size, data):
+    """_lzw_decode inverts a reference growing-dictionary compressor
+    for ANY alphabet size and content — including repetitive inputs
+    that force KwKwK codes and code-width bumps."""
+    from nyc_landmarks_datalake_spark.operators.multimodal import _lzw_decode
+    from tests.test_multimodal import _lzw_compress
+
+    alphabet = 1 << min_code_size
+    n = data.draw(st.integers(1, 600))
+    if data.draw(st.booleans()):  # repetitive variant
+        run = bytes(data.draw(st.lists(
+            st.integers(0, alphabet - 1), min_size=1, max_size=8)))
+        raw = (run * (n // len(run) + 1))[:n]
+    else:
+        raw = bytes(data.draw(st.lists(
+            st.integers(0, alphabet - 1), min_size=n, max_size=n)))
+    comp = _lzw_compress(min_code_size, raw)
+    assert _lzw_decode(min_code_size, comp, len(raw)) == raw
