@@ -187,6 +187,46 @@ def merge_upsert_tx(
     raise CommitConflict(f"gave up after {max_retries} rebases at {path}")
 
 
+def optimize(
+    spark: SparkSession, path: str, target_files: int, max_retries: int = 3
+) -> int:
+    """Transactional compaction (the OPTIMIZE maintenance op): rewrite
+    the latest snapshot into ~target_files well-sized files and commit
+    the rewrite as the next version. Readers on the old version are
+    untouched (its files stay until vacuumed); a racing writer wins via
+    the usual conflict/rebase loop. Row content is unchanged, so a
+    conflict simply rebases onto the racer's snapshot."""
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        snap = read_snapshot(spark, path, base_v).repartition(target_files)
+        try:
+            return commit(spark, path, snap, "optimize", base_v)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} rebases at {path}")
+
+
+def streaming_upsert_sink(spark: SparkSession, path: str, keys: list[str]):
+    """foreachBatch sink that MERGEs each micro-batch into the table
+    through the commit log — the transactional upgrade of the
+    directory-swap sink in streaming/pipeline.py. Each micro-batch is
+    one commit; a crash between batches leaves the last committed
+    version intact, and the streaming checkpoint replays the batch
+    (the merge is idempotent per key, so replay converges).
+
+    Use: ``df.writeStream.foreachBatch(streaming_upsert_sink(spark,
+    path, ["k"]))``. The table must exist (commit version 0 first)."""
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert_tx(spark, path, batch_df, keys)
+
+    return sink
+
+
 def referenced_files(path: str) -> set[str]:
     out: set[str] = set()
     for v in _versions(path):

@@ -80,3 +80,48 @@ def test_merge_upsert_tx_roundtrip(spark, tmp_path):
     assert {r["k"] for r in txtable.read_snapshot(spark, path).collect()} == {
         1, 2, 3, 4,
     }
+
+
+def test_optimize_compacts_transactionally(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    txtable.commit(spark, path, df.repartition(16), "create", None)
+    assert len(txtable._read_manifest(path, 0)["files"]) == 16
+    v = txtable.optimize(spark, path, target_files=2)
+    assert v == 1
+    m = txtable._read_manifest(path, 1)
+    assert len(m["files"]) == 2 and m["operation"] == "optimize"
+    # row content unchanged; old version still readable (time travel)
+    assert txtable.read_snapshot(spark, path, 1).count() == 1000
+    assert txtable.read_snapshot(spark, path, 0).count() == 1000
+
+
+def test_streaming_upsert_sink_commits_per_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, "old"), (2, "old")], ["k", "tag"])
+    txtable.commit(spark, path, base, "create", None)
+
+    updates = spark.createDataFrame(
+        [(2, "new"), (3, "new"), (4, "new"), (5, "new")], ["k", "tag"]
+    )
+    updates.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            txtable.streaming_upsert_sink(spark, path, ["k"])
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["k"]: r["tag"] for r in txtable.read_snapshot(spark, path).collect()}
+    assert got == {1: "old", 2: "new", 3: "new", 4: "new", 5: "new"}
+    # one commit per non-empty micro-batch on top of v0
+    assert txtable.current_version(path) >= 2
