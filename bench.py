@@ -57,6 +57,7 @@ HEADLINE = [
     "q_repetition_signals",
     "q_png_decode_stats",
     "q_gif_decode_stats",
+    "q_jpeg_decode_stats",
     "q_wav_decode_stats",
     "q_stateful_user_profiles",
 ]

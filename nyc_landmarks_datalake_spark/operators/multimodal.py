@@ -18,9 +18,11 @@ container has no image/audio libraries; decode exists at three levels:
 - ``decode_wav`` — REAL decode for RIFF/WAVE PCM audio (8/16-bit):
   chunk walk with pad-byte handling, numpy frame reshape. Oracle-
   checked by q_wav_decode_stats;
-- ``decode_image`` routes netpbm/PNG/GIF payloads to the real decoders
-  and gates the remaining compressed formats (jpeg-class) behind a PIL
-  import-try — the explicit real-library seam the spec directs;
+- baseline JPEG decode lives in ``operators/jpeg.py`` (marker walk,
+  canonical Huffman, dequant, vectorized IDCT, YCbCr). Oracle-checked
+  by q_jpeg_decode_stats via integer-exact flat-block construction;
+- ``decode_image`` routes netpbm/PNG/GIF/JPEG payloads to the real
+  decoders; only genuinely unknown formats hit the PIL import-try seam;
 - ``extract_features`` computes a deterministic md5-derived feature
   vector from the raw bytes — a fake featurizer with 100% real Spark
   plumbing: binary column in, Arrow batch iteration, ``array<float>``
@@ -695,13 +697,19 @@ def decode_image(df: DataFrame, *, id_col: str = "media_id", payload_col: str = 
                     w, h, c, px = decode_png(payload)
                 elif payload[:6] in (b"GIF87a", b"GIF89a"):
                     w, h, c, px = decode_gif(payload)
-                else:  # remaining compressed formats: real-library seam
+                elif payload[:2] == b"\xFF\xD8":
+                    from nyc_landmarks_datalake_spark.operators.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    w, h, c, px = decode_jpeg(payload)
+                else:  # unknown formats: real-library seam
                     try:
                         import PIL.Image  # noqa: F401
                     except ImportError as e:
                         raise NotImplementedError(
-                            "non-netpbm/png decode requires Pillow; absent "
-                            "in this container"
+                            "decode of formats beyond netpbm/PNG/GIF/JPEG/WAV "
+                            "requires Pillow; absent in this container"
                         ) from e
                     raise NotImplementedError("PIL wiring lands with the library")
                 sums = px.reshape(-1, c).sum(axis=0, dtype="int64")
@@ -1000,6 +1008,63 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
     )
     return decode_audio(waves, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL JPEG decode: a genuine baseline JPEG per document
+# — 16x16 grayscale built from four FLAT 8x8 blocks whose values are
+# the first four md5 bytes. Flat blocks quantized with an all-ones
+# table have a DC-only spectrum, and IDCT of a DC-only block is exactly
+# flat — so the full pipeline (marker walk, Huffman decode incl.
+# cross-block DC prediction, dequant, IDCT, level shift) is
+# integer-exact and DuckDB recomputes the expected sums from hex
+# without modelling the lossy transform. Lossy roundtrips are covered
+# by tests with quantization-error bounds (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+@query(
+    "q_jpeg_decode_stats",
+    sql="""
+    SELECT doc_id,
+           16 AS width, 16 AS height, 1 AS channels,
+           CAST(64 * (('0x' || substr(h, 1, 2))::BIGINT
+                    + ('0x' || substr(h, 3, 2))::BIGINT
+                    + ('0x' || substr(h, 5, 2))::BIGINT
+                    + ('0x' || substr(h, 7, 2))::BIGINT) AS BIGINT) AS ch0_sum,
+           CAST(0 AS BIGINT) AS ch1_sum,
+           CAST(0 AS BIGINT) AS ch2_sum
+    FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    """,
+)
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.jpeg import encode_jpeg
+
+    docs = compute_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.unhex(F.md5(F.col("text"))).alias("h16"))
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", raw.schema["doc_id"].dataType),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for hbytes in pdf["h16"]:
+                b = bytes(hbytes)[:4]
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[:8, :8] = b[0]
+                img[:8, 8:] = b[1]
+                img[8:, :8] = b[2]
+                img[8:, 8:] = b[3]
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = raw.mapInPandas(encode, schema=enc_schema)
+    return decode_image(images, id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------

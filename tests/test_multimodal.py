@@ -430,3 +430,63 @@ def test_decode_image_routes_gif(spark):
     for r in rows:
         assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
         assert (r["ch0_sum"], r["ch1_sum"], r["ch2_sum"]) == tuple(int(s) for s in sums)
+
+
+def test_jpeg_roundtrip_and_errors():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    # flat blocks decode EXACTLY (the oracle query's invariant),
+    # including cross-block DC prediction
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 13, 250, 0, 128
+    w, h, c, out = decode_jpeg(encode_jpeg(img))
+    assert (w, h, c) == (16, 16, 1)
+    assert (out[..., 0] == img).all()
+    # near-lossless roundtrips at q=1, non-multiple-of-8 dims
+    g = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg(g))
+    assert (w, h, c) == (23, 19, 1)
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 2
+    rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg(rgb))
+    assert (w, h, c) == (12, 10, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+    # a real quantization table stays bounded by its own coarseness
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    w, h, c, out = decode_jpeg(encode_jpeg(g, qtable=qt))
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 80
+    # error paths: magic, progressive, restart, truncation
+    import pytest as _pytest
+
+    good = encode_jpeg(g)
+    with _pytest.raises(ValueError, match="magic"):
+        decode_jpeg(b"XX" + good[2:])
+    prog = bytearray(good)
+    sof = prog.index(b"\xFF\xC0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive|non-baseline"):
+        decode_jpeg(bytes(prog))
+    with _pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg(good[:2] + b"\xFF\xD9")
+
+
+def test_decode_image_routes_jpeg(spark):
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from nyc_landmarks_datalake_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    payload = encode_jpeg(img)
+    df = spark.range(2).select(
+        SF.col("id").alias("media_id"), SF.lit(payload).alias("payload")
+    )
+    for r in decode_image(df).collect():
+        assert (r["width"], r["height"], r["channels"]) == (8, 8, 1)
+        assert r["ch0_sum"] == 77 * 64 and r["ch1_sum"] == 0

@@ -23,6 +23,7 @@ PYTHON_ALLOWED = {
     "q_image_decode_stats",
     "q_png_decode_stats",  # r7: real PNG decode (zlib+numpy mapInPandas)
     "q_gif_decode_stats",  # r7: real GIF decode (from-scratch LZW)
+    "q_jpeg_decode_stats",  # r7: real baseline JPEG decode (huffman+IDCT)
     "q_wav_decode_stats",  # r7: real WAV PCM decode (struct+numpy)
 }
 # q_stateful_user_profiles is Python-path too (applyInPandasWithState),
