@@ -194,7 +194,12 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (xmin + 1000 + F.col("s_suppkey") * 31 % 4000).alias("xmax"),
         (ymin + 1000 + F.col("s_suppkey") * 17 % 4000).alias("ymax"),
     )
-    pairs = spatial_grid_join(points, boxes, cell=5000)
+    # cell=1000 (vs box sides up to 5000): boxes replicate to at most
+    # ~36 cells while the 100k x 50k plane yields 5000 cells — enough
+    # join-key cardinality that no single cell starves parallelism at
+    # large sf (cell=5000 left only 200 keys and one hot-cell task
+    # dominated the sf10 sweep). Output is identical for any cell size.
+    pairs = spatial_grid_join(points, boxes, cell=1000)
     return pairs.groupBy("box_id").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum("point_id").alias("sum_point_ids"),
