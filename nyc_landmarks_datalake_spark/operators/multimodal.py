@@ -193,8 +193,9 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, int, "object"]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: PNG color type → sample channels (palette expands to 3 post-lookup)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: PNG color type → samples per pixel IN THE RASTER (palette rasters
+#: carry 1-byte indices; they expand to 3 RGB channels post-lookup)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
@@ -207,9 +208,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
     walk with CRC32 verification, IDAT concatenation (the stream may be
     split across chunks), zlib inflate, and per-scanline unfiltering of
     all five filter types (None/Sub/Up/Average/Paeth). Color types
-    gray(0), RGB(2), gray+alpha(4) and RGBA(6) are supported; palette
-    (3), 16-bit and Adam7-interlaced images raise descriptive errors
-    rather than silently misdecoding.
+    gray(0), RGB(2), palette(3, expanded to RGB via PLTE), gray+alpha
+    (4) and RGBA(6) are supported; 16-bit and Adam7-interlaced images
+    raise descriptive errors rather than silently misdecoding.
 
     Unfilter cost note: None/Sub/Up rows reconstruct vectorized (Sub via
     per-lane cumsum mod 256 — exact in integer arithmetic); Average and
@@ -227,6 +228,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
         raise ValueError(f"not a PNG payload: magic={payload[:8]!r}")
     width = height = None
     color_type = None
+    palette = None
     idat = bytearray()
     i = 8
     while i + 12 <= len(payload):
@@ -250,6 +252,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
                 raise ValueError(f"only 8-bit PNG supported (bit_depth={bit_depth})")
             if color_type not in _PNG_CHANNELS:
                 raise ValueError(f"PNG color type {color_type} unsupported")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -302,6 +308,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, "object"]:
             raise ValueError(f"bad PNG filter type {ftype} on row {y}")
         out[y] = rec
     pixels = out.astype(np.uint8).reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = pixels[:, :, 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("PNG palette index outside PLTE")
+        pixels = palette[idx]
+        channels = 3
     return width, height, channels, pixels
 
 

@@ -490,3 +490,47 @@ def test_decode_image_routes_jpeg(spark):
     for r in decode_image(df).collect():
         assert (r["width"], r["height"], r["channels"]) == (8, 8, 1)
         assert r["ch0_sum"] == 77 * 64 and r["ch1_sum"] == 0
+
+
+def test_decode_png_palette():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import decode_png
+
+    # hand-build a palette (color type 3) PNG: 3x2 indices into a
+    # 4-entry PLTE
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, px = decode_png(payload)
+    assert (w, h, c) == (3, 2, 3)
+    assert (px == pal[idx]).all()
+    # missing PLTE → descriptive error
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bad)
