@@ -2,9 +2,10 @@
 
 The last piece of the real-decode multimodal tier (netpbm, PNG, GIF,
 WAV are in operators/multimodal.py). Scope is the honest baseline
-subset: 8-bit sequential DCT (SOF0), grayscale or 4:4:4 YCbCr (no
-chroma subsampling), no restart markers, no progressive — everything
-outside the subset raises a descriptive error rather than misdecoding.
+subset: 8-bit sequential DCT (SOF0); grayscale, 4:4:4, 4:2:2 and
+4:2:0 YCbCr (MCU-interleaved, chroma upsampled by pixel replication);
+no restart markers, no progressive — everything outside the subset
+raises a descriptive error rather than misdecoding.
 
 Decoder pipeline: marker walk → DQT/DHT/SOF0/SOS parse → entropy
 decode (canonical Huffman, MSB-first bit reader with 0xFF00 stuffing)
@@ -235,12 +236,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             for k in range(nc):
                 cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
                 h, v = hv >> 4, hv & 0x0F
-                if (h, v) != (1, 1):
-                    raise ValueError(
-                        "chroma subsampling unsupported (4:4:4/grayscale only)"
-                    )
                 comps.append((cid, tq, (h, v)))
-            if nc not in (1, 3):
+            samplings = [hv for _, _, hv in comps]
+            if nc == 1:
+                if samplings != [(1, 1)]:
+                    raise ValueError("grayscale JPEG must be 1x1 sampled")
+            elif nc == 3:
+                if samplings not in (
+                    [(1, 1)] * 3,          # 4:4:4
+                    [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                    [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+                ):
+                    raise ValueError(
+                        f"unsupported sampling {samplings} "
+                        "(4:4:4, 4:2:2, 4:2:0 or grayscale only)"
+                    )
+            else:
                 raise ValueError(f"{nc}-component JPEG unsupported")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError("non-baseline (progressive/extended) unsupported")
@@ -255,46 +266,70 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             if width is None:
                 raise ValueError("SOS before SOF0")
             reader = _BitReader(payload, i + 2 + seglen)
-            bw = (width + 7) // 8
-            bh = (height + 7) // 8
             nc = len(comps)
-            planes = np.zeros((nc, bh * 8, bw * 8))
+            hmax = max(hv[0] for _, _, hv in comps)
+            vmax = max(hv[1] for _, _, hv in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            # per-component block-grid planes sized in whole MCUs
+            planes = [
+                np.zeros((mcus_y * hv[1] * 8, mcus_x * hv[0] * 8))
+                for _, _, hv in comps
+            ]
             pred = [0] * nc
-            for by in range(bh):
-                for bx in range(bw):
+
+            def decode_block(c: int) -> np.ndarray:
+                dc_t = htables.get((0, scan[c][0]))
+                ac_t = htables.get((1, scan[c][1]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("missing Huffman table for scan")
+                coef = np.zeros(64, dtype=np.int64)
+                t = reader.huff(dc_t)
+                pred[c] += _extend(reader.read(t), t)
+                coef[0] = pred[c]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run exceeds block")
+                    coef[ZIGZAG[k]] = _extend(reader.read(s), s)
+                    k += 1
+                q = qtables[comps[c][1]]
+                block = (coef.reshape(8, 8) * q).astype(np.float64)
+                return _M.T @ block @ _M + 128.0
+
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     for c in range(nc):
-                        dc_t = htables.get((0, scan[c][0]))
-                        ac_t = htables.get((1, scan[c][1]))
-                        if dc_t is None or ac_t is None:
-                            raise ValueError("missing Huffman table for scan")
-                        coef = np.zeros(64, dtype=np.int64)
-                        t = reader.huff(dc_t)
-                        pred[c] += _extend(reader.read(t), t)
-                        coef[0] = pred[c]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(ac_t)
-                            r, s = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run exceeds block")
-                            coef[ZIGZAG[k]] = _extend(reader.read(s), s)
-                            k += 1
-                        q = qtables[comps[c][1]]
-                        block = (coef.reshape(8, 8) * q).astype(np.float64)
-                        spatial = _M.T @ block @ _M + 128.0
-                        planes[
-                            c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = spatial
-            planes = np.clip(np.round(planes), 0, 255)[:, :height, :width]
+                        hc, vc = comps[c][2]
+                        for v in range(vc):
+                            for hpos in range(hc):
+                                y0 = (my * vc + v) * 8
+                                x0 = (mx * hc + hpos) * 8
+                                planes[c][y0 : y0 + 8, x0 : x0 + 8] = (
+                                    decode_block(c)
+                                )
+            # upsample subsampled components to full resolution, crop
+            full = np.zeros((nc, height, width))
+            for c in range(nc):
+                hc, vc = comps[c][2]
+                p = planes[c]
+                if (hc, vc) != (hmax, vmax):
+                    p = np.repeat(
+                        np.repeat(p, vmax // vc, axis=0), hmax // hc, axis=1
+                    )
+                full[c] = p[:height, :width]
+            full = np.clip(np.round(full), 0, 255)
             if nc == 1:
-                return width, height, 1, planes[0].astype(np.uint8)[..., None]
-            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+                return width, height, 1, full[0].astype(np.uint8)[..., None]
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
             r = y + 1.402 * cr
             g = y - 0.344136 * cb - 0.714136 * cr
             b = y + 1.772 * cb
@@ -334,17 +369,26 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def encode_jpeg(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsampling: str = "4:4:4",
+) -> bytes:
     """Minimal baseline encoder (fixture builder): grayscale (h, w) /
-    (h, w, 1) or RGB (h, w, 3) uint8 → SOF0 4:4:4 JPEG with the given
-    8x8 quantization table (default all-ones = max fidelity) and the
-    Annex-K Huffman tables for every component."""
+    (h, w, 1) or RGB (h, w, 3) uint8 → SOF0 JPEG with the given 8x8
+    quantization table (default all-ones = max fidelity), the Annex-K
+    Huffman tables, and ``subsampling`` of "4:4:4" or "4:2:0" (chroma
+    averaged 2x2 — the camera-default profile, so the decoder's MCU
+    interleave and upsample paths are testable with real streams)."""
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         px = px[..., None]
     h, w, nc = px.shape
     if nc not in (1, 3):
         raise ValueError(f"{nc}-channel input unsupported")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "4:2:0" and nc == 3
     q = (
         np.ones((8, 8), dtype=np.int64)
         if qtable is None
@@ -358,14 +402,31 @@ def encode_jpeg(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
         planes = [y, cb, cr]
     else:
         planes = [px[..., 0]]
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = []
-    for p in planes:
-        full = np.empty((bh * 8, bw * 8))
-        full[:h, :w] = p
-        full[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
-        full[:, w:] = full[:, w - 1 : w]
-        padded.append(full)
+    hv = [(2, 2), (1, 1), (1, 1)][:nc] if sub else [(1, 1)] * nc
+    hmax = max(x for x, _ in hv)
+    vmax = max(x for _, x in hv)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        full = np.empty((ph, pw))
+        ch, cw = p.shape
+        full[:ch, :cw] = p
+        full[ch:, :cw] = p[ch - 1 : ch, :]  # edge-replicate padding
+        full[:, cw:] = full[:, cw - 1 : cw]
+        return full
+
+    comp_planes = []
+    for c, p in enumerate(planes):
+        hc, vc = hv[c]
+        if (hc, vc) != (hmax, vmax):  # downsample chroma by 2x2 mean
+            ph = (p.shape[0] + 1) // 2 * 2
+            pw = (p.shape[1] + 1) // 2 * 2
+            p2 = pad_to(p, ph, pw)
+            p = (
+                p2.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            )
+        comp_planes.append(pad_to(p, mcus_y * vc * 8, mcus_x * hc * 8))
 
     dc_lum_dec, dc_lum_enc = _canonical_codes(*_DC_LUM)
     ac_lum_dec, ac_lum_enc = _canonical_codes(*_AC_LUM)
@@ -376,43 +437,53 @@ def encode_jpeg(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     wtr = _BitWriter()
     pred = [0] * nc
     inv_zz = ZIGZAG  # coef order: zigzag index k -> natural index
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(nc):
-                block = padded[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coefs = _M @ (block - 128.0) @ _M.T
-                qc = np.round(coefs / q).astype(np.int64)
-                zz = qc.reshape(-1)[inv_zz]
-                dc_enc, ac_enc = enc_tabs[c]
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                t = _category(diff)
-                code, length = dc_enc[t]
+
+    def emit_block(c: int, block: np.ndarray) -> None:
+        coefs = _M @ (block - 128.0) @ _M.T
+        qc = np.round(coefs / q).astype(np.int64)
+        zz = qc.reshape(-1)[inv_zz]
+        dc_enc, ac_enc = enc_tabs[c]
+        diff = int(zz[0]) - pred[c]
+        pred[c] = int(zz[0])
+        t = _category(diff)
+        code, length = dc_enc[t]
+        wtr.write(code, length)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        k = 63
+        while k > 0 and zz[k] == 0:
+            k -= 1
+        pos = 1
+        while pos <= k:
+            run = 0
+            while zz[pos] == 0:
+                run += 1
+                pos += 1
+            while run >= 16:
+                code, length = ac_enc[0xF0]
                 wtr.write(code, length)
-                if t:
-                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                k = 63
-                while k > 0 and zz[k] == 0:
-                    k -= 1
-                pos = 1
-                while pos <= k:
-                    run = 0
-                    while zz[pos] == 0:
-                        run += 1
-                        pos += 1
-                    while run >= 16:
-                        code, length = ac_enc[0xF0]
-                        wtr.write(code, length)
-                        run -= 16
-                    v = int(zz[pos])
-                    s = _category(v)
-                    code, length = ac_enc[(run << 4) | s]
-                    wtr.write(code, length)
-                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    pos += 1
-                if k < 63:
-                    code, length = ac_enc[0x00]  # EOB
-                    wtr.write(code, length)
+                run -= 16
+            v = int(zz[pos])
+            s = _category(v)
+            code, length = ac_enc[(run << 4) | s]
+            wtr.write(code, length)
+            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            pos += 1
+        if k < 63:
+            code, length = ac_enc[0x00]  # EOB
+            wtr.write(code, length)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(nc):
+                hc, vc = hv[c]
+                for v in range(vc):
+                    for hpos in range(hc):
+                        y0 = (my * vc + v) * 8
+                        x0 = (mx * hc + hpos) * 8
+                        emit_block(
+                            c, comp_planes[c][y0 : y0 + 8, x0 : x0 + 8]
+                        )
     entropy = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -423,7 +494,7 @@ def encode_jpeg(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     out += seg(0xDB, b"\x00" + zz_q)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0])
+        sof += bytes([c + 1, hv[c][0] << 4 | hv[c][1], 0])
     out += seg(0xC0, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:

@@ -534,3 +534,35 @@ def test_decode_png_palette():
     )
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(bad)
+
+
+def test_jpeg_420_subsampling():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(21)
+    # flat color: chroma constant, 4:2:0 roundtrip near-exact
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[...] = (37, 180, 91)
+    w, h, c, out = decode_jpeg(encode_jpeg(img, subsampling="4:2:0"))
+    assert (w, h, c) == (16, 16, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    # 2x2-blockwise-constant chroma: subsampling is lossless
+    base = rng.integers(0, 256, (8, 8, 3))
+    img2 = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img2, subsampling="4:2:0"))[3]
+    assert np.abs(out.astype(int) - img2.astype(int)).max() <= 4
+    # odd dims exercise MCU padding + crop
+    img3 = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg(img3, subsampling="4:2:0"))
+    assert (w, h, c) == (13, 21, 3)
+    # luma survives chroma subsampling tightly even on noise
+    y_in = 0.299 * img3[..., 0] + 0.587 * img3[..., 1] + 0.114 * img3[..., 2]
+    y_out = 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
+    # worst case on pure noise: chroma clipping in RGB space leaks a few
+    # counts into reconstructed luma; real images sit far inside this
+    assert np.abs(y_out - y_in).max() <= 16
