@@ -59,6 +59,7 @@ HEADLINE = [
     "q_gif_decode_stats",
     "q_jpeg_decode_stats",
     "q_wav_decode_stats",
+    "q_image_resize_stats",
     "q_stateful_user_profiles",
 ]
 

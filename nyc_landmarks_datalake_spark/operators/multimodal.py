@@ -737,6 +737,66 @@ def decode_image(df: DataFrame, *, id_col: str = "media_id", payload_col: str = 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL pixel resize (nearest-neighbor) over decodable payloads via
+    Arrow-batched mapInPandas: decode (netpbm/PNG/GIF/JPEG), index-map
+    src pixel (ty*h div th, tx*w div tw) per target pixel, emit target
+    dims + integer channel sums of the RESIZED image. Nearest-neighbor
+    is pure integer index arithmetic, so the DuckDB oracle can
+    recompute expected sums without any image machinery
+    (q_image_resize_stats). Zero shuffle; embarrassingly parallel."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("ch0_sum", T.LongType()),
+            T.StructField("ch1_sum", T.LongType()),
+            T.StructField("ch2_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                if payload[:2] in (b"P5", b"P6"):
+                    w, h, c, px = decode_netpbm(payload)
+                elif payload[:8] == _PNG_SIG:
+                    w, h, c, px = decode_png(payload)
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, c, px = decode_gif(payload)
+                else:
+                    from nyc_landmarks_datalake_spark.operators.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    w, h, c, px = decode_jpeg(payload)
+                ys = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                xs = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                resized = px[np.ix_(ys, xs)]
+                sums = resized.reshape(-1, c).sum(axis=0, dtype="int64")
+                rows.append(
+                    (pid, target_w, target_h, c, int(sums[0]),
+                     int(sums[1]) if c > 1 else 0,
+                     int(sums[2]) if c > 2 else 0)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: explodes frame indexes 0, n, 2n, ...
     from metadata without touching payload bytes (planning stays
@@ -1022,6 +1082,58 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
     )
     return decode_audio(waves, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL resize: an 8x6 P6 per document (144-byte raster =
+# nine chained md5 digests exactly), nearest-neighbor-resized to 4x3
+# inside mapInPandas. NN resize is pure integer index arithmetic —
+# resized(ty,tx) = src(ty*h div th, tx*w div tw) — so DuckDB recomputes
+# the resized channel sums directly from the hex: a wrong stride,
+# transposed axis, or off-by-one in the index map is a value mismatch.
+# ---------------------------------------------------------------------------
+_RSZ_W, _RSZ_H = 8, 6  # source dims; target is 4x3
+
+
+def _resize_oracle_channel_sum(c: int) -> str:
+    src = (
+        f"(2 * (j // 4) * {_RSZ_W} + 2 * (j % 4)) * 3 + {c}"
+    )  # j = ty*4+tx over the 4x3 target; src pixel = (2ty, 2tx)
+    byte = f"('0x' || substr(h144, 2 * ({src}) + 1, 2))::BIGINT"
+    return (
+        f"CAST(list_sum(list_transform(range(0, 12), j -> {byte})) AS BIGINT)"
+    )
+
+
+@query(
+    "q_image_resize_stats",
+    sql=f"""
+    SELECT doc_id,
+           4 AS width, 3 AS height, 3 AS channels,
+           {_resize_oracle_channel_sum(0)} AS ch0_sum,
+           {_resize_oracle_channel_sum(1)} AS ch1_sum,
+           {_resize_oracle_channel_sum(2)} AS ch2_sum
+    FROM (
+        SELECT doc_id,
+               md5(text) || md5(text || 'a') || md5(text || 'b')
+                         || md5(text || 'c') || md5(text || 'd')
+                         || md5(text || 'e') || md5(text || 'f')
+                         || md5(text || 'g') || md5(text || 'h') AS h144
+        FROM documents
+    )
+    """,
+)
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    raster_hex = F.concat(
+        F.md5(F.col("text")),
+        *[F.md5(F.concat(F.col("text"), F.lit(s))) for s in "abcdefgh"],
+    )
+    header = F.lit(f"P6\n{_RSZ_W} {_RSZ_H}\n255\n".encode())
+    images = docs.select(
+        "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
+    )
+    return resize_image(images, 4, 3, id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -566,3 +566,26 @@ def test_jpeg_420_subsampling():
     # worst case on pure noise: chroma clipping in RGB space leaks a few
     # counts into reconstructed luma; real images sit far inside this
     assert np.abs(y_out - y_in).max() <= 16
+
+
+def test_resize_image_nearest_neighbor(spark):
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        encode_png,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    payload = encode_png(px, filters=[0, 1, 2, 3, 4, 1])
+    df = spark.range(1).select(
+        SF.col("id").alias("media_id"), SF.lit(payload).alias("payload")
+    )
+    r = resize_image(df, 4, 3).collect()[0]
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(4) * 8) // 4
+    expect = px[np.ix_(ys, xs)].reshape(-1, 3).sum(axis=0)
+    assert (r["width"], r["height"], r["channels"]) == (4, 3, 3)
+    assert (r["ch0_sum"], r["ch1_sum"], r["ch2_sum"]) == tuple(int(s) for s in expect)
