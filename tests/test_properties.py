@@ -432,3 +432,37 @@ def test_lzw_roundtrip_property(min_code_size, data):
             st.integers(0, alphabet - 1), min_size=n, max_size=n)))
     comp = _lzw_compress(min_code_size, raw)
     assert _lzw_decode(min_code_size, comp, len(raw)) == raw
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.data(),
+)
+def test_jpeg_roundtrip_property(w, h, channels, sub, data):
+    """decode(encode(img)) stays within the documented error envelope
+    for ANY dims (incl. non-multiple-of-8 MCU padding), channel count,
+    pixel content and subsampling choice at q=1."""
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    n = w * h * channels
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    img = np.array(flat, dtype=np.uint8).reshape(h, w, channels)
+    subsampling = "4:2:0" if (sub and channels == 3) else "4:4:4"
+    gw, gh, gc, out = decode_jpeg(encode_jpeg(img, subsampling=subsampling))
+    assert (gw, gh, gc) == (w, h, channels)
+    if subsampling == "4:4:4":
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    else:  # chroma is 2x2-averaged; luma must survive tightly
+        y = lambda a: (
+            0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        )
+        assert np.abs(y(out) - y(img)).max() <= 16
