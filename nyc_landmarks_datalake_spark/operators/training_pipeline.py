@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.hashing import md5_long, md5_long_sql
 from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
 from nyc_landmarks_datalake_spark.operators.dedup import _SHINGLED_DUCK, shingled
 from nyc_landmarks_datalake_spark.registry import query
@@ -584,4 +585,65 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(5 * F.col("dup_bi") > F.col("n_bi"), 1).otherwise(0))
         .cast("long")
         .alias("n_flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (the sequence-prep step
+# between curation and packing — long documents become training-length
+# pieces with CHUNK_W-CHUNK_S tokens of overlap so no boundary context
+# is lost). Pure map-side: split once, checkpoint the computed token
+# array (GenerateExec re-evaluates its child during generation — the
+# explode-over-computed-input trap), then explode only the tiny start
+# offsets and slice. No shuffle at all — at 100 TB chunking is a
+# zero-exchange stage fused into the scan.
+# ---------------------------------------------------------------------------
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (overlap = CHUNK_W - CHUNK_S)
+
+
+@query(
+    "q_doc_chunks",
+    sql=f"""
+    WITH ctoks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    cstarts AS (
+        SELECT doc_id, toks,
+               CAST(unnest(range(0, n, {CHUNK_S})) AS BIGINT) AS start
+        FROM ctoks
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + {CHUNK_W})) AS BIGINT)
+               AS n_tokens,
+           {md5_long_sql(
+               "array_to_string(list_slice(toks, start + 1, start + "
+               + str(CHUNK_W) + "), ' ')"
+           )} AS chunk_hash
+    FROM cstarts
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).localCheckpoint(eager=False)
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
+        ).alias("start"),
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_W))
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / CHUNK_S).cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        md5_long(F.array_join(piece, " ")).alias("chunk_hash"),
     )
