@@ -364,3 +364,79 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of the embedding column — the storage/SIMD
+# compression step before ANN at scale (4x smaller vectors, the IVF
+# probe then scores int8). Symmetric per-vector scale = max|x|/127;
+# rounding is floor(x/scale + 0.5), NOT round(): Spark's HALF_UP and
+# DuckDB's rounding can break exact-.5 ties differently, while floor is
+# bit-identical everywhere. Pure map-side (zero shuffle, zero Python):
+# per vector we emit the quantized checksum (integer-exact — any
+# misquantized lane changes it) and the max absolute reconstruction
+# error (order-independent double MAX).
+# ---------------------------------------------------------------------------
+Q8_LO, Q8_HI = -127, 127
+
+
+def _q8(x: Column, scale: Column) -> Column:
+    """Clamped int8 lane: floor(x/scale + 0.5) in [-127, 127]."""
+    return F.greatest(
+        F.least(F.floor(x / scale + 0.5), F.lit(float(Q8_HI))),
+        F.lit(float(Q8_LO)),
+    )
+
+
+def _q8_sql(x: str, scale: str) -> str:
+    return f"greatest(least(floor(({x}) / ({scale}) + 0.5), 127.0), -127.0)"
+
+
+@query(
+    "q_embedding_quantize",
+    sql=f"""
+    WITH qv AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS e,
+               greatest(list_max(list_transform(embedding::DOUBLE[],
+                                                x -> abs(x))), 1e-30) / 127
+                   AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           scale,
+           CAST(list_sum(list_transform(e,
+               x -> CAST({_q8_sql('x', 'scale')} AS BIGINT))) AS BIGINT)
+               AS q_sum,
+           list_max(list_transform(e,
+               x -> abs(x - {_q8_sql('x', 'scale')} * scale)))
+               AS max_abs_err
+    FROM qv
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = compute_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = emb.select(
+        "vec_id",
+        e.alias("e"),
+        (
+            F.greatest(
+                F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-30)
+            )
+            / 127
+        ).alias("scale"),
+    )
+    scale = F.col("scale")
+    return qv.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: _q8(x, scale).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_sum"),
+        F.array_max(
+            F.transform(F.col("e"), lambda x: F.abs(x - _q8(x, scale) * scale))
+        ).alias("max_abs_err"),
+    )

@@ -16,7 +16,7 @@ plans as literals.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.functions.hashing import (
@@ -24,6 +24,7 @@ from nyc_landmarks_datalake_spark.functions.hashing import (
     md5_long,
     md5_long_sql,
 )
+from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
 
@@ -261,4 +262,131 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_lang",
         "n",
         (F.col("n") * F.lit(1.0) / F.sum("n").over(w_lang)).alias("recall_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (the lexical baseline next to similarity.py's
+# ANN tier). IDF uses the RATIONAL Robertson form (N - df + 0.5) /
+# (df + 0.5) WITHOUT the ln() wrapper — natural log is not guaranteed
+# bit-identical across libms (same decision as q_tfidf_top_term), and
+# the rational form keeps the per-term ordering. Per-term scores are
+# combined in FIXED order (t1 + t2) + t3 via conditional aggregation —
+# a groupBy SUM over doubles would be merge-order dependent.
+#
+# Scale shape: df for the 3 query terms = one filtered hash-agg (the
+# filter prunes the exploded stream before the shuffle); per-doc tf =
+# one hash-agg over the same filtered stream; the df/avgdl scalars ride
+# a broadcast 1-row frame; final top-k is a row_number window over docs
+# that matched at least one term — never the full corpus.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("spark", "vector", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+@query(
+    "q_bm25_topk",
+    sql=f"""
+    WITH btoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    bstats AS (
+        SELECT COUNT(*) AS n_docs,
+               {davg_sql("len(string_split(text, ' '))")} AS avgdl
+        FROM documents
+    ),
+    bdf AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM btoks
+        WHERE term IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    btf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM btoks
+        WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    bdl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    bscored AS (
+        SELECT t.doc_id, t.term,
+               ((s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+               * (t.tf * ({BM25_K1}::DOUBLE + 1.0::DOUBLE))
+               / (t.tf + {BM25_K1}::DOUBLE * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                  + {BM25_B}::DOUBLE * l.dl / s.avgdl)) AS score
+        FROM btf t
+        JOIN bdf d USING (term)
+        JOIN bdl l USING (doc_id)
+        CROSS JOIN bstats s
+    ),
+    btotal AS (
+        SELECT doc_id,
+               ((COALESCE(MAX(CASE WHEN term = '{BM25_TERMS[0]}' THEN score END), 0.0::DOUBLE)
+                 + COALESCE(MAX(CASE WHEN term = '{BM25_TERMS[1]}' THEN score END), 0.0::DOUBLE))
+                 + COALESCE(MAX(CASE WHEN term = '{BM25_TERMS[2]}' THEN score END), 0.0::DOUBLE))
+                   AS bm25
+        FROM bscored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM btotal
+    )
+    WHERE rk <= {BM25_TOP}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.functions.numeric import davg
+
+    docs = compute_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.size(F.split(F.col("text"), " ")).cast("double")).alias("avgdl"),
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+        )
+    )
+
+    def _term(t: str) -> Column:
+        return F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("score"))), F.lit(0.0)
+        )
+
+    total = scored.groupBy("doc_id").agg(
+        (
+            (_term(BM25_TERMS[0]) + _term(BM25_TERMS[1])) + _term(BM25_TERMS[2])
+        ).alias("bm25")
+    )
+    # TakeOrderedAndProject first (per-partition heaps, no global sort),
+    # THEN rank the BM25_TOP survivors — the global row_number window
+    # only ever sees BM25_TOP rows.
+    top = total.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "bm25", F.row_number().over(w).cast("long").alias("rk")
     )
