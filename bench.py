@@ -61,6 +61,14 @@ HEADLINE = [
     "q_wav_decode_stats",
     "q_image_resize_stats",
     "q_stateful_user_profiles",
+    # added late-r7: clustering/retrieval tier — k-means drives two
+    # broadcast-assign passes plus a k*d agg, SemDeDup adds the capped
+    # intra-cluster pair scan, BM25/quantize/chunking are map-heavy
+    "q_kmeans_lloyd",
+    "q_semantic_dedup",
+    "q_doc_chunks",
+    "q_bm25_topk",
+    "q_embedding_quantize",
 ]
 
 

@@ -289,3 +289,38 @@ def test_mixture_weights_windows_aggregates_only(spark, sf_oracle):
     a = audit(registry.QUERIES["q_mixture_weights"](spark, sf_oracle))
     assert not a.has_python_eval
     assert a.exchanges <= 2, a
+
+
+def test_doc_chunks_zero_data_shuffle(spark, sf_oracle):
+    # chunking is pure map work: split → lazy checkpoint → explode
+    # starts → slice. No hash/range exchange anywhere (compute_table's
+    # round-robin repartition is load balancing, not a data shuffle).
+    a = audit(registry.QUERIES["q_doc_chunks"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.exchanges == 0, a
+
+
+def test_embedding_quantize_map_side(spark, sf_oracle):
+    a = audit(registry.QUERIES["q_embedding_quantize"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.exchanges == 0, a
+
+
+def test_bm25_take_ordered_topk(spark, sf_oracle):
+    # the global top-k must be a TakeOrdered (per-partition heaps), and
+    # the final rank window may only ever see the BM25_TOP survivors
+    df = registry.QUERIES["q_bm25_topk"](spark, sf_oracle)
+    a = audit(df)
+    assert not a.has_python_eval
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_kmeans_broadcast_assignment(spark, sf_oracle):
+    # both Lloyd assignment passes must be broadcast joins of the
+    # centroid array — the corpus never shuffles for assignment; the
+    # only hash exchanges belong to the k*d means agg and final stats
+    a = audit(registry.QUERIES["q_kmeans_lloyd"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.broadcast_exchanges >= 1, a
+    assert a.sort_merge_joins == 0 and a.shuffled_hash_joins == 0, a
