@@ -1,0 +1,89 @@
+"""Streaming deduplication — the exactly-once ingest pattern.
+
+``dropDuplicates`` over a streaming source keeps per-key state in the
+state store (one shuffle to co-locate keys) and emits each key exactly
+once, at first sight, across ALL micro-batches. This is the dedup half
+of at-least-once ingestion: upstream retries/replays collapse to one
+row downstream.
+
+Replay harness mirrors streaming/stateful.py: the batch table is staged
+to files and streamed with ``maxFilesPerTrigger=1``, so the no-re-emit
+guarantee is exercised across REAL micro-batch boundaries (a key seen
+in batch 0 must stay suppressed in batch 3 via recovered state, not
+within-batch distinct).
+
+Determinism note: streaming dropDuplicates keeps the FIRST row per key,
+and "first" depends on file/partition arrival order — so the registered
+query projects ONLY the key columns before deduplicating. The emitted
+set is then exactly the distinct key set regardless of arrival order,
+which is what makes the operator oracle-checkable bit-exactly.
+
+Scale: state is one fixed-size entry per distinct key. For unbounded
+production streams pair with ``withWatermark`` +
+``dropDuplicatesWithinWatermark`` so state ages out; the availableNow
+replay here omits the watermark because the staged table is finite
+(same reasoning as the NoTimeout choice in stateful.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def replay_stream_dedup(
+    spark,
+    rows: DataFrame,
+    keys: list[str],
+    n_source_files: int = 4,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stage ``rows`` and replay them file-by-file through streaming
+    ``dropDuplicates(keys)``; return everything emitted. The temp dir
+    must outlive the returned lazy DataFrame (OS tmp reaper cleans it —
+    never clean up inside a registered query callable)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    rows.repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream.dropDuplicates(keys)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(out)
+
+
+def _register_queries() -> None:
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_dedup",
+        sql="""
+        SELECT DISTINCT user_id, event_type FROM events
+        """,
+    )
+    def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
+        rows = table(spark, sf_dir, "events").select("user_id", "event_type")
+        return replay_stream_dedup(spark, rows, ["user_id", "event_type"])
+
+
+_register_queries()

@@ -90,3 +90,24 @@ def test_replay_matches_batch_aggregation(spark, sf_small):
         .collect()
     }
     assert got == exact
+
+
+def test_stream_dedup_suppresses_across_batches(spark):
+    """A key present in EVERY staged file must be emitted exactly once —
+    suppression in later micro-batches comes from recovered dedup state,
+    not within-batch distinct."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.streaming.dedup import replay_stream_dedup
+
+    # 40 rows over 8 keys, every key in every one of the 4 staged files
+    rows = (
+        spark.range(40)
+        .select(
+            (F.col("id") % 8).alias("k"),
+            (F.col("id") % 2).cast("string").alias("tag"),
+        )
+    )
+    out = replay_stream_dedup(spark, rows, ["k"], n_source_files=4)
+    got = sorted(r.k for r in out.select("k").collect())
+    assert got == list(range(8)), got
