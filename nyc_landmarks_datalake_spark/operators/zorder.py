@@ -1,0 +1,125 @@
+"""Z-order (Morton-curve) layout — multi-dimensional data skipping.
+
+Single-column sort gives tight min/max file statistics on ONE column;
+queries filtering the other columns scan everything. Interleaving the
+bits of two (or more) key columns into a Morton code and range-writing
+by it gives every file a tight bounding box in ALL interleaved
+dimensions, so parquet row-group stats prune scans for filters on any
+of them (the OPTIMIZE ZORDER idea from lakehouse table formats,
+re-expressed as plain Spark: one expression + repartitionByRange).
+
+Everything is integer bit arithmetic — shifts, masks, ors — identical
+in Spark and DuckDB, so the layout key itself sits under the oracle
+gate. The registered query checks the PROPERTY that matters: bucketing
+the corpus by Morton prefix (the file assignment a z-order write would
+produce) yields per-bucket min/max envelopes on BOTH dimensions whose
+tightness the oracle recomputes exactly.
+
+Scale: the Morton code is one map-side projection; the write is one
+range exchange (same cost as any sorted write). Skipping at read time
+is free — parquet stats already exist, z-order just makes them tight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+#: bits per dimension (dims are masked to this width before interleave)
+Z_BITS = 10
+#: Morton-prefix bits used as the bucket (file) assignment in the query
+Z_PREFIX_BITS = 6
+
+
+def morton2(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the low ``bits`` of two non-negative int columns:
+    bit i of x → bit 2i, bit i of y → bit 2i+1. Pure codegen (shifts
+    and masks), no UDF."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def morton2_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    """DuckDB mirror of :func:`morton2` (same shift/mask terms)."""
+    # each shift term fully parenthesized: SQL '+' binds TIGHTER than
+    # '<<', so unparenthesized terms joined with + cascade the shifts
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 32,
+    bits: int = Z_BITS,
+) -> None:
+    """Write ``df`` z-ordered on two int columns: range-partition by the
+    Morton code (one exchange), sort within partitions so row groups
+    inherit tight stats, drop the helper column on write."""
+    x, y = (F.col(c).bitwiseAND(F.lit((1 << bits) - 1)) for c in cols)
+    keyed = df.withColumn("__z", morton2(x, y, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query(
+    "q_zorder_layout",
+    sql=f"""
+    WITH zkeyed AS (
+        SELECT (o_custkey % {1 << Z_BITS}) AS zx,
+               (o_orderkey % {1 << Z_BITS}) AS zy,
+               {morton2_sql(f'o_custkey % {1 << Z_BITS}',
+                            f'o_orderkey % {1 << Z_BITS}')} AS z
+        FROM orders
+    )
+    SELECT CAST(z >> {2 * Z_BITS - Z_PREFIX_BITS} AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(zx) AS min_x, MAX(zx) AS max_x,
+           MIN(zy) AS min_y, MAX(zy) AS max_y,
+           CAST(MAX(zx) - MIN(zx) + MAX(zy) - MIN(zy) AS BIGINT) AS envelope
+    FROM zkeyed
+    GROUP BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Morton-prefix bucket envelopes over orders keyed on
+    (custkey, orderkey) — the bounding boxes a z-order write would give
+    each file, exactly as the reader's stats-based pruning sees them."""
+    orders = table(spark, sf_dir, "orders")
+    zx = F.col("o_custkey") % (1 << Z_BITS)
+    zy = F.col("o_orderkey") % (1 << Z_BITS)
+    keyed = orders.select(
+        zx.alias("zx"), zy.alias("zy"), morton2(zx, zy).alias("z")
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("z"), 2 * Z_BITS - Z_PREFIX_BITS)
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zx").alias("min_x"),
+        F.max("zx").alias("max_x"),
+        F.min("zy").alias("min_y"),
+        F.max("zy").alias("max_y"),
+        (F.max("zx") - F.min("zx") + F.max("zy") - F.min("zy"))
+        .cast("long")
+        .alias("envelope"),
+    )
