@@ -168,3 +168,56 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r50") - 0.5) <= PCT_RANK_TOL).alias("median_rank_ok"),
         (F.abs(F.col("r95") - 0.95) <= PCT_RANK_TOL).alias("p95_rank_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-aggregatable sketch rollup: per-(event_type, day) HLL sketches
+# merged to per-event_type via hll_union_agg. THE 100 TB pattern —
+# fine-grained sketches are built once near the data and every coarser
+# rollup is a cheap union of ~KB sketch states, never a re-scan of raw
+# rows. A DataSketches HLL union over same-lgK sketches is lossless, so
+# the union estimate must EQUAL the direct single-pass estimate; that
+# equality plus a 3-sigma bound vs the exact count are the hash-safe
+# booleans under the oracle gate (same strategy as q_approx_distinct).
+# ---------------------------------------------------------------------------
+HLL_LGK = 12  # DataSketches lgConfigK: rsd ~ 1.04/sqrt(2^12) ~ 1.6%
+HLL_UNION_TOL = 3 * 1.04 / (2 ** (HLL_LGK / 2))
+
+
+@query(
+    "q_hll_union_rollup",
+    sql=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS union_within_bound,
+           TRUE AS union_equals_direct
+    FROM events GROUP BY 1
+    """,
+)
+def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LGK))).alias(
+            "direct_est"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    j = rolled.join(direct, "event_type")
+    rel = F.abs(F.col("union_est") - F.col("exact_users")) / F.col("exact_users")
+    return j.select(
+        "event_type",
+        "exact_users",
+        F.col("n_days").cast("long").alias("n_days"),
+        (rel <= F.lit(HLL_UNION_TOL)).alias("union_within_bound"),
+        (F.col("union_est") == F.col("direct_est")).alias("union_equals_direct"),
+    )
