@@ -164,3 +164,58 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel through the commit log: after create(v0) + MERGE(v1),
+# census BOTH versions in one result. A reader pinned to v0 must see
+# the pre-merge table byte-for-byte even though v1 is already current —
+# snapshot isolation as a red/green driver row rather than a unit test.
+# ---------------------------------------------------------------------------
+@query(
+    "q_txlog_time_travel",
+    sql=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT {', '.join(ORDER_COLS)} FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT 0 AS version, o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders GROUP BY 1, 2
+    UNION ALL
+    SELECT 1 AS version, o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nyc_landmarks_datalake_spark.sources import txtable
+
+    base = table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    updates = (
+        base.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    path = tempfile.mkdtemp(prefix="txlog_tt_")
+    txtable.commit(spark, path, base, "create", expected_version=None)
+    txtable.merge_upsert_tx(spark, path, updates, ["o_orderkey"])
+
+    def census(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        ).select(F.lit(version).cast("int").alias("version"), "*")
+
+    v0 = txtable.read_snapshot(spark, path, version=0)
+    v1 = txtable.read_snapshot(spark, path)  # latest = v1
+    return census(v0, 0).unionByName(census(v1, 1))
