@@ -440,3 +440,85 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("e"), lambda x: F.abs(x - _q8(x, scale) * scale))
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: score the corpus with only the first
+# TRUNC_DIM dims (the memory/bandwidth play — a truncated index is
+# TRUNC_DIM/DIM the size and the dot product TRUNC_DIM/DIM the FLOPs),
+# and measure recall@K against the full-dimension exact top-k. The
+# overlap COUNT is integer-exact, so the whole quality measurement sits
+# under the bit-exact oracle gate. Same broadcast-queries shape as
+# q_cosine_topk: scoring never shuffles the corpus, each variant pays
+# one top-k reduction.
+# ---------------------------------------------------------------------------
+TRUNC_DIM = 16
+
+
+def _topk_sql(emb_expr: str, k: int) -> str:
+    return f"""
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cosine_sql(emb_expr.format(t='e'),
+                                            emb_expr.format(t='q'))} DESC,
+                                e.vec_id
+                   ) AS rk
+            FROM embeddings e CROSS JOIN embeddings q
+            WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
+        ) WHERE rk <= {k}
+    """
+
+
+@query(
+    "q_matryoshka_recall",
+    sql=f"""
+    WITH full_k AS ({_topk_sql('{t}.embedding', TOP_K)}),
+    trunc_k AS ({_topk_sql(f'list_slice({{t}}.embedding, 1, {TRUNC_DIM})', TOP_K)})
+    SELECT f.q_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           (COUNT(t.vec_id) * 1.0) / {TOP_K} AS recall_at_k
+    FROM full_k f
+    LEFT JOIN trunc_k t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = compute_table(spark, sf_dir, "embeddings")
+
+    def topk(emb_col, q_col) -> DataFrame:
+        queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        scored = (
+            emb.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                cosine(
+                    emb_col(F.col("embedding")), q_col(F.col("q_emb"))
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_id", "vec_id")
+        )
+
+    ident = lambda c: c  # noqa: E731
+    trunc = lambda c: F.slice(c, 1, TRUNC_DIM)  # noqa: E731
+    full_k = topk(ident, ident)
+    trunc_k = topk(trunc, trunc).withColumnRenamed("vec_id", "t_vec_id")
+    j = full_k.join(
+        trunc_k,
+        (full_k.q_id == trunc_k.q_id) & (full_k.vec_id == trunc_k.t_vec_id),
+        "left",
+    ).select(full_k.q_id.alias("q_id"), "t_vec_id")
+    return j.groupBy("q_id").agg(
+        F.count("t_vec_id").cast("long").alias("n_overlap"),
+        (F.count("t_vec_id") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
+    )
