@@ -229,3 +229,126 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the customer–supplier purchase graph
+# (orders ⋈ lineitem projected to distinct (custkey, suppkey) edges,
+# undirected as two directed edges). ENTIRELY integer arithmetic:
+# ranks live in fixed-point units of 1e-12 (initial mass 10^12 split
+# by integer division; per-edge contribution pr div deg; damping as
+# (85 * sum) div 100) so every value is bit-exact BIGINT in both
+# engines — no float summation order to disagree on, by construction.
+#
+# Scale posture mirrors connected_components: each iteration is one
+# join of the edge list against the current rank vector plus one
+# hash-agg on dst — shuffle size O(edges), map-side combinable. The
+# iteration count is FIXED (PR_ITERS), not convergence-polled, so no
+# per-round driver round-trip. deg rides inside the rank frame after
+# the first join, and the supplier side is offset into its own id
+# space so one BIGINT node column serves both partitions.
+# ---------------------------------------------------------------------------
+PR_ITERS = 2
+PR_SUPP_OFFSET = 10_000_000
+PR_MASS = 10**12  # total initial rank in 1e-12 fixed-point units
+
+
+def _pagerank_sql() -> str:
+    """DuckDB mirror: CTE chain pr0 → pr1 → ... → pr{PR_ITERS}."""
+    ctes = [
+        f"""pe0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    pedges AS (
+        SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM pe0
+        UNION ALL
+        SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM pe0
+    ),
+    pdeg AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY 1),
+    pn AS (SELECT COUNT(*) AS n_nodes FROM pdeg),
+    pr0 AS (
+        SELECT src AS node, deg,
+               CAST({PR_MASS} // (SELECT n_nodes FROM pn) AS BIGINT) AS pr
+        FROM pdeg
+    )"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+        SELECT p.node, p.deg,
+               CAST((15 * {PR_MASS}) // (100 * (SELECT n_nodes FROM pn))
+                    + (85 * SUM(q.pr // q.deg)) // 100 AS BIGINT) AS pr
+        FROM pedges e
+        JOIN pr{i - 1} q ON q.node = e.src
+        JOIN pr{i - 1} p ON p.node = e.dst
+        GROUP BY p.node, p.deg
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "q_pagerank_purchases",
+    sql=f"""
+    WITH {_pagerank_sql()}
+    SELECT node, pr AS rank_e12, CAST(deg AS BIGINT) AS deg
+    FROM pr{PR_ITERS}
+    """,
+)
+def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst"))
+        .unionAll(
+            e0.select(
+                (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    pr = (
+        deg.withColumnRenamed("src", "node")
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            "deg",
+            "n_nodes",
+            F.expr(f"CAST({PR_MASS} AS BIGINT) div n_nodes").alias("pr"),
+        )
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                pr.select(
+                    F.col("node").alias("src"),
+                    F.expr("pr div deg").alias("give"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("give").alias("in_sum"))
+        )
+        pr = (
+            pr.select("node", "deg", "n_nodes")
+            .join(contrib.withColumnRenamed("dst", "node"), "node")
+            .select(
+                "node",
+                "deg",
+                "n_nodes",
+                (
+                    F.expr(f"CAST(15 * {PR_MASS} AS BIGINT) div (100 * n_nodes)")
+                    + F.expr("CAST(85 AS BIGINT) * in_sum div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        "node", F.col("pr").alias("rank_e12"), F.col("deg").cast("long").alias("deg")
+    )
