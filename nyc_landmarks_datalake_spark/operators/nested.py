@@ -298,3 +298,53 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except(F.array_distinct(toks), probe)).alias("n_only_doc"),
         F.arrays_overlap(toks, probe).alias("overlaps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): a calendar month spine from
+# fixed anchors, left-joined against per-month order counts so months
+# with zero orders surface as 0 — the classic no-gaps reporting spine,
+# run through spark.sql to exercise the SQL surface itself. The
+# recursion is driver-cheap (79 spine rows); the corpus side is one
+# hash agg, and the spine join broadcasts. Oracle is the identical
+# recursion in DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "q_recursive_month_spine",
+    sql="""
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2001-07-01'
+    ),
+    per_month AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(months.m AS VARCHAR) AS month_start,
+           CAST(COALESCE(per_month.n, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN per_month ON per_month.m = months.m
+    """,
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+            WHERE m < DATE '2001-07-01'
+        ),
+        per_month AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   COUNT(*) AS n
+            FROM rec_orders GROUP BY 1
+        )
+        SELECT CAST(months.m AS STRING) AS month_start,
+               CAST(COALESCE(per_month.n, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN per_month ON per_month.m = months.m
+        """
+    )
