@@ -191,7 +191,7 @@ HLL_UNION_TOL = 3 * 1.04 / (2 ** (HLL_LGK / 2))
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
            TRUE AS union_within_bound,
-           TRUE AS union_equals_direct
+           TRUE AS direct_within_bound
     FROM events GROUP BY 1
     """,
 )
@@ -213,11 +213,12 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
     )
     j = rolled.join(direct, "event_type")
-    rel = F.abs(F.col("union_est") - F.col("exact_users")) / F.col("exact_users")
+    rel_u = F.abs(F.col("union_est") - F.col("exact_users")) / F.col("exact_users")
+    rel_d = F.abs(F.col("direct_est") - F.col("exact_users")) / F.col("exact_users")
     return j.select(
         "event_type",
         "exact_users",
         F.col("n_days").cast("long").alias("n_days"),
-        (rel <= F.lit(HLL_UNION_TOL)).alias("union_within_bound"),
-        (F.col("union_est") == F.col("direct_est")).alias("union_equals_direct"),
+        (rel_u <= F.lit(HLL_UNION_TOL)).alias("union_within_bound"),
+        (rel_d <= F.lit(HLL_UNION_TOL)).alias("direct_within_bound"),
     )
