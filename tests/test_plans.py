@@ -324,3 +324,23 @@ def test_kmeans_broadcast_assignment(spark, sf_oracle):
     assert not a.has_python_eval
     assert a.broadcast_exchanges >= 1, a
     assert a.sort_merge_joins == 0 and a.shuffled_hash_joins == 0, a
+
+
+def test_kmeans_partition_count_invariant(spark, sf_oracle):
+    """Lloyd's update goes through exact decimal means, so the refined
+    centroids — and every downstream assignment — must be bit-identical
+    at any parallelism. A plain sum(double) update would fail this."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for p in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", p)
+            results[p] = sorted(
+                tuple(r)
+                for r in registry.QUERIES["q_kmeans_lloyd"](
+                    spark, sf_oracle
+                ).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert results["3"] == results["17"]
