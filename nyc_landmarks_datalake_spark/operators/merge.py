@@ -219,3 +219,79 @@ def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = txtable.read_snapshot(spark, path, version=0)
     v1 = txtable.read_snapshot(spark, path)  # latest = v1
     return census(v0, 0).unionByName(census(v1, 1))
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed between commit-log versions: v0 ⟗ v1 on the merge
+# key classifies every row as unchanged / update / insert, and the
+# census of each class (count + exact price sum over the NEW image) is
+# the driver-checked result — the "what changed between snapshots"
+# primitive downstream incremental consumers build on. One full outer
+# join on the key, partial-aggregated census; at scale both sides are
+# the same table family, so the join co-partitions on the merge key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_txlog_changes",
+    sql=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT {', '.join(ORDER_COLS)} FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+                WHEN v1.o_orderstatus <> v0.o_orderstatus THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_rows,
+           {dsum_sql('v1.o_totalprice')} AS new_total
+    FROM merged v1
+    LEFT JOIN orders v0 ON v0.o_orderkey = v1.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nyc_landmarks_datalake_spark.sources import txtable
+
+    base = table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    modified = (
+        base.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    inserted = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    path = tempfile.mkdtemp(prefix="txlog_cdf_")
+    txtable.commit(spark, path, base, "create", expected_version=None)
+    txtable.merge_upsert_tx(spark, path, modified.unionByName(inserted), ["o_orderkey"])
+
+    v0 = txtable.read_snapshot(spark, path, version=0).select(
+        F.col("o_orderkey").alias("k0"), F.col("o_orderstatus").alias("status0")
+    )
+    v1 = txtable.read_snapshot(spark, path)
+    change = (
+        F.when(F.col("k0").isNull(), "insert")
+        .when(F.col("o_orderstatus") != F.col("status0"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v0, v1.o_orderkey == v0.k0, "left")
+        .groupBy(change.alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("new_total"),
+        )
+    )
