@@ -109,3 +109,76 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         max_weighted_value()(F.col("value"), F.col("weight")).alias("max_weighted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 user-defined TABLE function), lateral-joined:
+# one input row fans out to its top-K bigrams with deterministic
+# (-count, bigram) ordering. This completes the Python API surface
+# next to scalar/grouped-agg pandas UDFs and mapInPandas — a UDTF is
+# the escape hatch for per-row table generation with nontrivial local
+# state (here a counter + sort). Slow path by design (pinned in
+# PYTHON_ALLOWED); the oracle recomputes the same top-K relationally.
+# ---------------------------------------------------------------------------
+UDTF_TOP_K = 3
+
+
+@lru_cache(maxsize=1)
+def top_bigrams_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string, cnt: bigint, rk: bigint")
+    class TopBigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            counts: dict[str, int] = {}
+            for a, b in zip(toks, toks[1:]):
+                bg = f"{a} {b}"
+                counts[bg] = counts.get(bg, 0) + 1
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rk, (bg, cnt) in enumerate(ranked[:UDTF_TOP_K], start=1):
+                yield bg, cnt, rk
+
+    return TopBigrams
+
+
+@query(
+    "q_udtf_top_bigrams",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 20 = 0
+    ),
+    bigrams AS (
+        SELECT doc_id, unnest(
+            list_transform(
+                list_zip(list_slice(t, 1, len(t) - 1), list_slice(t, 2, len(t))),
+                p -> p[1] || ' ' || p[2]
+            )
+        ) AS bigram
+        FROM toks
+    ),
+    counted AS (
+        SELECT doc_id, bigram, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2
+    )
+    SELECT doc_id, bigram, cnt, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, bigram, cnt,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, bigram
+               ) AS rk
+        FROM counted
+    )
+    WHERE rk <= {UDTF_TOP_K}
+    """,
+)
+def q_udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("top_bigrams", top_bigrams_udtf())
+    return spark.sql(
+        "SELECT d.doc_id, b.bigram, b.cnt, b.rk "
+        "FROM udtf_docs d, LATERAL top_bigrams(d.text) b"
+    )
