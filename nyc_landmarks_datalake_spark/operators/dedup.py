@@ -281,19 +281,38 @@ EXACT_DUP_EDGES_SQL = """
 
 # --- shared shingle machinery ----------------------------------------------
 
-_SH_SPARK = (
-    "CASE WHEN size(toks) >= 3 THEN "
-    "array_distinct(transform(sequence(0, size(toks)-3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
-    "ELSE array(concat_ws(' ', toks)) END"
-)
+def sh_spark_expr(n: int = 3) -> str:
+    """Spark SQL expression for distinct n-word shingles over ``toks``.
 
-_SH_DUCK = (
-    "CASE WHEN len(toks) >= 3 THEN "
-    "list_distinct(list_transform(range(1, len(toks)-1), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
-    "ELSE [array_to_string(toks, ' ')] END"
-)
+    Shingle WIDTH is the density-control knob at scale: the shingle
+    space is |vocab|^n, so on a low-entropy corpus a small n saturates
+    document frequencies and the df cap empties the inverted index
+    (observed: 3-grams over the ~40-word synthetic vocab leave ZERO
+    df<=cap shingles at sf10's 500k docs). Production web dedup uses
+    5-10-gram shingles for exactly this reason (Broder '97 used 10)."""
+    parts = ", ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(toks)-{n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        "ELSE array(concat_ws(' ', toks)) END"
+    )
+
+
+def sh_duck_expr(n: int = 3) -> str:
+    """DuckDB mirror of :func:`sh_spark_expr` (1-based list indexing)."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(toks)-{n}+2), "
+        f"i -> {parts})) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+
+
+_SH_SPARK = sh_spark_expr(3)
+
+_SH_DUCK = sh_duck_expr(3)
 
 
 def shingled(docs: DataFrame, materialize: bool = False) -> DataFrame:
@@ -412,6 +431,59 @@ def ngram_jaccard_pairs(
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(compute_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Wide-shingle Jaccard near-dup — the corpus-density-robust setting.
+# 3-gram shingles saturate on a low-entropy vocabulary: at sf10's 500k
+# docs EVERY 3-gram exceeds MAX_SHINGLE_DF and the verified tier goes
+# empty (both engines agree, but the operator finds nothing). Widening
+# to SHINGLE_WIDE grows the shingle space to |vocab|^w, so organic df
+# drops to ~1 while template near-dups still share their (long) runs —
+# at any corpus size the cap then only drops genuine boilerplate.
+# Same inverted-index machinery, same df cap, different density.
+# ---------------------------------------------------------------------------
+SHINGLE_WIDE = 7
+
+
+@query(
+    "q_dedup_jaccard_wide",
+    sql=f"""
+    WITH sh AS (
+        SELECT doc_id, CASE WHEN len(toks) >= 7 THEN list_distinct(list_transform(range(1, len(toks)-7+2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6])) ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    keep AS (
+        SELECT shingle FROM inv0
+        GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+    ),
+    inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           (n_common * 1.0) /
+           (len(s1.shingles) + len(s2.shingles) - n_common) AS jaccard
+    FROM pairs
+    JOIN sh s1 ON s1.doc_id = doc1
+    JOIN sh s2 ON s2.doc_id = doc2
+    WHERE (n_common * 1.0) /
+          (len(s1.shingles) + len(s2.shingles) - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_jaccard_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    wide = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.expr(sh_spark_expr(SHINGLE_WIDE)).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    return ngram_jaccard_pairs(docs, sh=wide)
 
 
 # --- MinHash ----------------------------------------------------------------
