@@ -50,6 +50,12 @@ def main() -> int:
         default=None,
         help="override spark.sql.shuffle.partitions (default 32)",
     )
+    ap.add_argument(
+        "--spark-only",
+        action="store_true",
+        help="run and time only the Spark side (no oracle, no compare) — "
+        "for scale points where the DuckDB oracle is intractable",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -86,6 +92,17 @@ def main() -> int:
             results[name] = row
             n_fail += 1
             print(f"[{i}/{len(names)}] {name}: SPARK ERROR {e}", flush=True)
+            continue
+        if args.spark_only:
+            row["ok"] = True
+            row["rows"] = len(sdf)
+            results[name] = row
+            t_spark_total += row["spark_s"]
+            print(
+                f"[{i}/{len(names)}] {name}: spark-only "
+                f"({row['spark_s']}s, {len(sdf)} rows)",
+                flush=True,
+            )
             continue
         t1 = time.time()
         try:
