@@ -76,3 +76,29 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink → source (the columnar alternative to parquet)."""
     return _roundtrip_agg(spark, sf_dir, "orc")
+
+
+@query("q_xml_roundtrip_agg", sql=_AGG_SQL)
+def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → source (Spark 4 built-in XML datasource; entity
+    escaping of free text is the hazard this probes)."""
+    docs = table(spark, sf_dir, "documents")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="roundtrip_xml_"), "data")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "documents")
+        .option("rowTag", "doc")
+        .save(tmp)
+    )
+    back = (
+        spark.read.schema(docs.schema)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(tmp)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
