@@ -69,6 +69,11 @@ HEADLINE = [
     "q_doc_chunks",
     "q_bm25_topk",
     "q_embedding_quantize",
+    "q_pagerank_purchases",
+    "q_dedup_jaccard_wide",
+    "q_matryoshka_recall",
+    "q_zorder_layout",
+    "q_hll_union_rollup",
 ]
 
 
