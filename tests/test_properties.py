@@ -461,8 +461,16 @@ def test_jpeg_roundtrip_property(w, h, channels, sub, data):
     assert (gw, gh, gc) == (w, h, channels)
     if subsampling == "4:4:4":
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
-    else:  # chroma is 2x2-averaged; luma must survive tightly
+    else:  # chroma is 2x2-averaged; luma must survive where linear
+        # Recomputed-from-RGB luma equals decoded Y EXACTLY for pixels
+        # whose YCbCr→RGB reconstruction stayed in gamut (the standard
+        # coefficients cancel the chroma terms), so the tight bound
+        # only holds off the 0/255 rails: a clipped channel is a
+        # NONLINEAR distortion of luma, and adversarial chroma noise
+        # can push it past any fixed bound (hypothesis found 29.35).
         y = lambda a: (
             0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
         )
-        assert np.abs(y(out) - y(img)).max() <= 16
+        unclipped = ((out > 0) & (out < 255)).all(axis=-1)
+        if unclipped.any():
+            assert np.abs(y(out) - y(img))[unclipped].max() <= 16
