@@ -56,7 +56,14 @@ def _verified_names() -> set[str]:
 #: queries whose implementation or oracle changed since their last green
 #: driver row — their stale green flags must not excuse them from the
 #: checked prefix. Maintained per round; clear entries once re-verified.
-REVERIFY: frozenset[str] = frozenset()  # all r6 entries got fresh green rows
+REVERIFY: frozenset[str] = frozenset(
+    {
+        # r7 (late): centroid-count cap added (MAX_CENTROIDS) — results
+        # identical at driver scale but the implementation changed after
+        # its last green row
+        "q_ivf_topk",
+    }
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

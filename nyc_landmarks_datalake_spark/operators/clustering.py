@@ -54,9 +54,12 @@ from nyc_landmarks_datalake_spark.operators.dedup import (
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import compute_table
 
-#: every KM_MOD-th vec_id seeds a centroid → k scales with the corpus
-#: (10 cells at sf0.01's 500 vectors, ~400 at sf10's 200k).
+#: every KM_MOD-th vec_id seeds a centroid, hard-capped at MAX_K —
+#: uncapped, k grows linearly with the corpus and every assignment
+#: pass costs n*k (the q_ivf_topk sf10 lesson: 5000 centroids took
+#: 1989 s). 10 cells at sf0.01's 500 vectors; 200 from sf0.5 up.
 KM_MOD = 50
+MAX_K = 200
 #: assignment passes (updates = KM_ITERS - 1). Fixed, not polled.
 KM_ITERS = 2
 #: intra-cluster cosine at/above which the later vector is a semantic dup.
@@ -97,7 +100,9 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid."""
     emb = compute_table(spark, sf_dir, "embeddings")
     cents = _as_cent_array(
-        emb.filter(F.col("vec_id") % KM_MOD == 0).select(
+        emb.filter(
+            (F.col("vec_id") % KM_MOD == 0) & (F.col("vec_id") < KM_MOD * MAX_K)
+        ).select(
             F.col("vec_id").alias("c_id"),
             F.col("embedding").alias("c_emb"),
         )
@@ -149,7 +154,7 @@ def _kmeans_ctes_sql() -> str:
     assert KM_ITERS == 2, "oracle CTE chain is written for 2 passes"
     return f"""cent0 AS (
         SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        WHERE vec_id % {KM_MOD} = 0
+        WHERE vec_id % {KM_MOD} = 0 AND vec_id < {KM_MOD * MAX_K}
     ),
     assign1 AS (
         SELECT vec_id, embedding, c_id FROM (

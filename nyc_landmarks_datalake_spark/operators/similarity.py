@@ -209,6 +209,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus partitioned by cell makes each probe a partition-pruned scan.
 # ---------------------------------------------------------------------------
 CENTROID_MOD = 40  # vec_id % MOD == 0 → deterministic coarse quantizer
+#: hard cap on the coarse-quantizer size. Without it k grows linearly
+#: with the corpus and assignment cost grows as n*k ~ n^2/MOD —
+#: measured 1989 s at sf10 (200k vectors, 5000 centroids) vs ~2 s at
+#: sf0.1. Real IVF sizes k ~ sqrt(n); the cap keeps assignment linear
+#: while staying a pure static predicate both engines share.
+MAX_CENTROIDS = 256
 NPROBE = 2
 IVF_TOP_K = 3
 
@@ -233,6 +239,7 @@ def _cent_scored(emb: Column) -> Column:
     WITH cent AS (
         SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
         WHERE vec_id % {CENTROID_MOD} = 0
+          AND vec_id < {CENTROID_MOD * MAX_CENTROIDS}
     ),
     assign AS (
         SELECT vec_id, embedding, c_id FROM (
@@ -275,7 +282,10 @@ def _cent_scored(emb: Column) -> Column:
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = compute_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cent = emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == 0)
+        & (F.col("vec_id") < CENTROID_MOD * MAX_CENTROIDS)
+    ).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
     # All centroids as ONE array column on a 1-row frame, broadcast onto
