@@ -352,3 +352,258 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", F.col("pr").alias("rank_e12"), F.col("deg").cast("long").alias("deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient over the in-order
+# co-purchase part graph (parts bought together in one order; orders
+# carry 1-7 lineitems, so the per-order pair fan-out is bounded at 21
+# and the edge build never blows up).
+#
+# Scale posture: the naive 3-way self-join explodes on hub nodes
+# (a node of degree d contributes d^2 candidate wedges). The classic
+# fix — and what we implement for real — is DEGREE ORIENTATION
+# (compact-forward): orient every undirected edge from its
+# lower-(degree, node) endpoint to the higher one. Every triangle then
+# has exactly ONE "apex" node with two out-edges, and each node's
+# out-degree is O(sqrt(edges)) in the worst case, so the wedge join is
+# bounded regardless of hubs. The order key (deg * 1e8 + node) is a
+# plain BIGINT computed identically in both engines.
+# ---------------------------------------------------------------------------
+_TRI_OKEY = 100_000_000  # node ids < 1e8 at every supported sf
+
+
+def oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented distinct co-purchase edges (src -> dst, okey asc)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    both = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    okey = deg.select(
+        F.col("u").alias("node"),
+        (F.col("deg").cast("long") * _TRI_OKEY + F.col("u")).alias("okey"),
+        "deg",
+    )
+    ku = okey.select(F.col("node").alias("u"), F.col("okey").alias("ok_u"))
+    kv = okey.select(F.col("node").alias("v"), F.col("okey").alias("ok_v"))
+    return (
+        und.join(ku, "u")
+        .join(kv, "v")
+        .select(
+            F.when(F.col("ok_u") < F.col("ok_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("ok_u") < F.col("ok_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+            F.when(F.col("ok_u") < F.col("ok_v"), F.col("ok_u"))
+            .otherwise(F.col("ok_v"))
+            .alias("ok_src"),
+            F.when(F.col("ok_u") < F.col("ok_v"), F.col("ok_v"))
+            .otherwise(F.col("ok_u"))
+            .alias("ok_dst"),
+        )
+    )
+
+
+_TRI_CTES = f"""
+    tri_und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri_both AS (
+        SELECT u, v FROM tri_und
+        UNION ALL
+        SELECT v AS u, u AS v FROM tri_und
+    ),
+    tri_deg AS (SELECT u AS node, COUNT(*) AS deg FROM tri_both GROUP BY 1),
+    tri_okey AS (
+        SELECT node, CAST(deg AS BIGINT) * {_TRI_OKEY} + node AS okey, deg
+        FROM tri_deg
+    ),
+    tri_or AS (
+        SELECT CASE WHEN ku.okey < kv.okey THEN e.u ELSE e.v END AS src,
+               CASE WHEN ku.okey < kv.okey THEN e.v ELSE e.u END AS dst,
+               CASE WHEN ku.okey < kv.okey THEN ku.okey ELSE kv.okey END AS ok_src,
+               CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END AS ok_dst
+        FROM tri_und e
+        JOIN tri_okey ku ON ku.node = e.u
+        JOIN tri_okey kv ON kv.node = e.v
+    )"""
+
+
+@query(
+    "q_triangle_count",
+    sql=f"""
+    WITH {_TRI_CTES},
+    tri_wedge AS (
+        SELECT e1.dst AS b, e2.dst AS c
+        FROM tri_or e1
+        JOIN tri_or e2
+          ON e1.src = e2.src AND e1.ok_dst < e2.ok_dst
+    ),
+    tri_cnt AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM tri_wedge w
+        JOIN tri_or e ON e.src = w.b AND e.dst = w.c
+    )
+    SELECT (SELECT COUNT(*) FROM tri_deg) AS n_nodes,
+           (SELECT COUNT(*) FROM tri_und) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM tri_deg)
+               AS n_wedges,
+           (SELECT n_triangles FROM tri_cnt) AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles + wedges of the co-purchase graph (one-row summary).
+
+    The wedge join pairs each apex's out-neighbors ordered by okey, so
+    every triangle is produced exactly once at its unique lowest-okey
+    apex; the closing edge lookup is a second join against the oriented
+    edge list. 3 shuffles total (edges, wedges, close) — no step is
+    quadratic in a hub's degree thanks to the orientation.
+    """
+    edges = oriented_copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.ok_dst") < F.col("e2.ok_dst")),
+    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    closing = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    summary = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                (F.col("deg").cast("long") * (F.col("deg") - 1)).cast("long")
+            ).alias("wedge2"),
+        )
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        F.expr("wedge2 div 2").alias("n_wedges"),
+        "n_triangles",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-depth BFS (unweighted shortest hops) over the customer–supplier
+# purchase graph, sources = customers of one nation. Iterative relax:
+# dist_{i+1}(v) = min(dist_i(v), 1 + min over in-edges dist_i(u)) —
+# Bellman-Ford restricted to hop counts, unrolled a FIXED number of
+# rounds (no convergence polling, no driver round-trip). Each round is
+# one edge⋈dist join + one min-agg: shuffle O(edges), map-side
+# combinable, lineage cut per round. The oracle is the identical
+# unrolled CTE chain, so the iterative algorithm gets full value-level
+# parity. Depth 4 covers the reachable set of the bipartite purchase
+# graph at test sf (diameter is tiny); at 100 TB you raise BFS_DEPTH,
+# not the per-round cost.
+# ---------------------------------------------------------------------------
+BFS_DEPTH = 4
+BFS_NATION = 7  # GERMANY in the TPC-H nation fixture
+
+
+def _bfs_sql() -> str:
+    ctes = [
+        f"""bfs_e0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    bfs_edges AS (
+        SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM bfs_e0
+        UNION ALL
+        SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM bfs_e0
+    ),
+    bfs_d0 AS (
+        SELECT c_custkey AS node, 0 AS dist
+        FROM customer WHERE c_nationkey = {BFS_NATION}
+    )"""
+    ]
+    for i in range(1, BFS_DEPTH + 1):
+        ctes.append(f"""bfs_d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM bfs_d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM bfs_edges e JOIN bfs_d{i - 1} d ON d.node = e.src
+        ) GROUP BY node
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "q_bfs_hops",
+    sql=f"""
+    WITH {_bfs_sql()}
+    SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node,
+           CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM bfs_d{BFS_DEPTH}
+    GROUP BY dist
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance census from GERMANY customers over purchase edges."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst"))
+        .unionAll(
+            e0.select(
+                (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = cust.filter(F.col("c_nationkey") == BFS_NATION).select(
+        F.col("c_custkey").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(BFS_DEPTH):
+        relaxed = edges.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+        F.sum("node").cast("long").alias("sum_node"),
+    )
