@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.hashing import md5_long, md5_long_sql
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import table
 
@@ -221,4 +222,118 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("long").alias("n_days"),
         (rel_u <= F.lit(HLL_UNION_TOL)).alias("union_within_bound"),
         (rel_d <= F.lit(HLL_UNION_TOL)).alias("direct_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters. Unlike HLL (engine-specific sketch
+# internals → boolean-bounded parity above), a CMS built from
+# md5-derived hashes is a PURE deterministic function of the data: the
+# d×w counter table and every point estimate are bit-exact BIGINTs in
+# both engines, so this query gets a full value-level oracle.
+#
+# Scale posture: the sketch is one groupBy over (row, bucket) — a
+# FIXED d*w=2048-cell state regardless of key cardinality, partial-agg
+# combinable map-side (the entire 100 TB pass reduces to 2048 counters
+# per executor before the shuffle), and re-aggregatable across
+# sources/days by cell-wise SUM exactly like the HLL rollup. The
+# estimate pass joins only the (tiny, broadcast) candidate set against
+# 2048 cells. Exact heavy-hitter counts ride along as the
+# test-scale verification companion, same pattern as approx_distinct.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(salt: int, key_expr: str) -> str:
+    salted = f"'cms{salt}' || {key_expr}"
+    return f"({md5_long_sql(salted)} % {CMS_WIDTH})"
+
+
+@query(
+    "q_cms_heavy_hitters",
+    sql=f"""
+    WITH keys AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS k, l_partkey
+        FROM lineitem
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f'''SELECT {salt} AS row_idx, {_cms_bucket_sql(salt, 'k')} AS bucket,
+                       COUNT(*) AS cnt
+                FROM keys GROUP BY 1, 2'''
+            for salt in range(CMS_DEPTH)
+        )}
+    ),
+    exact AS (
+        SELECT l_partkey, COUNT(*) AS exact_cnt
+        FROM keys GROUP BY 1
+        ORDER BY exact_cnt DESC, l_partkey ASC
+        LIMIT {CMS_TOPK}
+    ),
+    probes AS (
+        SELECT e.l_partkey, e.exact_cnt, c.cnt
+        FROM exact e
+        JOIN cells c
+          ON {" OR ".join(
+              f"(c.row_idx = {salt} AND c.bucket = "
+              f"{_cms_bucket_sql(salt, 'CAST(e.l_partkey AS VARCHAR)')})"
+              for salt in range(CMS_DEPTH)
+          )}
+    )
+    SELECT l_partkey, exact_cnt, MIN(cnt) AS cms_est,
+           MIN(cnt) - exact_cnt AS overcount
+    FROM probes
+    GROUP BY l_partkey, exact_cnt
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by exact frequency, with their CMS point estimates."""
+    keys = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"), F.col("l_partkey").cast("string").alias("k")
+    )
+    buckets = [
+        (md5_long(F.concat(F.lit(f"cms{salt}"), F.col("k"))) % CMS_WIDTH).alias(
+            f"b{salt}"
+        )
+        for salt in range(CMS_DEPTH)
+    ]
+    cells = (
+        keys.select(
+            F.posexplode(F.array(*buckets)).alias("row_idx", "bucket")
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        keys.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc())
+        .limit(CMS_TOPK)
+    )
+    probe_buckets = [
+        (
+            md5_long(
+                F.concat(F.lit(f"cms{salt}"), F.col("l_partkey").cast("string"))
+            )
+            % CMS_WIDTH
+        ).alias(f"b{salt}")
+        for salt in range(CMS_DEPTH)
+    ]
+    probes = exact.select(
+        "l_partkey",
+        "exact_cnt",
+        F.posexplode(F.array(*probe_buckets)).alias("row_idx", "bucket"),
+    )
+    est = (
+        cells.join(F.broadcast(probes), ["row_idx", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "l_partkey",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
