@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.hashing import md5_long, md5_long_sql
 from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import table
@@ -200,3 +201,106 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filtered join. The classic 100 TB shuffle reducer:
+# before joining a huge fact table against a selective dim, test each
+# fact row against a Bloom filter of the dim keys and drop the
+# guaranteed non-matches BEFORE the join shuffle. Spark injects this
+# automatically in some shapes (spark.sql.optimizer.runtimeFilter.*);
+# here the filter is explicit, engine-portable, and oracle-checked.
+#
+# The bitmap is modeled relationally: a Bloom filter IS the set of
+# occupied positions under k hash functions, so "bit set" = semi-join
+# against the (tiny, broadcast) distinct-position set, ANDed across the
+# k salts. Positions derive from md5 — identical in both engines — so
+# the pass-set, the false-positive count, and the post-join aggregate
+# are all bit-exact under the oracle. Fact rows are scanned once; the
+# k membership tests are k broadcast hash semi-joins (map-side, no
+# fact shuffle); only surviving rows reach the real join.
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 1 << 16
+BLOOM_K = 3
+BLOOM_NATION = 7  # GERMANY suppliers form the dim side
+
+
+def _bloom_pos_sql(salt: int, key_expr: str) -> str:
+    salted = f"'bf{salt}' || {key_expr}"
+    return f"({md5_long_sql(salted)} % {BLOOM_BITS})"
+
+
+def _bloom_pos(salt: int, key) -> F.Column:
+    return md5_long(F.concat(F.lit(f"bf{salt}"), key.cast("string"))) % BLOOM_BITS
+
+
+@query(
+    "q_bloom_join",
+    sql=f"""
+    WITH dim AS (
+        SELECT s_suppkey FROM supplier WHERE s_nationkey = {BLOOM_NATION}
+    ),
+    {", ".join(
+        f'''bits{k} AS (
+            SELECT DISTINCT {_bloom_pos_sql(k, 'CAST(s_suppkey AS VARCHAR)')} AS pos
+            FROM dim)'''
+        for k in range(BLOOM_K)
+    )},
+    passed AS (
+        SELECT l.l_suppkey, l.l_extendedprice
+        FROM lineitem l
+        WHERE {" AND ".join(
+            f"{_bloom_pos_sql(k, 'CAST(l.l_suppkey AS VARCHAR)')} IN "
+            f"(SELECT pos FROM bits{k})"
+            for k in range(BLOOM_K)
+        )}
+    ),
+    matched AS (
+        SELECT p.l_suppkey, p.l_extendedprice
+        FROM passed p JOIN dim d ON d.s_suppkey = p.l_suppkey
+    )
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_fact,
+           (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+           (SELECT COUNT(*) FROM matched) AS n_true_match,
+           (SELECT COUNT(*) FROM passed) - (SELECT COUNT(*) FROM matched)
+               AS n_false_pos,
+           (SELECT {dsum_sql('l_extendedprice')} FROM matched) AS matched_revenue
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈dim join with false-positive accounting."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == BLOOM_NATION)
+        .select("s_suppkey")
+    )
+    passed = li
+    for k in range(BLOOM_K):
+        bits = dim.select(_bloom_pos(k, F.col("s_suppkey")).alias("pos")).distinct()
+        passed = passed.withColumn("_pos", _bloom_pos(k, F.col("l_suppkey"))).join(
+            F.broadcast(bits),
+            F.col("_pos") == F.col("pos"),
+            "leftsemi",
+        ).drop("_pos")
+    passed = passed.localCheckpoint(eager=False)
+    matched = passed.join(
+        F.broadcast(dim), passed.l_suppkey == dim.s_suppkey
+    ).localCheckpoint(eager=False)
+    n_fact = li.agg(F.count(F.lit(1)).alias("n_fact"))
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    m_agg = matched.agg(
+        F.count(F.lit(1)).alias("n_true_match"),
+        dsum(F.col("l_extendedprice")).alias("matched_revenue"),
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(m_agg))
+        .select(
+            "n_fact",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
+            "matched_revenue",
+        )
+    )
