@@ -74,5 +74,6 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.source_roundtrip  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.clustering  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.zorder  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.bucketing  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.stateful  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.dedup  # noqa: F401
