@@ -295,3 +295,106 @@ def q_txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("new_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance off the change feed. The MV
+# is a per-priority census (count + exact price sum). After the MERGE
+# commits v1, the view is NOT recomputed: the v0⟶v1 change feed is
+# turned into retract(-1)/add(+1) delta rows and combined with the v0
+# materialization — O(changes + groups), not O(table). The oracle is
+# the FULL recompute over the merged table, so a green row IS the
+# maintenance theorem (incremental == recompute) checked end to end.
+#
+# Misclassifying an unchanged row as changed is harmless by
+# construction (its retract and add cancel exactly — sums stay in
+# DECIMAL until one final cast); missing a changed row is what the
+# oracle would catch. At 100 TB the delta join co-partitions on the
+# merge key like the CDF query, and the combine touches only the
+# (tiny) group census.
+# ---------------------------------------------------------------------------
+@query(
+    "q_incremental_mv_refresh",
+    sql=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT {', '.join(ORDER_COLS)} FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM merged GROUP BY 1
+    """,
+)
+def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nyc_landmarks_datalake_spark.sources import txtable
+
+    base = table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    modified = (
+        base.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    inserted = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    path = tempfile.mkdtemp(prefix="txlog_mv_")
+    txtable.commit(spark, path, base, "create", expected_version=None)
+    txtable.merge_upsert_tx(
+        spark, path, modified.unionByName(inserted), ["o_orderkey"]
+    )
+
+    dec = "decimal(30,6)"
+    v0 = txtable.read_snapshot(spark, path, version=0)
+    v1 = txtable.read_snapshot(spark, path)
+    # materialized v0 view: decimal sums so the combine stays exact
+    mv0 = v0.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast(dec)).alias("s"),
+    )
+    # change feed v0 -> v1 as retract/add deltas
+    old = v0.select(
+        F.col("o_orderkey").alias("k0"),
+        F.col("o_orderstatus").alias("status0"),
+        F.col("o_totalprice").alias("price0"),
+        F.col("o_orderpriority").alias("prio0"),
+    )
+    j = v1.join(old, v1.o_orderkey == old.k0, "left")
+    changed = j.filter(
+        F.col("k0").isNull()
+        | (F.col("o_orderstatus") != F.col("status0"))
+        | (F.col("o_totalprice") != F.col("price0"))
+    ).localCheckpoint(eager=False)
+    adds = changed.select(
+        "o_orderpriority",
+        F.lit(1).cast("long").alias("n"),
+        F.col("o_totalprice").cast(dec).alias("s"),
+    )
+    retracts = changed.filter(F.col("k0").isNotNull()).select(
+        F.col("prio0").alias("o_orderpriority"),
+        F.lit(-1).cast("long").alias("n"),
+        (-F.col("price0").cast(dec)).alias("s"),
+    )
+    return (
+        mv0.unionByName(adds)
+        .unionByName(retracts)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_price"),
+        )
+    )
