@@ -390,3 +390,78 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "bm25", F.row_number().over(w).cast("long").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point bigram language-model scoring — the KenLM-style "how
+# model-like is this document" quality signal, made integer-exact so it
+# sits under the full value oracle. The corpus itself is the model:
+# P(w2|w1) ~ c(w1 w2)/c(w1), kept as the fixed-point integer
+# 10^6 * c2 // c1 (no logs, no floats, no summation-order hazard), and
+# a document's score is the integer mean of its bigram terms. Rare
+# continuations score near 0, boilerplate scores near 10^6 — the same
+# ordering a log-prob LM gives, in arithmetic both engines compute
+# bit-identically.
+#
+# Scale: two count aggregations (unigram, bigram — both map-side
+# combinable) and two joins of the bigram stream against them; the
+# count tables are vocabulary-sized (zipf-bounded), so at 100 TB they
+# broadcast or AQE-skew-join while the corpus stream stays put.
+# ---------------------------------------------------------------------------
+LM_SCALE = 1_000_000
+
+
+@query(
+    "q_ngram_lm_score",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t
+    ),
+    c1 AS (
+        SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t)
+        GROUP BY 1
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY 1),
+    terms AS (
+        SELECT bi.doc_id, {LM_SCALE} * c2.c // c1.c AS term
+        FROM bi
+        JOIN c2 USING (bg)
+        JOIN c1 ON c1.w = string_split(bi.bg, ' ')[1]
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(term) // COUNT(*) AS BIGINT) AS lm_avg_score
+    FROM terms GROUP BY 1
+    """,
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = docs.select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).localCheckpoint(eager=False)
+    uni = docs.select(F.explode(toks).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    terms = (
+        bi.join(c2, "bg")
+        .withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .select(
+            "doc_id",
+            F.expr(f"CAST({LM_SCALE} AS BIGINT) * c2 div c1").alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(sum(term) div count(1) AS BIGINT)").alias("lm_avg_score"),
+    )
