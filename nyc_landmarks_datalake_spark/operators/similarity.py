@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
+from nyc_landmarks_datalake_spark.functions.numeric import (
+    davg_sql,
+    dprod_sum_sql,
+    dsum_sql,
+)
 from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql
 from nyc_landmarks_datalake_spark.operators.dedup import (
     capped_bucket_pairs,
@@ -531,4 +535,80 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("q_id").agg(
         F.count("t_vec_id").cast("long").alias("n_overlap"),
         (F.count("t_vec_id") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance matrix of the embedding corpus — the distributed
+# half of PCA/whitening. The classic split: the cluster reduces 100 TB
+# of vectors to one d×d Gram/covariance matrix (here d=64 → 2080
+# upper-triangle entries) with ONE aggregation; eigendecomposition of
+# that tiny matrix is a driver/numpy concern downstream, not a data
+# problem. Cross-row float sums have no deterministic order, so both
+# moments go through the decimal-exact dsum/dprod_sum path and the
+# covariance derives from the exact sums in identical float64
+# expressions — bit-exact under the oracle, same strategy as
+# dstddev/dcorr.
+#
+# Shape: explode to (vec_id, i, v) then self-join on vec_id (i<=j) —
+# co-partitioned, no data-size shuffle beyond the 2080-group partial
+# agg. The per-row alternative (emit all d^2/2 products per vector,
+# no join) trades shuffle for GenerateExec compute; at d=64 the join
+# form keeps the exploded stream narrow.
+# ---------------------------------------------------------------------------
+@query(
+    "q_embedding_covariance",
+    sql=f"""
+    WITH idx AS (SELECT unnest(range(1, {DIM} + 1)) AS i),
+    x AS (
+        SELECT vec_id, idx.i AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
+        FROM embeddings, idx
+    ),
+    g AS (
+        SELECT a.i AS i, b.i AS j,
+               {dprod_sum_sql('a.v', 'b.v')} AS sum_xy,
+               COUNT(*) AS n_vecs
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    s AS (SELECT i, {dsum_sql('v')} AS sv FROM x GROUP BY 1)
+    SELECT g.i, g.j, g.n_vecs, si.sv AS sum_x, sj.sv AS sum_y, g.sum_xy,
+           (g.sum_xy - si.sv * sj.sv / g.n_vecs) / (g.n_vecs - 1) AS cov
+    FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.functions.numeric import dprod_sum, dsum
+
+    e = compute_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    ).localCheckpoint(eager=False)
+    a = x.alias("a")
+    b = x.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            dprod_sum(F.col("a.v"), F.col("b.v")).alias("sum_xy"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+    s = x.groupBy("i").agg(dsum(F.col("v")).alias("sv"))
+    si = s.select(F.col("i").alias("i"), F.col("sv").alias("sum_x"))
+    sj = s.select(F.col("i").alias("j"), F.col("sv").alias("sum_y"))
+    out = g.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+    cov = (
+        F.col("sum_xy") - F.col("sum_x") * F.col("sum_y") / F.col("n_vecs")
+    ) / (F.col("n_vecs") - 1)
+    return out.select(
+        "i", "j", "n_vecs", "sum_x", "sum_y", "sum_xy", cov.alias("cov")
     )
