@@ -165,3 +165,95 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > Z_CUT)
         .select("o_orderkey", "o_orderpriority", "o_totalprice", z.alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint checking (the Deequ/Great-Expectations tier):
+# a suite of named data-quality rules — primary-key uniqueness,
+# referential integrity, domain membership, numeric ranges — evaluated
+# in bulk, producing one verdict row per rule. Each rule reduces to a
+# count of violating rows; the report is a union of tiny aggregates
+# over at most one scan per base table plus one anti-join for the FK
+# rule, every leg map-side combinable. A CI gate reads `passed`; the
+# violation counts make regressions diagnosable without a re-run.
+# ---------------------------------------------------------------------------
+@query(
+    "q_quality_constraints",
+    sql="""
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+               AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    """,
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-rule constraint report over orders/lineitem."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def verdict(name: str, checked: DataFrame, violations) -> DataFrame:
+        return checked.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(violations, 1).otherwise(0)).alias("n_violations"),
+        ).select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
+
+    pk = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "*")
+    fk_orphans = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+    fk = (
+        li.agg(F.count(F.lit(1)).alias("n_checked"))
+        .crossJoin(F.broadcast(fk_orphans))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "*")
+    )
+    report = pk.unionByName(fk)
+    for name, base, bad in (
+        ("orders_totalprice_positive", orders, F.col("o_totalprice") <= 0),
+        (
+            "orders_status_domain",
+            orders,
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        (
+            "lineitem_qty_range",
+            li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        (
+            "lineitem_discount_range",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+    ):
+        report = report.unionByName(verdict(name, base, bad))
+    return report
