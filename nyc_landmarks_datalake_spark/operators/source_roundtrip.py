@@ -102,3 +102,52 @@ def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on read: two parquet batches written at different
+# "pipeline versions" (the second adds a column), scanned as ONE
+# dataset with mergeSchema — the older files surface the new column as
+# NULL. This is the lake's additive-evolution contract (the reference
+# resolves schemas per-object from a sidecar; SURVEY §1.4.3): readers
+# must not break, and aggregates must treat pre-evolution rows as
+# missing, not dropped. Parquet footer merge is metadata-only — the
+# scan itself stays pruned/pushed-down — so evolution costs nothing at
+# read time until the column is actually referenced.
+# ---------------------------------------------------------------------------
+@query(
+    "q_schema_evolution_agg",
+    sql="""
+    WITH unioned AS (
+        SELECT doc_id, lang, n_chars, NULL AS src
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, source AS src
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT COALESCE(src, '<pre-evolution>') AS src,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM unioned GROUP BY 1
+    """,
+)
+def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    v1_dir = os.path.join(base, "v1")
+    v2_dir = os.path.join(base, "v2")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(v1_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", F.col("source").alias("src")
+    ).write.mode("overwrite").parquet(v2_dir)
+    merged = spark.read.option("mergeSchema", True).parquet(v1_dir, v2_dir)
+    return merged.groupBy(
+        F.coalesce(F.col("src"), F.lit("<pre-evolution>")).alias("src")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
