@@ -1,0 +1,138 @@
+"""Stream-stream interval join — the two-feed correlation pattern.
+
+Two event feeds (clicks, purchases) joined on user within an event-time
+window, as a REAL Structured Streaming stream-stream join: both sides
+arrive file-by-file (``maxFilesPerTrigger=1``), each keeps keyed state
+in the state store, and matches are emitted as both sides' watermarks
+permit — a click in micro-batch 0 must pair with a purchase arriving
+in micro-batch 5 via recovered state, not within-batch luck.
+
+Determinism contract (what makes this oracle-checkable bit-exactly):
+the inner-join match SET of a finite replay is arrival-order
+independent as long as no row is ever dropped as late, so the
+watermark delay is set beyond the staged data's full event-time span.
+Production tightens the delay to bound state — correctness semantics
+are unchanged, only lateness tolerance. The oracle is the equivalent
+batch interval join, so the streaming machinery must reproduce the
+batch answer exactly.
+
+Scale: state per side is bounded by (watermark window x arrival rate);
+the join co-shuffles both streams on the equality key (user_id) once —
+the same partitioning the batch plan would use — and the range
+predicate prunes state by event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+JOIN_WINDOW_HOURS = 6
+
+
+def replay_stream_interval_join(
+    spark,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    n_source_files: int = 2,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stage both inputs and replay them through a watermarked
+    stream-stream interval join; return every emitted pair. Temp dirs
+    must outlive the returned lazy DataFrame (OS reaper cleans them)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_join_")
+    src_a = os.path.join(base, "clicks")
+    src_b = os.path.join(base, "purchases")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    clicks.repartition(n_source_files).write.mode("overwrite").parquet(src_a)
+    purchases.repartition(n_source_files).write.mode("overwrite").parquet(src_b)
+
+    a = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_a)
+        .withWatermark("click_ts", "90 days")
+    )
+    b = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_b)
+        .withWatermark("purchase_ts", "90 days")
+    )
+    joined = a.join(
+        b,
+        (a.click_user == b.purchase_user)
+        & (
+            F.col("click_ts").between(
+                F.col("purchase_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_HOURS} HOURS"),
+                F.col("purchase_ts"),
+            )
+        ),
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(out)
+
+
+def _register_queries() -> None:
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_interval_join",
+        sql=f"""
+        WITH a AS (
+            SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        b AS (
+            SELECT event_id AS purchase_id, user_id AS purchase_user,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.click_user AS user_id,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(a.click_id) AS BIGINT) AS sum_click_ids,
+               CAST(SUM(b.purchase_id) AS BIGINT) AS sum_purchase_ids
+        FROM a JOIN b
+          ON a.click_user = b.purchase_user
+         AND a.click_ts BETWEEN
+             b.purchase_ts - INTERVAL {JOIN_WINDOW_HOURS} HOURS AND b.purchase_ts
+        GROUP BY 1
+        """,
+    )
+    def q_stream_interval_join(spark, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        pairs = replay_stream_interval_join(spark, clicks, purchases)
+        return pairs.groupBy(F.col("click_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("click_id").alias("sum_click_ids"),
+            F.sum("purchase_id").alias("sum_purchase_ids"),
+        )
+
+
+_register_queries()
