@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import table
 
@@ -122,4 +123,46 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("zx") - F.min("zx") + F.max("zy") - F.min("zy"))
         .cast("long")
         .alias("envelope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned scan under the oracle gate. write_partitioned +
+# pruning already carry a plan-level test (tests/test_layout.py); this
+# query makes the END RESULT driver-checked: events land partitioned
+# by day, the read filters one day, and the aggregate must equal the
+# oracle's filter over the raw table. At 100 TB daily partitioning is
+# the first-order scan eliminator — a one-day query reads 1/365th of
+# the lake at PLANNING time (directory listing), before any row-group
+# stat is consulted. The pruned read is asserted in-plan by
+# tests/test_bucketing.py::test_partition_pruned_query_plan.
+# ---------------------------------------------------------------------------
+PRUNE_DAY = "2024-01-15"
+
+
+@query(
+    "q_partition_pruned_agg",
+    sql=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
+    GROUP BY 1
+    """,
+)
+def q_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_day", F.to_date("ts")
+    )
+    path = tempfile.mkdtemp(prefix="events_by_day_") + "/data"
+    ev.write.mode("overwrite").partitionBy("event_day").parquet(path)
+    pruned = spark.read.parquet(path).filter(
+        F.col("event_day") == F.lit(PRUNE_DAY).cast("date")
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
     )

@@ -28,3 +28,25 @@ def test_bucketed_pair_reuses_layout(spark, sf_small):
     a2, _ = bucketed_pair(spark, sf_small)
     assert a1.schema == a2.schema
     assert a1.count() == a2.count()
+
+
+def test_partition_pruned_query_plan(spark, sf_small):
+    """q_partition_pruned_agg's read must prune at planning time: the
+    scan's PartitionFilters carries the day predicate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.zorder import PRUNE_DAY
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    ev = table(spark, sf_small, "events").withColumn("event_day", F.to_date("ts"))
+    path = tempfile.mkdtemp(prefix="prune_pin_") + "/data"
+    ev.write.mode("overwrite").partitionBy("event_day").parquet(path)
+    pruned = spark.read.parquet(path).filter(
+        F.col("event_day") == F.lit(PRUNE_DAY).cast("date")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_day" in plan, plan
+    days = {r["event_day"] for r in pruned.select("event_day").distinct().collect()}
+    assert len(days) <= 1
