@@ -257,3 +257,100 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         report = report.unionByName(verdict(name, base, bad))
     return report
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: exact lower-median + MAD (median absolute
+# deviation) outlier detection per group. Mean/stddev outlier rules
+# break on the very rows they're meant to find; median/MAD don't. The
+# "lower median" (element at rank (n+1) div 2) is a SELECTED data
+# value, not an interpolation — no float arithmetic exists for engines
+# to disagree on, so the whole report is oracle-checked bit-exactly.
+#
+# Scale: each median is one rank-within-group window (single shuffle
+# on the group key) + a rank filter — no global sort, no collect; the
+# deviation pass re-joins the 5-row median frame by broadcast. Two
+# medians = two window passes, the textbook distributed-median shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q_mad_outliers",
+    sql="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    med AS (
+        SELECT o_orderpriority, o_totalprice AS median_price, n
+        FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT o.o_orderpriority, o.o_orderkey,
+               ABS(o.o_totalprice - m.median_price) AS d, m.median_price, m.n
+        FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+    ),
+    dev_ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY d, o_orderkey) AS rn
+        FROM dev
+    ),
+    mad AS (
+        SELECT o_orderpriority, d AS mad_price
+        FROM dev_ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT v.o_orderpriority,
+           CAST(MAX(v.n) AS BIGINT) AS n_orders,
+           MAX(v.median_price) AS median_price,
+           MAX(a.mad_price) AS mad_price,
+           CAST(SUM(CASE WHEN v.d > 3 * a.mad_price THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad a ON a.o_orderpriority = v.o_orderpriority
+    GROUP BY 1
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    grp = Window.partitionBy("o_orderpriority")
+    w_price = grp.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "*",
+        F.row_number().over(w_price).alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "o_orderpriority", F.col("o_totalprice").alias("median_price"), "n"
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("d"),
+        "median_price",
+        "n",
+    )
+    w_dev = grp.orderBy("d", "o_orderkey")
+    mad = (
+        dev.select("*", F.row_number().over(w_dev).alias("rn"))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("o_orderpriority", F.col("d").alias("mad_price"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.max("median_price").alias("median_price"),
+            F.max("mad_price").alias("mad_price"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_price"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
