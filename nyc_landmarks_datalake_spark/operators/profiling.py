@@ -354,3 +354,65 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence scan (source x lang): is the language mix
+# stable across corpus sources? The drift detector every multi-source
+# training pipeline needs before mixing. Expected counts and cell
+# terms derive from integer contingency counts in identical float64
+# expressions; the per-source term sum crosses rows, so it goes
+# through the decimal-exact dsum path (terms are quotient doubles —
+# never an exact 6dp tie — the same argument that makes dsum safe
+# everywhere else). dof headroom: row*col totals stay under 2^63
+# through petabyte corpora; the contingency table itself is
+# (sources x langs)-sized, i.e. tiny, after one map-side-combinable
+# count aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q_chisq_independence",
+    sql=f"""
+    WITH obs AS (
+        SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rs AS (SELECT source, SUM(o) AS r FROM obs GROUP BY 1),
+    cs AS (SELECT lang, SUM(o) AS c FROM obs GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+        SELECT obs.source, obs.o,
+               (obs.o - (rs.r * cs.c / (SELECT n FROM n)))
+               * (obs.o - (rs.r * cs.c / (SELECT n FROM n)))
+               / (rs.r * cs.c / (SELECT n FROM n)) AS term
+        FROM obs
+        JOIN rs ON rs.source = obs.source
+        JOIN cs ON cs.lang = obs.lang
+    )
+    SELECT source,
+           CAST(SUM(o) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           {dsum_sql('term')} AS chi2_contrib
+    FROM terms GROUP BY 1
+    """,
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "lang")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rs = obs.groupBy("source").agg(F.sum("o").alias("r"))
+    cs = obs.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    t = (
+        obs.join(F.broadcast(rs), "source")
+        .join(F.broadcast(cs), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = F.col("r") * F.col("c") / F.col("n")
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return (
+        t.select("source", "o", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("o").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            dsum(F.col("term")).alias("chi2_contrib"),
+        )
+    )
