@@ -12,7 +12,7 @@ session timezone in either engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.registry import query
@@ -227,4 +227,97 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build — gaps-and-islands over a change history.
+# Classic warehouse modeling: collapse a customer's order-status
+# history into versioned validity intervals (valid_from/valid_to,
+# version number, is_current). The run detection is the lag-compare →
+# change-flag → prefix-sum idiom; every value is a selected date or an
+# integer, so the whole dimension is oracle-checked bit-exactly.
+#
+# Scale: two window passes over the same (custkey, date, key)
+# ordering — Spark plans ONE shuffle and reuses the sort for both
+# windows; no self-join, no collect. The output is dimension-sized
+# (runs, not orders).
+# ---------------------------------------------------------------------------
+#: open-interval sentinel; kept inside datetime64[ns] range (pandas/
+#: Arrow interop caps at 2262) unlike the warehouse-classic 9999-12-31
+SCD2_OPEN_END = "2200-01-01"
+
+
+@query(
+    "q_scd2_intervals",
+    sql=f"""
+    WITH h AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN LAG(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS version
+        FROM h
+    ),
+    iv AS (
+        SELECT o_custkey, o_orderstatus, CAST(version AS BIGINT) AS version,
+               MIN(o_orderdate) AS valid_from,
+               COUNT(*) AS n_orders
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, o_orderstatus, version, valid_from,
+           COALESCE(LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                           ORDER BY version),
+                    TIMESTAMP '{SCD2_OPEN_END} 00:00:00') AS valid_to,
+           n_orders,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+               IS NULL AS is_current
+    FROM iv
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = orders.select(
+        "*",
+        F.when(
+            ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = h.select(
+        "*",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "version"
+        ),
+    )
+    iv = runs.groupBy(
+        "o_custkey", "o_orderstatus", F.col("version").cast("long").alias("version")
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    nxt = F.lead("valid_from").over(wv)
+    return iv.select(
+        "o_custkey",
+        "o_orderstatus",
+        "version",
+        "valid_from",
+        F.coalesce(
+            nxt, F.lit(f"{SCD2_OPEN_END} 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        "n_orders",
+        nxt.isNull().alias("is_current"),
     )
