@@ -136,3 +136,81 @@ def _register_queries() -> None:
 
 
 _register_queries()
+
+
+def replay_stream_static_join(
+    spark,
+    stream_rows: DataFrame,
+    static_dim: DataFrame,
+    on,
+    n_source_files: int = 3,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stage ``stream_rows`` and replay file-by-file joined against the
+    static (batch) dimension — the per-micro-batch enrichment pattern.
+    The static side is planned fresh each micro-batch (broadcast at dim
+    scale); an inner equi-join emits each enriched row exactly once
+    regardless of arrival order, which is what makes the replay
+    oracle-checkable."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_static_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    stream_rows.repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(stream_rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream.join(static_dim, on)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(out)
+
+
+def _register_static_join() -> None:
+    from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_static_join",
+        sql=f"""
+        SELECT c.c_nationkey AS nationkey,
+               COUNT(*) AS n_events,
+               {dsum_sql('e.value')} AS sum_value,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1
+        """,
+    )
+    def q_stream_static_join(spark, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        dim = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        enriched = replay_stream_static_join(
+            spark, ev, dim, F.col("user_id") == F.col("c_custkey")
+        )
+        return enriched.groupBy(
+            F.col("c_nationkey").alias("nationkey")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+
+_register_static_join()
