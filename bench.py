@@ -74,6 +74,18 @@ HEADLINE = [
     "q_matryoshka_recall",
     "q_zorder_layout",
     "q_hll_union_rollup",
+    # added r7 (second leg): graph tier (oriented triangles, unrolled
+    # BFS), deterministic CMS, bloom pre-filter join, association lift,
+    # fixed-point LM scoring, exact covariance, robust stats
+    "q_triangle_count",
+    "q_bfs_hops",
+    "q_cms_heavy_hitters",
+    "q_bloom_join",
+    "q_copurchase_lift",
+    "q_ngram_lm_score",
+    "q_embedding_covariance",
+    "q_mad_outliers",
+    "q_chisq_independence",
 ]
 
 
