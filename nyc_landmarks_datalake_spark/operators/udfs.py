@@ -182,3 +182,58 @@ def q_udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, b.bigram, b.cnt, b.rk "
         "FROM udtf_docs d, LATERAL top_bigrams(d.text) b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-MAP pandas UDF (applyInPandas) — the remaining flavor of the
+# pandas surface: each group arrives as one pandas DataFrame and
+# returns a transformed frame. The demo assigns within-group ranks of
+# o_totalprice (ties broken by o_orderkey, so the rank is a pure
+# integer function of the data — nothing float to diverge on) and
+# keeps only each group's top-N. The oracle is the equivalent
+# ROW_NUMBER window, which checks the whole Arrow round-trip +
+# group-split machinery bit-exactly.
+#
+# Scale: applyInPandas shuffles once on the group key and each group
+# must fit in one executor's memory — the documented contract (use
+# window functions when the logic is expressible; this query exists to
+# pin the escape hatch, same rationale as the scalar UDF above).
+# ---------------------------------------------------------------------------
+GROUPED_MAP_TOP_N = 5
+
+
+@query(
+    "q_grouped_map_rank",
+    sql=f"""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+                   AS rk
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {GROUPED_MAP_TOP_N}
+    """,
+)
+def q_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("rk", T.LongType()),
+        ]
+    )
+
+    def rank_top(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(GROUPED_MAP_TOP_N)
+        out = out.assign(rk=range(1, len(out) + 1))
+        return out
+
+    return orders.groupBy("o_orderpriority").applyInPandas(rank_top, schema)
