@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.numeric import dprod_sum_sql, dsum_sql
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import table
 
@@ -320,4 +321,70 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         "n_orders",
         nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-series OLS trend: slope/intercept of value vs time for each event
+# type — the regression aggregate behind drift dashboards and forecast
+# seeds. All five sufficient statistics (n, Sx, Sy, Sxx, Sxy) are
+# exact: integer day indices sum in BIGINT, the value sums go through
+# the decimal dsum/dprod_sum path, and slope/intercept derive from
+# them in identical float64 expressions — so a regression aggregate,
+# normally the epitome of float-order nondeterminism, sits under the
+# bit-exact oracle. One map-side-combinable aggregation; nothing else.
+# ---------------------------------------------------------------------------
+@query(
+    "q_trend_slope",
+    sql=f"""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(datediff('day', DATE '1970-01-01', ts::DATE))
+                    AS BIGINT) AS sx,
+               CAST(SUM(datediff('day', DATE '1970-01-01', ts::DATE)
+                        * datediff('day', DATE '1970-01-01', ts::DATE))
+                    AS BIGINT) AS sxx,
+               {dsum_sql('value')} AS sy,
+               {dprod_sum_sql(
+                   "datediff('day', DATE '1970-01-01', ts::DATE)", 'value'
+               )} AS sxy
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n, sx, sxx, sy, sxy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.functions.numeric import dprod_sum, dsum
+
+    ev = table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x.cast("long") * x.cast("long")).cast("long").alias("sxx"),
+        dsum(F.col("value")).alias("sy"),
+        dprod_sum(x.cast("double"), F.col("value")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    intercept = (F.col("sy") - slope * sxd) / nd
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        "sy",
+        "sxy",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
     )
