@@ -1,0 +1,100 @@
+"""Streaming windowed aggregation replayed under the oracle gate.
+
+The tumbling/session batch twins (operators/events.py) pin window
+SEMANTICS; this replay pins the streaming ENGINE: events arrive
+file-by-file, the windowed aggregate accumulates in the state store
+across micro-batches, and the final complete-mode emission must equal
+the batch GROUP BY bit-exactly.
+
+Determinism: complete mode emits the full aggregate every trigger, so
+the LAST emission covers all input regardless of arrival order; the
+value sum accumulates in DECIMAL (exact, order-independent) inside the
+streaming state exactly like the batch dsum path — a double sum here
+would vary with state-update order. The foreachBatch sink overwrites,
+so what survives is the final complete snapshot.
+
+Scale: complete mode holds every window in state — right for bounded
+window counts (dashboard rollups); unbounded production windows pair
+append mode with a watermark instead (late-drop semantics covered in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def replay_stream_tumbling_agg(
+    spark,
+    rows: DataFrame,
+    window: str = "1 hour",
+    n_source_files: int = 3,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stage ``rows`` (ts, event_type, value) and replay through a
+    streaming tumbling-window aggregate; return the final complete
+    snapshot. Temp dirs must outlive the returned lazy DataFrame."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_window_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    rows.repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        F.window("ts", window).alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("dec_total"),
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(out)
+
+
+def _register() -> None:
+    from nyc_landmarks_datalake_spark.functions.numeric import dsum_sql
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_tumbling_replay",
+        sql=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {dsum_sql('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+        """,
+    )
+    def q_stream_tumbling_replay(spark, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+        snap = replay_stream_tumbling_agg(spark, ev)
+        return snap.select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("dec_total").cast("double").alias("total_value"),
+        )
+
+
+_register()
