@@ -388,3 +388,60 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (the DAU/WAU curve). Sliding DISTINCT
+# cannot partial-aggregate the way sums can — the classic fix is
+# day-bucketing: reduce the stream to distinct (user, day) once (the
+# only big shuffle), then each day's trailing window counts distinct
+# users across its ≤7 buckets via a bounded range join on the (tiny)
+# day spine. Work scales with active-users×7, never with raw events.
+# The spine densifies from min to max day, so quiet days report their
+# true trailing count instead of vanishing.
+# ---------------------------------------------------------------------------
+ROLLING_DAYS = 7
+
+
+@query(
+    "q_rolling_distinct_users",
+    sql=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    )
+    SELECT s.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS rolling_users,
+           CAST(COUNT(*) AS BIGINT) AS user_days
+    FROM spine s
+    JOIN ud u
+      ON u.day BETWEEN s.day - INTERVAL {ROLLING_DAYS - 1} DAY AND s.day
+    GROUP BY 1
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    joined = F.broadcast(spine).alias("s").join(
+        ud.alias("u"),
+        F.col("u.day").between(
+            F.col("s.day") - F.expr(f"INTERVAL {ROLLING_DAYS - 1} DAYS"),
+            F.col("s.day"),
+        ),
+    )
+    return joined.groupBy(F.col("s.day").alias("day")).agg(
+        F.countDistinct("user_id").alias("rolling_users"),
+        F.count(F.lit(1)).alias("user_days"),
+    )
