@@ -204,3 +204,88 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum("point_id").alias("sum_point_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius (distance) join — point-to-point within-R pairing, the other
+# classic spatial shape next to containment. Grid cell = R: each right
+# point lands in exactly ONE cell, each left point probes its 3x3
+# neighborhood (bounded 9x replication of the probe keys, map-side
+# explode of a literal offset array), so any within-R pair meets in
+# exactly one (cell, offset) combination and the only shuffle is the
+# cell-key join. All coordinates are integers and the predicate is
+# SQUARED distance — the whole join is integer-exact, no sqrt, no
+# floats. The oracle is the brute-force theta join (quadratic — the
+# reason the grid form exists).
+# ---------------------------------------------------------------------------
+RADIUS = 2000
+_RCELL = RADIUS  # cell size = R makes 3x3 probing sufficient
+
+
+@query(
+    "q_radius_join",
+    sql=f"""
+    WITH points AS ({_PT_SQL}),
+    bpts AS (
+        SELECT s_suppkey AS b_id,
+               s_suppkey * 48611 % 100000 AS bx,
+               s_suppkey * 15485863 % 50000 AS by
+        FROM supplier
+    )
+    SELECT point_id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(MIN((x - bx) * (x - bx) + (y - by) * (y - by)) AS BIGINT)
+               AS min_dist2,
+           CAST(SUM(b_id) AS BIGINT) AS sum_neighbor_ids
+    FROM points JOIN bpts
+      ON (x - bx) * (x - bx) + (y - by) * (y - by) <= {RADIUS * RADIUS}
+    GROUP BY 1
+    """,
+)
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point neighbor census within RADIUS via 3x3 grid probing."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") * 7919 % 100000).alias("x"),
+        (F.col("c_custkey") * 104729 % 50000).alias("y"),
+    )
+    bpts = supp.select(
+        F.col("s_suppkey").alias("b_id"),
+        (F.col("s_suppkey") * 48611 % 100000).alias("bx"),
+        (F.col("s_suppkey") * 15485863 % 50000).alias("by"),
+    ).select(
+        "*",
+        F.expr(f"bx DIV {_RCELL}").alias("cx"),
+        F.expr(f"by DIV {_RCELL}").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = pts.select(
+        "*", F.explode(offsets).alias("o")
+    ).select(
+        "point_id",
+        "x",
+        "y",
+        (F.expr(f"x DIV {_RCELL}") + F.col("o.dx")).alias("cx"),
+        (F.expr(f"y DIV {_RCELL}") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    return (
+        probes.join(bpts, ["cx", "cy"])
+        .filter(d2 <= RADIUS * RADIUS)
+        .groupBy("point_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min(d2).cast("long").alias("min_dist2"),
+            F.sum("b_id").alias("sum_neighbor_ids"),
+        )
+    )
