@@ -465,3 +465,62 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("CAST(sum(term) div count(1) AS BIGINT)").alias("lm_avg_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+# training: frequency of every ADJACENT character pair across the
+# corpus, weighted by word frequency. A full BPE trainer repeats
+# (count pairs -> merge argmax) k times; the count step is the only
+# data-scale operation (the merge table is vocabulary-sized, driver
+# material), so it's what belongs in the engine. Counting runs over
+# the DISTINCT token vocabulary joined back to word counts — corpus
+# size only enters through the (map-side-combinable) word count, the
+# pair explosion is vocab-bounded. Integer-exact; top pairs ordered
+# (count desc, pair asc) for a deterministic merge choice.
+# ---------------------------------------------------------------------------
+BPE_TOP_PAIRS = 30
+
+
+@query(
+    "q_bpe_pair_counts",
+    sql=f"""
+    WITH wc AS (
+        SELECT tok, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(tok)),
+                                     i -> substr(tok, i, 2))) AS pair,
+               freq
+        FROM wc WHERE len(tok) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY 1
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = compute_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = wc.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
