@@ -1,0 +1,257 @@
+"""Spark 4 SQL-surface coverage: VARIANT shredding, SQL UDFs, string
+collations, SQL pipe syntax, and LATERAL correlated subqueries.
+
+The reference lake stores event payloads as raw JSON strings
+(``events.props``); a modern engine must shred semi-structured data
+without a Python hop. These queries exercise the Spark 4 native
+surfaces for that — each one oracle-checked bit-exactly against a
+DuckDB formulation that uses only portable ANSI SQL (``json_extract``,
+inlined UDF bodies, ``lower()`` for collation folding, plain SQL for
+the pipe form), so a green row proves the *semantics*, not just that
+the feature parses.
+
+Scale posture: every query here is a single scan → (optional map) →
+one hash-agg shuffle. VARIANT extraction, SQL-UDF bodies, collation
+keys and pipe-syntax stages all run JVM-side inside whole-stage
+codegen — no Python, no extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: parse_json → variant_get typed extraction (Spark 4 native
+# semi-structured type; the binary-encoded variant beats per-row JSON
+# string re-parsing at scale and supports shredded columnar pushdown).
+# ---------------------------------------------------------------------------
+@query(
+    "q_variant_shred",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT) % 2) AS BIGINT) AS n_odd
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shred the JSON event payload through the VARIANT type.
+
+    ``parse_json`` builds the binary variant once; ``variant_get`` does
+    a typed path extraction (no string re-parse, no schema inference
+    pass). The oracle extracts the same path with DuckDB's JSON
+    operators — integer-exact aggregation on both sides.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k") % 2).alias("n_odd"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... RETURN expr): reusable scalar logic that
+# stays declarative — Catalyst inlines the body, so unlike a Python UDF
+# the call sites remain inside codegen and predicate pushdown.
+# ---------------------------------------------------------------------------
+@query(
+    "q_sql_udf_pricing",
+    sql=f"""
+    SELECT upper(l_returnflag) || '/' || upper(l_linestatus) AS code,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) / 5000.0) AS BIGINT)
+               AS bucket,
+           COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group lineitem through two SQL UDFs (scalar, declarative).
+
+    The UDF bodies are pure SQL expressions, so the oracle simply
+    inlines them — a green row proves Spark's SQL-UDF inlining computes
+    exactly what the expression says. FLOOR of the identical IEEE
+    double is deterministic across engines (no aggregation-order
+    dependence); the quantity sum rides the decimal-exact path.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge_bucket"
+        "(price DOUBLE, disc DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(FLOOR(price * (1 - disc) / 5000.0) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION flag_code"
+        "(rf STRING, ls STRING) RETURNS STRING "
+        "RETURN concat(upper(rf), '/', upper(ls))"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    mapped = spark.sql(
+        "SELECT flag_code(l_returnflag, l_linestatus) AS code, "
+        "charge_bucket(l_extendedprice, l_discount) AS bucket, l_quantity "
+        "FROM sqludf_lineitem"
+    )
+    return mapped.groupBy("code", "bucket").agg(
+        F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collations: UTF8_LCASE distinct-counting and literal comparison.
+# Collation travels with the *value* (no per-comparison lower() calls),
+# and the collation key is what shuffles — at 100 TB that is the
+# difference between one normalized exchange and a lower() map stage
+# glued onto every consumer.
+# ---------------------------------------------------------------------------
+@query(
+    "q_collation_distinct",
+    sql="""
+    WITH noisy AS (
+        SELECT c_nationkey,
+               CASE c_custkey % 3
+                   WHEN 0 THEN lower(c_mktsegment)
+                   WHEN 1 THEN upper(substr(c_mktsegment, 1, 1))
+                            || lower(substr(c_mktsegment, 2))
+                   ELSE c_mktsegment
+               END AS seg
+        FROM customer
+    )
+    SELECT c_nationkey,
+           COUNT(DISTINCT seg) AS raw_variants,
+           COUNT(DISTINCT lower(seg)) AS folded_variants,
+           CAST(SUM(CASE WHEN lower(seg) = 'machinery' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_machinery
+    FROM noisy
+    GROUP BY c_nationkey
+    """,
+)
+def q_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-noisy segment labels folded under the UTF8_LCASE collation.
+
+    Distinct-count and literal equality run on the *collated* string —
+    no lower() in the Spark plan. The oracle proves the semantics with
+    explicit lower() folding.
+    """
+    cust = table(spark, sf_dir, "customer")
+    noisy = cust.select(
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.expr("substr(c_mktsegment, 2)")),
+            ),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    folded = F.expr("seg COLLATE UTF8_LCASE")
+    return noisy.groupBy("c_nationkey").agg(
+        F.countDistinct("seg").alias("raw_variants"),
+        F.countDistinct(folded).alias("folded_variants"),
+        F.sum(F.when(folded == F.lit("machinery"), 1).otherwise(0)).alias(
+            "n_machinery"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (|>): Spark 4's linear query form. Same logical plan
+# as the nested-SELECT equivalent — the oracle runs the classic form.
+# ---------------------------------------------------------------------------
+@query(
+    "q_pipe_syntax_pricing",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 flavor written in Spark 4 pipe syntax.
+
+    ``FROM … |> WHERE … |> EXTEND … |> AGGREGATE`` — each stage is a
+    plain Catalyst operator, so pushdown and partial aggregation work
+    exactly as in the nested form (the driver-checked plan equivalence
+    IS the point of the query).
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(disc_price AS DECIMAL(30,6))) AS DOUBLE)
+                   AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: per-group top-1 without a window over the
+# whole relation. Catalyst rewrites the lateral into a join; the oracle
+# runs the identical LATERAL in DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "q_lateral_topk_customers",
+    sql="""
+    SELECT n.n_name, t.c_name AS top_customer, t.c_acctbal AS top_acctbal
+    FROM nation AS n,
+         LATERAL (
+             SELECT c_name, c_acctbal
+             FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 1
+         ) AS t
+    """,
+)
+def q_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest customer per nation via a LATERAL correlated subquery.
+
+    Deterministic tiebreak on c_custkey. Nations with no customers drop
+    out (inner lateral) — identical semantics in both engines.
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name AS top_customer, t.c_acctbal AS top_acctbal
+        FROM lat_nation AS n,
+             LATERAL (
+                 SELECT c_name, c_acctbal
+                 FROM lat_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 1
+             ) AS t
+        """
+    )
