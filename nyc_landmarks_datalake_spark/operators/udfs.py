@@ -237,3 +237,61 @@ def q_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return orders.groupBy("o_orderpriority").applyInPandas(rank_top, schema)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy Arrow-native map surface — no pandas
+# conversion at all (RecordBatch in, RecordBatch out). The right shape
+# for per-batch logic that is itself vectorized (Arrow compute kernels,
+# numpy views, handoff to native libs) where even the Arrow→pandas
+# materialization of mapInPandas is waste.
+# ---------------------------------------------------------------------------
+@query(
+    "q_arrow_map_counts",
+    sql="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')))
+               AS BIGINT) AS n_spaces,
+           CAST(SUM((length(text) - length(replace(text, 'data', ''))) // 4)
+               AS BIGINT) AS n_data
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_arrow_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source substring-occurrence totals through mapInArrow.
+
+    The Python stage runs Arrow compute kernels (`count_substring`) on
+    each RecordBatch — vectorized C++ under a Python driver loop, with
+    no pandas materialization. Partial results are plain int64 columns
+    the JVM aggregates afterward (map-side combine still applies). The
+    oracle recomputes the counts with replace()-length arithmetic —
+    'data' cannot self-overlap and ' ' is a single char, so
+    non-overlapping substring counting agrees exactly.
+    """
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+
+    def count_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("source")),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                    pc.cast(pc.count_substring(text, "data"), pa.int64()),
+                ],
+                names=["source", "n_spaces", "n_data"],
+            )
+
+    mapped = docs.mapInArrow(
+        count_batches, schema="source string, n_spaces long, n_data long"
+    )
+    return mapped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spaces").alias("n_spaces"),
+        F.sum("n_data").alias("n_data"),
+    )

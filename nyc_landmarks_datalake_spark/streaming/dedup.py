@@ -71,6 +71,61 @@ def replay_stream_dedup(
     return spark.read.parquet(out)
 
 
+def replay_stream_dedup_watermarked(
+    spark,
+    rows: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "3650 days",
+    n_source_files: int = 4,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Replay through ``withWatermark + dropDuplicatesWithinWatermark``
+    — the bounded-state production form of streaming dedup (state for a
+    key is dropped once the watermark passes its event time, so an
+    unbounded stream holds only a watermark-window of keys, not the full
+    key history that plain ``dropDuplicates`` accumulates).
+
+    The registered query picks ``delay`` longer than the staged data's
+    event-time span, so no state is evicted mid-replay and the emitted
+    set is EXACTLY the distinct key set — which is what makes the
+    operator oracle-checkable bit-exactly while still executing the
+    DeduplicateWithinWatermark state machinery (watermark tracking,
+    eviction timers) across real micro-batches. ``keys`` must include
+    the event-time column: first-seen rows carry arbitrary non-key
+    columns under arrival-order nondeterminism (same reasoning as
+    replay_stream_dedup's key-only projection)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_wm_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    rows.repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(out)
+
+
 def _register_queries() -> None:
     from nyc_landmarks_datalake_spark.registry import query
     from nyc_landmarks_datalake_spark.sources.catalog import table
@@ -84,6 +139,20 @@ def _register_queries() -> None:
     def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
         rows = table(spark, sf_dir, "events").select("user_id", "event_type")
         return replay_stream_dedup(spark, rows, ["user_id", "event_type"])
+
+    @query(
+        "q_stream_dedup_watermarked",
+        sql="""
+        SELECT DISTINCT user_id, event_type, ts FROM events
+        """,
+    )
+    def q_stream_dedup_watermarked(spark, sf_dir: str) -> DataFrame:
+        rows = table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts"
+        )
+        return replay_stream_dedup_watermarked(
+            spark, rows, ["user_id", "event_type", "ts"]
+        )
 
 
 _register_queries()

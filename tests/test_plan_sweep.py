@@ -28,6 +28,7 @@ PYTHON_ALLOWED = {
     "q_image_resize_stats",  # r7: real NN pixel resize of decoded payloads
     "q_udtf_top_bigrams",  # r7: Python UDTF surface (lateral table function)
     "q_grouped_map_rank",  # r7: applyInPandas grouped-map surface
+    "q_arrow_map_counts",  # r7: mapInArrow surface (Arrow compute kernels)
 }
 # q_stateful_user_profiles is Python-path too (applyInPandasWithState),
 # but its Python stage runs inside the eager streaming replay; the
