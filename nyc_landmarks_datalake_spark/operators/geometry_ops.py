@@ -289,3 +289,145 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b_id").alias("sum_neighbor_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (ray casting) — true polygon containment, the step
+# beyond bbox/radius predicates. Polygons are deterministic 8-vertex
+# STARS (non-convex — concave vertices prove the even-odd rule, not a
+# convexity shortcut). The crossing test is pure int64: for edge
+# (x1,y1)-(x2,y2) and ray +x from (x,y), with d = y2-y1 and
+# u = (x1-x)*d + (y-y1)*(x2-x1), the edge crosses iff the y-interval
+# straddles ((y1>y) != (y2>y), half-open — vertices count once) and
+# sign(u) == sign(d) (x* > x cleared of the division). No floats, no
+# sqrt — bit-exact in any engine.
+#
+# Scale: bbox candidates come from the existing grid join (one shuffle
+# per side); the exact test runs MAP-SIDE over an 8-struct literal
+# edge array via higher-order filter — no 8x edge explosion ever hits
+# a shuffle. The oracle takes the opposite formulation (brute-force
+# bbox theta join + an 8-row VALUES edge join + FILTER aggregation) —
+# two independently-derived implementations must agree on every
+# crossing count.
+# ---------------------------------------------------------------------------
+#: star offsets (outer radius 2000, inner 600), closed ring
+_STAR = [
+    (2000, 0), (600, 600), (0, 2000), (-600, 600),
+    (-2000, 0), (-600, -600), (0, -2000), (600, -600),
+]
+_STAR_EDGES = list(zip(_STAR, _STAR[1:] + _STAR[:1]))
+
+_POLY_SQL = """
+    SELECT s_suppkey AS poly_id,
+           10000 + (s_suppkey * 48611) % 80000 AS cx,
+           10000 + (s_suppkey * 15485863) % 30000 AS cy,
+           1 + s_suppkey % 3 AS s
+    FROM supplier
+"""
+
+_OFFS_VALUES = ", ".join(
+    f"({dx1}, {dy1}, {dx2}, {dy2})"
+    for (dx1, dy1), (dx2, dy2) in _STAR_EDGES
+)
+
+
+@query(
+    "q_point_in_polygon",
+    sql=f"""
+    WITH pts AS ({_PT_SQL}),
+    polys AS ({_POLY_SQL}),
+    cand AS (
+        SELECT point_id, x, y, poly_id, cx, cy, s
+        FROM pts JOIN polys
+          ON x BETWEEN cx - 2000 * s AND cx + 2000 * s
+         AND y BETWEEN cy - 2000 * s AND cy + 2000 * s
+    ),
+    offs(dx1, dy1, dx2, dy2) AS (VALUES {_OFFS_VALUES}),
+    crossed AS (
+        SELECT point_id, poly_id,
+               COUNT(*) FILTER (WHERE
+                   ((cy + dy1 * s > y) <> (cy + dy2 * s > y))
+                   AND (
+                     ((dy2 - dy1) * s > 0 AND
+                      (cx + dx1 * s - x) * ((dy2 - dy1) * s)
+                        + (y - (cy + dy1 * s)) * ((dx2 - dx1) * s) > 0)
+                     OR
+                     ((dy2 - dy1) * s < 0 AND
+                      (cx + dx1 * s - x) * ((dy2 - dy1) * s)
+                        + (y - (cy + dy1 * s)) * ((dx2 - dx1) * s) < 0)
+                   )) AS crossings
+        FROM cand CROSS JOIN offs
+        GROUP BY point_id, poly_id
+    )
+    SELECT poly_id,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inside,
+           CAST(SUM(CASE WHEN crossings % 2 = 1 THEN point_id ELSE 0 END)
+               AS BIGINT) AS sum_inside_ids
+    FROM crossed
+    GROUP BY poly_id
+    """,
+)
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon containment census via integer ray casting."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") * 7919 % 100000).alias("x"),
+        (F.col("c_custkey") * 104729 % 50000).alias("y"),
+    )
+    polys = supp.select(
+        F.col("s_suppkey").alias("box_id"),
+        (10000 + F.col("s_suppkey") * 48611 % 80000).alias("cx"),
+        (10000 + F.col("s_suppkey") * 15485863 % 30000).alias("cy"),
+        (1 + F.col("s_suppkey") % 3).alias("s"),
+    )
+    boxes = polys.select(
+        "box_id", "cx", "cy", "s",
+        (F.col("cx") - 2000 * F.col("s")).alias("xmin"),
+        (F.col("cy") - 2000 * F.col("s")).alias("ymin"),
+        (F.col("cx") + 2000 * F.col("s")).alias("xmax"),
+        (F.col("cy") + 2000 * F.col("s")).alias("ymax"),
+    )
+    cand = spatial_grid_join(
+        pts, boxes.select("box_id", "xmin", "ymin", "xmax", "ymax"), cell=2000
+    ).join(polys, "box_id")
+
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    edges = F.array(
+        *[
+            F.struct(
+                (cx + dx1 * s).alias("x1"),
+                (cy + dy1 * s).alias("y1"),
+                (cx + dx2 * s).alias("x2"),
+                (cy + dy2 * s).alias("y2"),
+            )
+            for (dx1, dy1), (dx2, dy2) in _STAR_EDGES
+        ]
+    )
+
+    def _crossing(e):
+        x, y = F.col("x"), F.col("y")
+        d = e["y2"] - e["y1"]
+        u = (e["x1"] - x) * d + (y - e["y1"]) * (e["x2"] - e["x1"])
+        straddle = (e["y1"] > y) != (e["y2"] > y)
+        return straddle & (((d > 0) & (u > 0)) | ((d < 0) & (u < 0)))
+
+    crossings = F.size(F.filter(edges, _crossing))
+    return (
+        cand.select(
+            "point_id",
+            F.col("box_id").alias("poly_id"),
+            (crossings % 2 == 1).alias("inside"),
+        )
+        .groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(F.col("inside"), 1).otherwise(0)).alias("n_inside"),
+            F.sum(
+                F.when(F.col("inside"), F.col("point_id")).otherwise(0)
+            ).alias("sum_inside_ids"),
+        )
+    )
