@@ -86,6 +86,20 @@ HEADLINE = [
     "q_embedding_covariance",
     "q_mad_outliers",
     "q_chisq_independence",
+    # added r7 (third leg): Spark 4 SQL surface, web curation,
+    # content-defined span dedup, Arrow-native map, ray-cast
+    # containment — newly TRACKED work, not regressions
+    "q_variant_shred",
+    "q_sql_udf_pricing",
+    "q_collation_distinct",
+    "q_pipe_syntax_pricing",
+    "q_lateral_topk_customers",
+    "q_url_canonicalize",
+    "q_pii_redaction",
+    "q_length_bucket_batching",
+    "q_substring_dup_spans",
+    "q_arrow_map_counts",
+    "q_point_in_polygon",
 ]
 
 

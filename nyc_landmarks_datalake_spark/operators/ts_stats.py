@@ -1,0 +1,302 @@
+"""Time-series finance-style aggregates and higher-moment statistics:
+time-weighted average (TWAP), OHLC bars, skewness/kurtosis from exact
+power sums, deterministic mode, and tokenizer vocabulary coverage.
+
+Determinism strategy per STATUS.md: integer/exact-decimal aggregation
+everywhere, floats derived only in a final projection whose expression
+shape is written IDENTICALLY in both engines (each IEEE op is
+correctly rounded, so identical inputs + identical op order = identical
+bits). Ties are broken by struct-ordering on explicit keys — never an
+engine's arbitrary arg_min/arg_max pick.
+
+Scale posture: TWAP/OHLC partition windows by (event_type, day) — the
+partition is day-bounded, so no window ever sorts more than one
+group-day (the classic hypertable chunking); everything else is plain
+hash aggregation. The vocabulary join broadcasts a 100-row dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.functions.numeric import (
+    dprod_sum,
+    dprod_sum_sql,
+)
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# TWAP: each observation holds until the next one in its (type, day)
+# group; the average weights values by that holding duration (ms).
+# ---------------------------------------------------------------------------
+@query(
+    "q_time_weighted_avg",
+    sql=f"""
+    WITH seq AS (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000 AS dur_ms
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                     ORDER BY ts, event_id)
+    )
+    SELECT event_type, day,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+           {dprod_sum_sql('value', 'dur_ms')} AS wsum,
+           {dprod_sum_sql('value', 'dur_ms')}
+               / CAST(CAST(SUM(dur_ms) AS BIGINT) AS DOUBLE) AS twap
+    FROM seq
+    WHERE dur_ms IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-chunked TWAP of event values per event type.
+
+    Durations are integer milliseconds (day-bounded, so the (18,6)
+    decimal product operand bound holds with 5 orders of headroom);
+    the weighted sum rides the exact decimal product path and the
+    final division is one double op written identically in both
+    engines. Single-event days contribute no interval and drop out —
+    identical group-vanishing semantics on both sides.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    seq = (
+        ev.select("event_type", day.alias("day"), "ts", "event_id", "value")
+        .withColumn("nts", F.lead("ts").over(w))
+        .withColumn(
+            "dur_ms",
+            F.expr("(unix_micros(nts) - unix_micros(ts)) div 1000"),
+        )
+        .filter(F.col("dur_ms").isNotNull())
+    )
+    total_ms = F.sum("dur_ms").cast("long")
+    wsum = dprod_sum(F.col("value"), F.col("dur_ms"))
+    return seq.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_intervals"),
+        total_ms.alias("total_ms"),
+        wsum.alias("wsum"),
+        (wsum / total_ms.cast("double")).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: open/close picked by struct-ordered min/max over
+# (ts, event_id, value) — deterministic under ts ties, no arg_min.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ohlc_bars",
+    sql="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           (MIN({'t': ts, 'e': event_id, 'v': value})).v AS open_v,
+           (MAX({'t': ts, 'e': event_id, 'v': value})).v AS close_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks per event type — one hash aggregation.
+
+    Open/close are min/max over the struct (ts, event_id, value):
+    lexicographic struct comparison makes the pick deterministic even
+    when timestamps collide, and the whole bar is a single map-side-
+    combinable agg (no window, no self-join).
+    """
+    ev = table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"),
+                 F.col("value").alias("v"))
+    return (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("day"), "ts",
+                  "event_id", "value")
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(s)["v"].alias("open_v"),
+            F.max(s)["v"].alias("close_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skewness / kurtosis from exact integer power sums. l_quantity is
+# integral and <= 50, so s4 fits int64 with ~8 orders of headroom at
+# sf1000; the float moments derive from exact sums in one projection.
+# ---------------------------------------------------------------------------
+@query(
+    "q_skewness_kurtosis",
+    sql="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               CAST(SUM(q * q) AS BIGINT) AS s2,
+               CAST(SUM(q * q * q) AS BIGINT) AS s3,
+               CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem)
+        GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l_returnflag, n, s1, s2, s3, s4,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        FROM sums
+    )
+    SELECT l_returnflag, n, s1, s2, s3, s4,
+           (r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean)
+               / ((r2 - mean * mean) * sqrt(r2 - mean * mean)) AS skewness,
+           (r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+              - 3.0 * mean * mean * mean * mean)
+               / ((r2 - mean * mean) * (r2 - mean * mean)) - 3.0
+               AS excess_kurtosis
+    FROM m
+    """,
+)
+def q_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag.
+
+    Integer power sums are exact; the moment formulas are spelled with
+    the same operation order as the oracle SQL, so every double is
+    bit-identical (no aggregation-order dependence anywhere).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n_d
+    r2 = F.col("s2").cast("double") / n_d
+    r3 = F.col("s3").cast("double") / n_d
+    r4 = F.col("s4").cast("double") / n_d
+    m2 = r2 - mean * mean
+    skew = (r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean) / (
+        m2 * F.sqrt(m2)
+    )
+    kurt = (
+        r4
+        - F.lit(4.0) * mean * r3
+        + F.lit(6.0) * mean * mean * r2
+        - F.lit(3.0) * mean * mean * mean * mean
+    ) / (m2 * m2) - F.lit(3.0)
+    return sums.select(
+        "l_returnflag", "n", "s1", "s2", "s3", "s4",
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode with deterministic tie-break (highest count, then SMALLEST
+# value) — struct-ordered max over (count, -value), never arg_max.
+# ---------------------------------------------------------------------------
+@query(
+    "q_mode_quantity",
+    sql="""
+    WITH counts AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(-((MAX({'c': cnt, 'nq': -q})).nq) AS BIGINT) AS mode_q,
+           CAST((MAX({'c': cnt, 'nq': -q})).c AS BIGINT) AS mode_count,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_q
+    FROM counts
+    GROUP BY l_returnflag
+    """,
+)
+def q_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal quantity per return flag (two chained hash aggs)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    counts = li.groupBy("l_returnflag", "q").agg(F.count("*").alias("cnt"))
+    pick = F.max(
+        F.struct(F.col("cnt").alias("c"), (-F.col("q")).alias("nq"))
+    )
+    return counts.groupBy("l_returnflag").agg(
+        (-pick["nq"]).cast("long").alias("mode_q"),
+        pick["c"].cast("long").alias("mode_count"),
+        F.count("*").alias("n_distinct_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: OOV rate per source against the
+# corpus top-K vocabulary — the planning number behind vocab sizing.
+# ---------------------------------------------------------------------------
+_VOCAB_K = 100
+
+
+@query(
+    "q_tokenizer_coverage",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    clean AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS cnt FROM clean GROUP BY tok
+        ) ORDER BY cnt DESC, tok LIMIT {_VOCAB_K}
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(1000000 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM clean c LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+)
+def q_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the global top-100.
+
+    The vocabulary is a deterministic top-K (count desc, token asc —
+    TakeOrdered, no full sort) broadcast to a map-side left join; the
+    OOV rate is fixed-point ppm (integer division, no float). At 100 TB
+    the exploded token relation never joins anything larger than the
+    K-row vocabulary.
+    """
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )
