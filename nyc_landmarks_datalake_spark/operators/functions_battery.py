@@ -261,3 +261,51 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "near_canon"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# listagg WITHIN GROUP (Spark 4): ordered string aggregation as a TRUE
+# ordered aggregate — unlike the collect_set+array_sort rewrite above,
+# the ordering is part of the aggregate's contract, so Catalyst owns
+# the sort (partial aggregation still applies). Dedup tie-break and
+# ordering are explicit, so the result is deterministic at any
+# parallelism.
+# ---------------------------------------------------------------------------
+@query(
+    "q_listagg_ordered",
+    sql="""
+    WITH pairs AS (
+        SELECT DISTINCT c_mktsegment, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT c_mktsegment,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM pairs
+    GROUP BY c_mktsegment
+    """,
+)
+def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations per market segment via listagg … WITHIN GROUP.
+
+    The distinct pairs are pre-aggregated (one hash-distinct shuffle)
+    before the ordered aggregate — which sidesteps a Spark 4.1 ListAgg
+    bug (withNewChildrenInternal class-cast when the DISTINCT-rewrite
+    transforms the aggregate) and is the better plan anyway: listagg
+    sorts far fewer rows.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("la_customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("la_nation")
+    return spark.sql(
+        """
+        WITH pairs AS (
+            SELECT DISTINCT c_mktsegment, n_name
+            FROM la_customer JOIN la_nation ON c_nationkey = n_nationkey
+        )
+        SELECT c_mktsegment,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM pairs
+        GROUP BY c_mktsegment
+        """
+    )
