@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.functions.hashing import md5_long, md5_long_sql
 from nyc_landmarks_datalake_spark.registry import query
-from nyc_landmarks_datalake_spark.sources.catalog import table
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table
 
 #: span width W, anchor-gram width K, anchor density divisor D
 SPAN_W, ANCHOR_K, ANCHOR_D = 40, 8, 16
@@ -99,7 +99,7 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchoring, and the multi-doc test are pinned bit-exactly.
     """
     docs = (
-        table(spark, sf_dir, "documents")
+        compute_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .filter(F.length("text") >= SPAN_W)
     )

@@ -344,3 +344,51 @@ def test_kmeans_partition_count_invariant(spark, sf_oracle):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert results["3"] == results["17"]
+
+
+def test_tokenizer_vocab_join_is_broadcast(spark, sf_oracle):
+    # the 100-row vocabulary must ride a broadcast join — the exploded
+    # token relation never shuffles for the join itself
+    a = audit(registry.QUERIES["q_tokenizer_coverage"](spark, sf_oracle))
+    assert a.broadcast_hash_joins >= 1
+    assert not a.has_python_eval
+
+
+def test_point_in_polygon_no_cartesian(spark, sf_oracle):
+    # candidates come from the grid join (hash join on cell keys); the
+    # exact ray-cast filter is map-side higher-order — no cartesian,
+    # no Python, no sort-merge explosion
+    from nyc_landmarks_datalake_spark.plans.audit import _plan_string
+
+    df = registry.QUERIES["q_point_in_polygon"](spark, sf_oracle)
+    a = audit(df)
+    assert "CartesianProduct" not in _plan_string(df)
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_substring_spans_anchor_filter_before_shuffle(spark, sf_oracle):
+    # the content-defined anchor filter must run in the same (map)
+    # stage as the Generate — only anchored spans reach any exchange
+    from nyc_landmarks_datalake_spark.plans.audit import _plan_string
+
+    df = registry.QUERIES["q_substring_dup_spans"](spark, sf_oracle)
+    a = audit(df)
+    assert not a.has_python_eval
+    assert "CartesianProduct" not in _plan_string(df)
+    assert a.nested_loop_joins == 0
+
+
+def test_ohlc_single_aggregation(spark, sf_oracle):
+    # one hash agg (partial+final = one data exchange), no window
+    a = audit(registry.QUERIES["q_ohlc_bars"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.exchanges <= 1, a
+
+
+def test_url_canonicalize_map_side_until_agg(spark, sf_oracle):
+    # parse_url + higher-order param work is pure projection; the only
+    # exchange is the final per-host aggregation (+distincts)
+    a = audit(registry.QUERIES["q_url_canonicalize"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.exchanges <= 3, a
