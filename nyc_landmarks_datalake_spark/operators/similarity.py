@@ -612,3 +612,87 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "i", "j", "n_vecs", "sum_x", "sum_y", "sum_xy", cov.alias("cov")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: MRR@K + hit rate per label — the metric layer
+# a retrieval/embedding pipeline reports after building an index. Ranks
+# come from the same bit-exact cosine ordering as q_cosine_topk;
+# reciprocal ranks are fixed-point ppm integers (1e6 DIV rank), so the
+# whole scorecard is integer-exact. Queries-without-a-hit contribute 0
+# to the MRR sum but still count in n_queries (left join, not inner).
+# ---------------------------------------------------------------------------
+N_EVAL_QUERY_VECS = 20
+
+
+@query(
+    "q_retrieval_mrr",
+    sql=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < {N_EVAL_QUERY_VECS}
+    ),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id, e.label,
+               {cosine_sql('e.embedding', 'q.q_emb')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+        ) AS rk
+        FROM scored
+    ),
+    hits AS (
+        SELECT q_id, CAST(MIN(rk) AS BIGINT) AS first_rel
+        FROM ranked
+        WHERE rk <= {TOP_K} AND label = q_label
+        GROUP BY q_id
+    )
+    SELECT q.q_label AS label,
+           COUNT(*) AS n_queries,
+           CAST(COUNT(h.first_rel) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(1000000 // h.first_rel), 0) AS BIGINT)
+               AS mrr_ppm_sum
+    FROM q LEFT JOIN hits h USING (q_id)
+    GROUP BY q.q_label
+    """,
+)
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label MRR@K scorecard over the exact cosine ranking."""
+    emb = compute_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_EVAL_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    hits = (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rk") <= TOP_K) & (F.col("label") == F.col("q_label")))
+        .groupBy("q_id")
+        .agg(F.min("rk").alias("first_rel"))
+    )
+    return (
+        queries.join(hits, "q_id", "left")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count("first_rel").alias("n_hits"),
+            F.coalesce(
+                F.sum(F.expr("1000000 div first_rel")), F.lit(0)
+            ).cast("long").alias("mrr_ppm_sum"),
+        )
+    )
