@@ -100,6 +100,13 @@ HEADLINE = [
     "q_substring_dup_spans",
     "q_arrow_map_counts",
     "q_point_in_polygon",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
+    "q_skewness_kurtosis",
+    "q_mode_quantity",
+    "q_tokenizer_coverage",
+    "q_listagg_ordered",
+    "q_retrieval_mrr",
 ]
 
 
