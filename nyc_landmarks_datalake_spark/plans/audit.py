@@ -74,5 +74,7 @@ def audit(df: DataFrame, execute: bool = False) -> PlanAudit:
         or ("FlatMapGroupsInPandas" in plan)
         or ("MapInPandas" in plan)
         or ("AggregateInPandas" in plan)
-        or ("ArrowAggregatePython" in plan),
+        or ("ArrowAggregatePython" in plan)
+        or ("MapInArrow" in plan)
+        or ("PythonMapInArrow" in plan),
     )
