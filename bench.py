@@ -107,6 +107,7 @@ HEADLINE = [
     "q_tokenizer_coverage",
     "q_listagg_ordered",
     "q_retrieval_mrr",
+    "q_cusum_drift",
 ]
 
 

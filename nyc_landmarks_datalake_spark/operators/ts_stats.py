@@ -300,3 +300,100 @@ def q_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("oov_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — the sequential change-point statistic
+# S+_i = max(0, S+_{i-1} + (x_i - k)) over daily event counts. The
+# recurrence is inherently order-sequential; here the day series per
+# event type is BOUNDED (cardinality = days x types, independent of
+# data size), so after the daily hash-agg the whole series folds
+# map-side inside one array `aggregate` — the standard two-level shape
+# for sequential statistics at 100 TB (shuffle reduces to bounded
+# series; recurrence runs on the series, never on raw rows). The
+# oracle computes the SAME recurrence with a recursive CTE — two
+# independent formulations of the fold must agree exactly (all
+# integers: counts, integer-division baseline, max).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cusum_drift",
+    sql="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS total_events,
+               COUNT(*) AS n_days,
+               CAST(SUM(c) // COUNT(*) AS BIGINT) AS k
+        FROM daily
+        GROUP BY event_type
+    ),
+    idx AS (
+        SELECT d.event_type, d.c, s.k,
+               row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                   AS i
+        FROM daily d JOIN stats s USING (event_type)
+    ),
+    rec AS (
+        SELECT event_type, i, GREATEST(0, c - k) AS s,
+               GREATEST(0, c - k) AS mx
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT n.event_type, n.i, GREATEST(0, r.s + n.c - n.k),
+               GREATEST(r.mx, GREATEST(0, r.s + n.c - n.k))
+        FROM rec r JOIN idx n
+          ON n.event_type = r.event_type AND n.i = r.i + 1
+    ),
+    final AS (
+        SELECT event_type, CAST(mx AS BIGINT) AS max_cusum
+        FROM rec
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY i DESC) = 1
+    )
+    SELECT s.event_type, s.n_days, s.total_events, s.k, f.max_cusum,
+           f.max_cusum > 3 * s.k AS drift_alarm
+    FROM stats s JOIN final f USING (event_type)
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM+ drift statistic over daily event counts."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("c").alias("total_events"),
+        F.count("*").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("c")))
+        ).alias("series"),
+    ).withColumn(
+        "k", F.expr("total_events div n_days")
+    )
+    fold = F.aggregate(
+        F.col("series"),
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("mx")
+        ),
+        lambda acc, e: F.struct(
+            F.greatest(F.lit(0).cast("long"), acc["s"] + e["c"] - F.col("k")).alias("s"),
+            F.greatest(
+                acc["mx"],
+                F.greatest(
+                    F.lit(0).cast("long"), acc["s"] + e["c"] - F.col("k")
+                ),
+            ).alias("mx"),
+        ),
+    )
+    return per_type.select(
+        "event_type",
+        "n_days",
+        "total_events",
+        "k",
+        fold["mx"].alias("max_cusum"),
+        (fold["mx"] > 3 * F.col("k")).alias("drift_alarm"),
+    )
