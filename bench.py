@@ -108,6 +108,7 @@ HEADLINE = [
     "q_listagg_ordered",
     "q_retrieval_mrr",
     "q_cusum_drift",
+    "q_trimmed_mean",
 ]
 
 

@@ -397,3 +397,90 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["mx"].alias("max_cusum"),
         (fold["mx"] > 3 * F.col("k")).alias("drift_alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed (winsorless) mean via the histogram rewrite. Naive
+# trimming ranks every row (per-group global sort — unbounded window
+# partitions at 100 TB); because l_quantity has a small integer domain,
+# the exact same answer comes from the per-(group, value) COUNT
+# histogram: cumulative counts locate the trim boundaries and integer
+# clamp arithmetic keeps exactly n - 2*floor(n*5/100) rows, boundary
+# values partially. One data shuffle (the histogram agg); the running
+# window runs over the <=50-row-per-group histogram.
+# ---------------------------------------------------------------------------
+TRIM_PCT = 5
+
+
+@query(
+    "q_trimmed_mean",
+    sql=f"""
+    WITH hist AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, q, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   PARTITION BY l_returnflag ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM hist
+    ),
+    kept AS (
+        SELECT l_returnflag, q, n,
+               GREATEST(0::BIGINT,
+                   LEAST(cum_before + cnt, n - (n * {TRIM_PCT}) // 100)
+                   - GREATEST(cum_before, (n * {TRIM_PCT}) // 100)
+               ) AS k_cnt
+        FROM cum
+    )
+    SELECT l_returnflag,
+           MAX(n) AS n,
+           CAST(SUM(k_cnt) AS BIGINT) AS n_kept,
+           CAST(SUM(q * k_cnt) AS BIGINT) AS kept_sum,
+           CAST(CAST(SUM(q * k_cnt) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(k_cnt) AS BIGINT) AS DOUBLE) AS trimmed_mean
+    FROM kept
+    GROUP BY l_returnflag
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed mean of quantity per return flag."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    hist = li.groupBy("l_returnflag", "q").agg(F.count("*").alias("cnt"))
+    w_before = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "q",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    lo = F.expr(f"(n * {TRIM_PCT}) div 100")
+    hi = F.col("n") - lo
+    k_cnt = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum_before") + F.col("cnt"), hi)
+        - F.greatest(F.col("cum_before"), lo),
+    )
+    kept = cum.select("l_returnflag", "q", "n", k_cnt.alias("k_cnt"))
+    return kept.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.sum("k_cnt").alias("n_kept"),
+        F.sum(F.col("q") * F.col("k_cnt")).alias("kept_sum"),
+        (
+            F.sum(F.col("q") * F.col("k_cnt")).cast("double")
+            / F.sum("k_cnt").cast("double")
+        ).alias("trimmed_mean"),
+    )
