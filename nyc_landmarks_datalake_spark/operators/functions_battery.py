@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
 from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import table
 
@@ -308,4 +309,131 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
         GROUP BY c_mktsegment
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe arithmetic (the ANSI-mode story: Spark 4 enables
+# ANSI SQL by default, so div-by-zero / bad casts / overflow THROW
+# unless routed through the try_ family, which yields NULL instead).
+# The oracle reproduces each NULL contract with explicit CASE guards —
+# a green row pins the exact null-production semantics.
+# ---------------------------------------------------------------------------
+@query(
+    "q_try_arithmetic",
+    sql=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_null,
+           {dsum_sql("CASE WHEN l_quantity = 25 THEN NULL "
+                     "ELSE l_extendedprice / (l_quantity - 25) END")}
+               AS div_sum,
+           CAST(SUM(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cast_null,
+           CAST(SUM(CASE WHEN l_orderkey % 3 = 0 THEN NULL
+                    ELSE CAST(l_orderkey AS BIGINT) END) AS BIGINT)
+               AS cast_sum,
+           CAST(SUM(CASE WHEN l_orderkey % 20 > 7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overflow_null
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-error arithmetic census per return flag.
+
+    try_divide hits a real zero denominator (quantity == 25),
+    try_cast parses a string column that is non-numeric on 1/3 of rows,
+    try_add overflows int64 max on a deterministic subset — each NULL
+    count and the surviving sums are mirrored by CASE-guard arithmetic
+    in the oracle.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    mixed = F.when(
+        F.col("l_orderkey") % 3 == 0,
+        F.concat(F.lit("k"), F.col("l_orderkey").cast("string")),
+    ).otherwise(F.col("l_orderkey").cast("string"))
+    d = F.expr("try_divide(l_extendedprice, l_quantity - 25)")
+    c = F.expr("try_cast(mixed AS BIGINT)")
+    ovf = F.expr("try_add(9223372036854775800L, l_orderkey % 20)")
+    base = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+        mixed.alias("mixed"),
+    ).select(
+        "l_returnflag",
+        d.alias("d"),
+        c.alias("c"),
+        ovf.alias("ovf"),
+    )
+    return base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("d").isNull(), 1).otherwise(0)).alias("n_div_null"),
+        dsum(F.col("d")).alias("div_sum"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias(
+            "n_cast_null"
+        ),
+        F.sum("c").alias("cast_sum"),
+        F.sum(F.when(F.col("ovf").isNull(), 1).otherwise(0)).alias(
+            "n_overflow_null"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions: map_from_entries → map_filter →
+# transform_values → transform_keys → map_entries, end to end. The
+# oracle never touches a map — plain GROUP BY + HAVING + string concat
+# must reproduce the exploded entries exactly, so every map HOF's
+# semantics (not just its parse) is under the gate.
+# ---------------------------------------------------------------------------
+MAP_HOF_MIN_COUNT = 10
+
+
+@query(
+    "q_map_hof_battery",
+    sql=f"""
+    SELECT o_orderpriority,
+           's_' || o_orderstatus AS status_key,
+           CAST(COUNT(*) * 2 AS BIGINT) AS doubled_count
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    HAVING COUNT(*) > {MAP_HOF_MIN_COUNT}
+    """,
+)
+def q_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-count maps built, filtered, and rewritten per priority."""
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    mapped = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("o_orderstatus"), F.col("cnt")))
+            )
+        ).alias("status_counts")
+    )
+    rewritten = mapped.select(
+        "o_orderpriority",
+        F.transform_keys(
+            F.transform_values(
+                F.map_filter(
+                    F.col("status_counts"),
+                    lambda k, v: v > MAP_HOF_MIN_COUNT,
+                ),
+                lambda k, v: v * 2,
+            ),
+            lambda k, v: F.concat(F.lit("s_"), k),
+        ).alias("adjusted"),
+    )
+    return rewritten.select(
+        "o_orderpriority", F.explode(F.col("adjusted"))
+    ).select(
+        "o_orderpriority",
+        F.col("key").alias("status_key"),
+        F.col("value").cast("long").alias("doubled_count"),
     )
