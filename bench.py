@@ -109,6 +109,8 @@ HEADLINE = [
     "q_retrieval_mrr",
     "q_cusum_drift",
     "q_trimmed_mean",
+    "q_try_arithmetic",
+    "q_map_hof_battery",
 ]
 
 
