@@ -19,7 +19,12 @@ shard; each read() is a pure generator (no driver materialization).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+)
 
 LCG_A = 1103515245
 LCG_C = 12345
@@ -50,6 +55,65 @@ class LcgReader(DataSourceReader):
             yield (partition.pid, i, state)
 
 
+class JsonPartWriter(DataSourceWriter):
+    """Python DataSource WRITE path: each task serializes its partition
+    to one JSON-lines part file in ``path``; commit() publishes a
+    _SUCCESS manifest listing the committed parts (the two-phase
+    task-write → driver-commit contract of the V2 writer API). Parts
+    are named by a uuid so speculative/retried tasks never collide;
+    only files named in the manifest count as committed."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lcgsource writer requires a path")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.json"
+        full = os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+
+        class _Msg(WriterCommitMessage):
+            pass
+
+        m = _Msg()
+        m.fname = fname
+        m.n = n
+        return m
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "parts": sorted(m.fname for m in messages if m is not None),
+            "rows": sum(m.n for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.fname))
+                except OSError:
+                    pass
+
+
 class LcgDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -60,6 +124,9 @@ class LcgDataSource(DataSource):
 
     def reader(self, schema) -> LcgReader:
         return LcgReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonPartWriter:
+        return JsonPartWriter(self.options)
 
 
 def register_lcg_source(spark) -> None:

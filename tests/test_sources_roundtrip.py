@@ -65,3 +65,40 @@ def test_text_sink_single_object(spark, sf_small, tmp_path):
     assert len(files) == 1
     back = spark.read.text(path)
     assert back.count() == df.count()
+
+
+def test_python_datasource_write_path(spark, sf_small, tmp_path):
+    """Spark 4 Python DataSource WRITE contract: task part files +
+    driver commit manifest, then a read-back equality check."""
+    import json
+    import os
+
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+    from nyc_landmarks_datalake_spark.sources.pyds import register_lcg_source
+
+    register_lcg_source(spark)
+    rows = (
+        table(spark, sf_small, "orders")
+        .selectExpr(
+            "CAST(o_orderkey % 7 AS INT) AS part_id",
+            "CAST(o_orderkey AS INT) AS row_idx",
+            "CAST(o_custkey AS BIGINT) AS value",
+        )
+        .limit(500)
+    )
+    out = str(tmp_path / "pyds_out")
+    rows.repartition(3).write.format("lcgsource").option("path", out).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 500
+    assert len(manifest["parts"]) == 3
+    for p in manifest["parts"]:
+        assert os.path.exists(os.path.join(out, p))
+
+    back = spark.read.json(out, schema="part_id INT, row_idx INT, value BIGINT")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, rows.collect())
+    )
