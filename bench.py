@@ -111,6 +111,9 @@ HEADLINE = [
     "q_trimmed_mean",
     "q_try_arithmetic",
     "q_map_hof_battery",
+    "q_pandas_api_agg",
+    "q_decayed_counts",
+    "q_incremental_dedup",
 ]
 
 

@@ -148,3 +148,81 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup — the production shape of exact dedup:
+# an incoming batch is checked against the BASE corpus's digest set
+# (one hash join against the fingerprint index, not a full-corpus
+# re-dedup), then deduped within itself (first doc_id per digest
+# wins). At 100 TB the base digest relation is the only thing the
+# incoming batch touches — a (digest, doc) int64 pair table, bucketed
+# on digest in production so the probe is shuffle-light.
+# ---------------------------------------------------------------------------
+@query(
+    "q_incremental_dedup",
+    sql=f"""
+    WITH base AS (
+        SELECT DISTINCT {md5_long_sql('text')} AS h
+        FROM documents WHERE doc_id % 10 < 8
+    ),
+    incoming AS (
+        SELECT doc_id, source, {md5_long_sql('text')} AS h
+        FROM documents WHERE doc_id % 10 >= 8
+    ),
+    flagged AS (
+        SELECT i.doc_id, i.source, i.h,
+               (b.h IS NOT NULL) AS dup_base
+        FROM incoming i LEFT JOIN base b USING (h)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+        FROM flagged WHERE NOT dup_base
+    )
+    SELECT source,
+           CAST((SELECT COUNT(*) FROM incoming x
+                 WHERE x.source = t.source) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN dup_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_base,
+           CAST(SUM(CASE WHEN NOT dup_base AND rk > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup_incoming,
+           CAST(SUM(CASE WHEN NOT dup_base AND rk = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+    FROM (
+        SELECT doc_id, source, h, dup_base, NULL::BIGINT AS rk FROM flagged
+        WHERE dup_base
+        UNION ALL
+        SELECT doc_id, source, h, dup_base, rk FROM ranked
+    ) t
+    GROUP BY source
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of an incoming batch vs the base corpus digest set."""
+    docs = compute_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", md5_long(F.col("text")).alias("h")
+    )
+    base = docs.filter(F.col("doc_id") % 10 < 8).select("h").distinct()
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    flagged = incoming.join(
+        base.withColumn("dup_base", F.lit(True)), "h", "left"
+    ).withColumn("dup_base", F.coalesce(F.col("dup_base"), F.lit(False)))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("h").orderBy("doc_id")
+    fresh = flagged.filter(~F.col("dup_base")).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    combined = flagged.filter(F.col("dup_base")).withColumn(
+        "rk", F.lit(None).cast("long")
+    ).unionByName(fresh)
+    return combined.groupBy("source").agg(
+        F.count("*").alias("n_incoming"),
+        F.sum(F.when(F.col("dup_base"), 1).otherwise(0)).alias("n_dup_base"),
+        F.sum(
+            F.when(~F.col("dup_base") & (F.col("rk") > 1), 1).otherwise(0)
+        ).alias("n_dup_incoming"),
+        F.sum(
+            F.when(~F.col("dup_base") & (F.col("rk") == 1), 1).otherwise(0)
+        ).alias("n_novel"),
+    )

@@ -484,3 +484,71 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("k_cnt").cast("double")
         ).alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed counts — freshness weighting for sampling/serving
+# (recent activity counts more, halving per day of age). The weight
+# 2^(30 - age) is an exact int64 (ages > 30 days truncate to 0 —
+# documented cutoff), so the weighted sum is plain integer arithmetic:
+# no float power, no accumulation-order dependence, no libm.
+# Headroom: daily counts <= ~1e6 * 2^30 ~ 1.1e15 per term, x90 days
+# ~ 1e17 < 2^63.
+# ---------------------------------------------------------------------------
+DECAY_HORIZON_DAYS = 30
+
+
+@query(
+    "q_decayed_counts",
+    sql=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    aged AS (
+        SELECT event_type, c,
+               datediff('day', day,
+                        (SELECT MAX(date_trunc('day', ts)) FROM events))
+                   AS age
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           CAST(SUM(CASE WHEN age <= {DECAY_HORIZON_DAYS}
+                    THEN c * (1::BIGINT << ({DECAY_HORIZON_DAYS} - age))
+                    ELSE 0 END) AS BIGINT) AS decayed_weight,
+           CAST(SUM(CASE WHEN age <= {DECAY_HORIZON_DAYS} THEN c ELSE 0 END)
+               AS BIGINT) AS recent_events
+    FROM aged
+    GROUP BY event_type
+    """,
+)
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exponentially-decayed activity weight (integer-exact)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    maxday = ev.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("maxday")
+    )
+    aged = daily.crossJoin(F.broadcast(maxday)).select(
+        "event_type",
+        "c",
+        F.datediff(F.col("maxday"), F.col("day")).alias("age"),
+    )
+    h = DECAY_HORIZON_DAYS
+    weight = F.when(
+        F.col("age") <= h,
+        F.col("c") * F.expr(f"shiftleft(1L, {h} - age)"),
+    ).otherwise(F.lit(0).cast("long"))
+    recent = F.when(F.col("age") <= h, F.col("c")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return aged.groupBy("event_type").agg(
+        F.sum("c").alias("total_events"),
+        F.sum(weight).alias("decayed_weight"),
+        F.sum(recent).alias("recent_events"),
+    )
