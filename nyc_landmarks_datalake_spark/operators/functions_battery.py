@@ -437,3 +437,46 @@ def q_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("status_key"),
         F.col("value").cast("long").alias("doubled_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern string/regex battery: split_part, regexp_count, regexp_substr,
+# left/right, repeat, reverse — the Spark 3.5+/4.x additions to the
+# scalar string lexicon, each with an exact RE2/DuckDB twin
+# (regexp_substr's no-match NULL maps to NULLIF(regexp_extract, '')).
+# ---------------------------------------------------------------------------
+@query(
+    "q_string_funcs3",
+    sql="""
+    SELECT DISTINCT p_name,
+           split_part(p_name, ' ', 2) AS second_word,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+               AS vowel_runs,
+           NULLIF(regexp_extract(p_name, '[aeiou]{2,}'), '') AS first_di,
+           left(p_name, 3) AS l3,
+           right(p_name, 3) AS r3,
+           repeat(left(p_name, 2), 2) AS rep2,
+           reverse(split_part(p_name, ' ', 1)) AS rev_first
+    FROM part
+    """,
+)
+def q_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.regexp_count(F.col("p_name"), F.lit("[aeiou]+"))
+        .cast("long")
+        .alias("vowel_runs"),
+        F.regexp_substr(F.col("p_name"), F.lit("[aeiou]{2,}")).alias(
+            "first_di"
+        ),
+        F.expr("left(p_name, 3)").alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.repeat(F.expr("left(p_name, 2)"), 2).alias("rep2"),
+        F.reverse(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))).alias(
+            "rev_first"
+        ),
+    ).distinct()

@@ -151,3 +151,66 @@ def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction maintenance under the oracle gate: a many-small-files zone
+# (streaming-ingest shape: one file per micro-batch) is rewritten by
+# layout.compact() to target-sized files; the query returns the file
+# census BEFORE/AFTER plus content aggregates over the compacted zone.
+# A green row proves compaction is metadata-only (bit-identical
+# content) AND that the file count actually dropped — the maintenance
+# op's whole contract.
+# ---------------------------------------------------------------------------
+@query(
+    "q_compaction_census",
+    sql="""
+    SELECT 24 AS files_before,
+           4 AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+)
+def q_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: 24 micro-batch files → 4 target files.
+
+    files_before/files_after are literal expectations in the oracle —
+    the Spark side computes them from the real directory listings, so
+    the driver hash fails if compaction ever stops consolidating (or
+    starts losing rows; the content aggregates pin that half).
+    """
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.sources.layout import compact
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    zone = os.path.join(tempfile.mkdtemp(prefix="compact_zone_"), "docs")
+    docs.repartition(24).write.mode("overwrite").parquet(zone)
+
+    def _count_parts(p: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(p)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    before = _count_parts(zone)
+    compact(spark, zone, target_files=4)
+    after = _count_parts(zone)
+
+    back = spark.read.parquet(zone)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).select(
+        F.lit(before).alias("files_before"),
+        F.lit(after).alias("files_after"),
+        "n_rows",
+        "sum_chars",
+        "n_docs",
+    )
