@@ -696,3 +696,109 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("mrr_ppm_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized-retrieval recall: rank by cosine over DEQUANTIZED int8
+# vectors (the production memory/bandwidth play — int8 storage is 4x
+# smaller and the reconstruction q8*scale is what an int8 index
+# actually scores with), measured as recall@K against the
+# full-precision exact top-k. Per-vector symmetric scale, the same
+# floor(x/scale + 0.5) clamp as q_embedding_quantize; overlap counts
+# are integer-exact, so quantization's retrieval damage is measured
+# under the bit-exact gate, not eyeballed.
+# ---------------------------------------------------------------------------
+def _recon_rank_sql(vec: str, k: int) -> str:
+    return f"""
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cosine_sql(f'e.{vec}', f'q.{vec}')} DESC,
+                                e.vec_id
+                   ) AS rk
+            FROM qrecon e CROSS JOIN qrecon q
+            WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
+        ) WHERE rk <= {k}
+    """
+
+
+@query(
+    "q_quantized_retrieval_recall",
+    sql=f"""
+    WITH qsc AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               greatest(list_max(list_transform(embedding::DOUBLE[],
+                                                x -> abs(x))), 1e-30) / 127
+                   AS scale
+        FROM embeddings
+    ),
+    qrecon AS (
+        SELECT vec_id, e,
+               list_transform(e,
+                   x -> CAST({_q8_sql('x', 'scale')} AS DOUBLE) * scale) AS r
+        FROM qsc
+    ),
+    full_k AS ({_recon_rank_sql('e', TOP_K)}),
+    quant_k AS ({_recon_rank_sql('r', TOP_K)})
+    SELECT f.q_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           (COUNT(t.vec_id) * 1.0) / {TOP_K} AS recall_at_k
+    FROM full_k f
+    LEFT JOIN quant_k t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def q_quantized_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = compute_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qsc = emb.select(
+        "vec_id",
+        e.alias("e"),
+        (
+            F.greatest(
+                F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-30)
+            )
+            / 127
+        ).alias("scale"),
+    )
+    scale = F.col("scale")
+    qrecon = qsc.select(
+        "vec_id",
+        "e",
+        F.transform(
+            F.col("e"), lambda x: _q8(x, scale).cast("double") * scale
+        ).alias("r"),
+    )
+
+    def topk(col_name: str) -> DataFrame:
+        queries = qrecon.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"), F.col(col_name).alias("q_vec")
+        )
+        scored = (
+            qrecon.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                cosine(F.col(col_name), F.col("q_vec")).alias("s"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_id", "vec_id")
+        )
+
+    full_k = topk("e")
+    quant_k = topk("r").withColumnRenamed("vec_id", "t_vec_id")
+    j = full_k.join(
+        quant_k,
+        (full_k.q_id == quant_k.q_id) & (full_k.vec_id == quant_k.t_vec_id),
+        "left",
+    ).select(full_k.q_id.alias("q_id"), "t_vec_id")
+    return j.groupBy("q_id").agg(
+        F.count("t_vec_id").cast("long").alias("n_overlap"),
+        (F.count("t_vec_id") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
+    )
