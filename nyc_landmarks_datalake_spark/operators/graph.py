@@ -607,3 +607,51 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("node").alias("max_node"),
         F.sum("node").cast("long").alias("sum_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution in floor-log2 buckets — the standard first look
+# at a graph's shape (power-law tail vs uniform). Bucket = number of
+# bits in the degree (integer-exact in both engines: Spark bit_length
+# arithmetic vs DuckDB's; here computed as length of the binary
+# representation via log-free integer ops).
+# ---------------------------------------------------------------------------
+@query(
+    "q_degree_distribution",
+    sql=f"""
+    WITH {_TRI_CTES}
+    SELECT CAST(length(bin(deg)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg,
+           CAST(SUM(deg) AS BIGINT) AS sum_deg
+    FROM tri_deg
+    GROUP BY 1
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph degree histogram (floor-log2 buckets)."""
+    # per-node degree from the undirected incidence (the same
+    # tri_both/tri_deg relation the oracle's CTE chain uses)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    both = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    bucket = F.length(F.expr("bin(deg)")).cast("long")
+    return deg.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+        F.sum("deg").cast("long").alias("sum_deg"),
+    )

@@ -416,3 +416,54 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("term")).alias("chi2_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity census — the privacy-tooling pass a dataset release
+# pipeline runs before publishing: group by the quasi-identifier tuple
+# (nation, market segment, coarse balance bucket) and report how many
+# equivalence classes fall below k=5 and how many rows they expose.
+# Pure integer counting over two chained hash aggs.
+# ---------------------------------------------------------------------------
+K_ANON_THRESHOLD = 5
+
+
+@query(
+    "q_k_anonymity",
+    sql=f"""
+    WITH classes AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_small_classes,
+           CAST(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END)
+               AS BIGINT) AS rows_at_risk,
+           CAST(SUM(k) AS BIGINT) AS n_rows
+    FROM classes
+    GROUP BY c_nationkey
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation k-anonymity report over quasi-identifier classes."""
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    ).agg(F.count("*").alias("k"))
+    small = F.col("k") < K_ANON_THRESHOLD
+    return classes.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_classes"),
+        F.min("k").alias("min_k"),
+        F.sum(F.when(small, 1).otherwise(0)).alias("n_small_classes"),
+        F.sum(F.when(small, F.col("k")).otherwise(0)).alias("rows_at_risk"),
+        F.sum("k").alias("n_rows"),
+    )
