@@ -1049,3 +1049,86 @@ def q_lsh_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_only_lsh"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (Broder's asymmetric measure): a short doc
+# verbatim-embedded in a long one scores |A∩B|/min(|A|,|B|) ~ 1 while
+# its Jaccard stays low (the union is dominated by the long doc) — so
+# quote-expansion / boilerplate-wrapping duplicates are invisible to
+# the symmetric pass. Same capped inverted-index machinery as
+# q_dedup_jaccard_wide (7-gram shingles, df cap before pair
+# expansion); only the final normalization differs.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "q_dedup_containment",
+    sql=f"""
+    WITH sh AS (
+        SELECT doc_id, CASE WHEN len(toks) >= 7 THEN list_distinct(list_transform(range(1, len(toks)-7+2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6])) ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    keep AS (
+        SELECT shingle FROM inv0
+        GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+    ),
+    inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(n_common AS BIGINT) AS n_common,
+           (n_common * 1.0) / least(len(s1.shingles), len(s2.shingles))
+               AS containment
+    FROM pairs
+    JOIN sh s1 ON s1.doc_id = doc1
+    JOIN sh s2 ON s2.doc_id = doc2
+    WHERE (n_common * 1.0) / least(len(s1.shingles), len(s2.shingles))
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset pairs by shingle containment (>= 0.9)."""
+    from pyspark.sql import Window as _W
+
+    docs = compute_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id", F.expr(sh_spark_expr(SHINGLE_WIDE)).alias("shingles")
+        )
+        .localCheckpoint(eager=False)
+    )
+    inv = sh.select(
+        F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
+        F.explode("shingles").alias("shingle"),
+    )
+    w_sh = _W.partitionBy("shingle")
+    buckets = (
+        inv.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        .filter((F.col("__df") > 1) & (F.col("__df") <= MAX_SHINGLE_DF))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    )
+    pairs = buckets.select(F.explode(F.expr(_all_pairs_expr("ms"))).alias("p"))
+    counted = pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc1"),
+        F.col("p.a.n_sh").alias("n1"),
+        F.col("p.b.doc_id").alias("doc2"),
+        F.col("p.b.n_sh").alias("n2"),
+    ).agg(F.count(F.lit(1)).alias("n_common"))
+    containment = F.col("n_common") * F.lit(1.0) / F.least(
+        F.col("n1"), F.col("n2")
+    )
+    return counted.filter(containment >= CONTAINMENT_THRESHOLD).select(
+        "doc1",
+        "doc2",
+        F.col("n_common").cast("long").alias("n_common"),
+        containment.alias("containment"),
+    )

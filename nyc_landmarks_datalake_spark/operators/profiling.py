@@ -467,3 +467,61 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(small, F.col("k")).otherwise(0)).alias("rows_at_risk"),
         F.sum("k").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Selection-parity audit (the four-fifths rule): per language group,
+# the rate at which a deterministic curation filter selects documents,
+# and each group's parity ratio vs the most-selected group. A ratio
+# under 800000 ppm (80%) flags disparate impact of the filter. All
+# fixed-point integer arithmetic; the max-rate reference rides a
+# window over the <=n_langs-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_selection_parity",
+    sql="""
+    WITH rates AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_chars BETWEEN 150 AND 400
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(1000000 * SUM(CASE WHEN n_chars BETWEEN 150 AND 400
+                                  THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+                   AS rate_ppm
+        FROM documents
+        GROUP BY lang
+    )
+    SELECT lang, n_docs, n_selected, rate_ppm,
+           CAST(1000000 * rate_ppm // MAX(rate_ppm) OVER () AS BIGINT)
+               AS parity_ppm,
+           (1000000 * rate_ppm // MAX(rate_ppm) OVER ()) < 800000
+               AS below_four_fifths
+    FROM rates
+    """,
+)
+def q_selection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language selection rates + four-fifths-rule parity flags."""
+    docs = table(spark, sf_dir, "documents")
+    sel = F.when(F.col("n_chars").between(150, 400), 1).otherwise(0)
+    rates = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(sel).alias("n_selected"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN n_chars BETWEEN 150 AND 400"
+            " THEN 1 ELSE 0 END) div count(*) AS BIGINT)"
+        ).alias("rate_ppm"),
+    )
+    # parity numerator precomputed so the windowed integer division is
+    # one exact `div` over the <=n_langs-row aggregate
+    return rates.select(
+        "lang",
+        "n_docs",
+        "n_selected",
+        "rate_ppm",
+        F.expr("1000000 * rate_ppm").alias("__num"),
+    ).withColumn(
+        "parity_ppm",
+        F.expr("CAST(__num div (max(rate_ppm) OVER ()) AS BIGINT)"),
+    ).withColumn(
+        "below_four_fifths", F.col("parity_ppm") < 800000
+    ).drop("__num")
