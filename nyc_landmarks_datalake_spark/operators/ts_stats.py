@@ -552,3 +552,106 @@ def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(weight).alias("decayed_weight"),
         F.sum(recent).alias("recent_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (Symbolic Aggregate approXimation, the iSAX-family
+# primitive): z-normalize the per-type daily-count series, discretize
+# each day into a 4-symbol alphabet at the standard Gaussian
+# breakpoints, and emit one SAX word per (type, ISO week). Mean/sigma
+# derive from exact integer power sums, so the z-scores and breakpoint
+# comparisons are the identical float64 computation in both engines —
+# the symbolic words are bit-reproducible, which is what makes SAX
+# words usable as grouping/index keys downstream.
+# ---------------------------------------------------------------------------
+_SAX_B1, _SAX_B3 = -0.6744897501960817, 0.6744897501960817
+
+
+@query(
+    "q_sax_words",
+    sql=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    ),
+    sym AS (
+        SELECT d.event_type, d.day,
+               date_trunc('week', d.day) AS week,
+               CASE
+                 WHEN (CAST(d.c AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                      / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                             - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                               * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                      < {_SAX_B1} THEN 'a'
+                 WHEN (CAST(d.c AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                      / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                             - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                               * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                      < 0.0 THEN 'b'
+                 WHEN (CAST(d.c AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                      / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                             - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                               * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                      < {_SAX_B3} THEN 'c'
+                 ELSE 'd'
+               END AS symbol
+        FROM daily d JOIN stats s USING (event_type)
+    )
+    SELECT event_type, week,
+           string_agg(symbol, '' ORDER BY day) AS sax_word,
+           COUNT(*) AS n_days
+    FROM sym
+    GROUP BY event_type, week
+    """,
+)
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly SAX words over z-normalized daily event counts."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n_d
+    sigma = F.sqrt(
+        F.col("s2").cast("double") / n_d - mean * mean
+    )
+    z = (F.col("c").cast("double") - mean) / sigma
+    symbol = (
+        F.when(z < _SAX_B1, "a")
+        .when(z < 0.0, "b")
+        .when(z < _SAX_B3, "c")
+        .otherwise("d")
+    )
+    sym = j.select(
+        "event_type",
+        "day",
+        F.date_trunc("week", F.col("day")).alias("week"),
+        symbol.alias("symbol"),
+    )
+    word = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("symbol")))
+            ),
+            lambda x: x["symbol"],
+        ),
+        "",
+    )
+    return sym.groupBy("event_type", "week").agg(
+        word.alias("sax_word"), F.count("*").alias("n_days")
+    )
