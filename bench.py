@@ -114,6 +114,14 @@ HEADLINE = [
     "q_pandas_api_agg",
     "q_decayed_counts",
     "q_incremental_dedup",
+    "q_string_funcs3",
+    "q_compaction_census",
+    "q_quantized_retrieval_recall",
+    "q_degree_distribution",
+    "q_k_anonymity",
+    "q_dedup_containment",
+    "q_selection_parity",
+    "q_sax_words",
 ]
 
 
