@@ -29,11 +29,12 @@ def replay_stream_tumbling_agg(
     spark,
     rows: DataFrame,
     window: str = "1 hour",
+    slide: str | None = None,
     n_source_files: int = 3,
     timeout_s: int = 300,
 ) -> DataFrame:
     """Stage ``rows`` (ts, event_type, value) and replay through a
-    streaming tumbling-window aggregate; return the final complete
+    streaming (sliding-)window aggregate; return the final complete
     snapshot. Temp dirs must outlive the returned lazy DataFrame."""
     import os
     import tempfile
@@ -50,7 +51,8 @@ def replay_stream_tumbling_agg(
         .parquet(src)
     )
     agg = stream.groupBy(
-        F.window("ts", window).alias("w"), F.col("event_type")
+        F.window("ts", window, slide or window).alias("w"),
+        F.col("event_type"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).alias("dec_total"),
@@ -89,6 +91,37 @@ def _register() -> None:
     def q_stream_tumbling_replay(spark, sf_dir: str) -> DataFrame:
         ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
         snap = replay_stream_tumbling_agg(spark, ev)
+        return snap.select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("dec_total").cast("double").alias("total_value"),
+        )
+
+    @query(
+        "q_stream_sliding_replay",
+        sql=f"""
+        WITH offs(k) AS (VALUES (0), (1))
+        SELECT time_bucket(INTERVAL '1 hour', ts)
+                   - k * INTERVAL '1 hour' AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {dsum_sql('value')} AS total_value
+        FROM events CROSS JOIN offs
+        GROUP BY 1, 2
+        """,
+    )
+    def q_stream_sliding_replay(spark, sf_dir: str) -> DataFrame:
+        """Sliding windows (2h / slide 1h) through the REAL streaming
+        engine: each event lands in exactly two overlapping windows,
+        both accumulated in the state store across micro-batches. The
+        oracle expands each event into its two window starts with a
+        2-row VALUES join — overlap assignment, per-window counts and
+        the decimal-exact totals must all agree bit-exactly."""
+        ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+        snap = replay_stream_tumbling_agg(
+            spark, ev, window="2 hours", slide="1 hour"
+        )
         return snap.select(
             F.col("w.start").alias("window_start"),
             "event_type",
