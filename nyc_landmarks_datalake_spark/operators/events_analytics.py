@@ -445,3 +445,32 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("rolling_users"),
         F.count(F.lit(1)).alias("user_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap — the ops-dashboard staple: events bucketed by
+# (day-of-week x hour-of-day) with distinct-user reach. Day-of-week
+# numbering differs across engines (Spark dayofweek: Sunday=1; DuckDB
+# dayofweek: Sunday=0), so the oracle adds 1 — pinning that the
+# calendar arithmetic, not just the counting, agrees.
+# ---------------------------------------------------------------------------
+@query(
+    "q_activity_heatmap",
+    sql="""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
