@@ -39,15 +39,23 @@ def asof_join(
     by_right: str,
     how: str = "inner",
     strategy: str = "window",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: latest right row with on_right <= on_left per key.
+    """As-of join: per key, the latest right row with on_right <=
+    on_left (``direction='backward'``, the default) or the earliest
+    right row with on_right >= on_left (``direction='forward'`` —
+    next-event attribution, lead-time joins).
 
     Right-side column names must not collide with left's (rename first).
     ``how`` is 'inner' (drop unmatched left rows) or 'left'.
     """
     if strategy == "window":
-        return _asof_window(left, right, on_left, on_right, by_left, by_right, how)
+        return _asof_window(
+            left, right, on_left, on_right, by_left, by_right, how, direction
+        )
     if strategy == "cogroup":
+        if direction != "backward":
+            raise ValueError("cogroup strategy implements backward only")
         return _asof_cogroup(left, right, on_left, on_right, by_left, by_right, how)
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -60,9 +68,12 @@ def _asof_window(
     by_left: str,
     by_right: str,
     how: str,
+    direction: str = "backward",
 ) -> DataFrame:
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     lcols = left.columns
     rcols = right.columns
     # The right row travels as ONE struct (non-null for every right row
@@ -87,13 +98,27 @@ def _asof_window(
         *[F.col(c) for c in lcols],
         F.lit(None).cast(r_struct_t).alias("__r"),
     )
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__ts"), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left at equal ts (inclusive match),
+        # and the latest right row so far carries forward
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__ts"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last(F.col("__r"), ignorenulls=True).over(w)
+    else:
+        # forward: right rows sort after left at equal ts (inclusive),
+        # and the EARLIEST right row at-or-after carries backward via a
+        # following frame — same single shuffle, mirrored frame
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__ts"), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first(F.col("__r"), ignorenulls=True).over(w)
     carried = r_stream.unionByName(l_stream).select(
-        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rm")
+        "*", carry.alias("__rm")
     )
     out = carried.filter(F.col("__is_left") == 1)
     if how == "inner":
@@ -183,3 +208,54 @@ def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="window",
     )
     return joined.select("event_id", "user_id", "ts", "order_ts", "last_orderkey")
+
+
+@query(
+    "q_asof_forward_join",
+    sql="""
+    WITH p AS (
+        SELECT user_id AS p_user, ts AS purchase_ts,
+               MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, p.purchase_ts, p.purchase_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') e
+    ASOF JOIN p
+      ON e.user_id = p.p_user AND e.ts <= p.purchase_ts
+    """,
+)
+def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click attributed to the same user's NEXT
+    purchase (conversion / lead-time attribution). Same single-shuffle
+    window machinery as the backward form with the frame mirrored
+    (currentRow..unboundedFollowing + first(ignorenulls)); DuckDB's
+    native ASOF JOIN with ``<=`` is the oracle. Purchases dedupe to
+    one row per (user, ts) — max event_id — so the match is uniquely
+    determined in both engines."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+        )
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on_left="ts",
+        on_right="purchase_ts",
+        by_left="user_id",
+        by_right="p_user",
+        how="inner",
+        strategy="window",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "purchase_ts", "purchase_id"
+    )
