@@ -474,3 +474,87 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV — cumulative purchase revenue by signup cohort over
+# weeks-since-signup. Cohort = week of the user's first event;
+# revenue rides int64 micro-units so the per-cell sums AND the
+# cumulative window are integer-exact. The cumulative runs over the
+# bounded cohort x months matrix (months x cohorts cells, data-size
+# independent after the first two aggs — the 100 TB-safe shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cohort_ltv",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    monthly AS (
+        SELECT e.user_id, f.cohort_week,
+               date_trunc('week', e.ts) AS week,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                        THEN CAST(floor(e.value * 1e6) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS rev_micros
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2, 3
+    ),
+    cells AS (
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, week) // 7 AS BIGINT)
+                   AS weeks_since,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+               CAST(SUM(rev_micros) AS BIGINT) AS revenue_micros
+        FROM monthly
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, weeks_since, n_active_users, revenue_micros,
+           CAST(SUM(revenue_micros) OVER (
+               PARTITION BY cohort_week ORDER BY weeks_since
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_micros
+    FROM cells
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 1e6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    monthly = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("week"),
+        )
+        .agg(F.sum(rev).alias("rev_micros"))
+    )
+    cells = monthly.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("weeks_since"),
+    ).agg(
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.sum("rev_micros").alias("revenue_micros"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_week",
+        "weeks_since",
+        "n_active_users",
+        "revenue_micros",
+        F.sum("revenue_micros").over(w).cast("long").alias(
+            "cum_revenue_micros"
+        ),
+    )

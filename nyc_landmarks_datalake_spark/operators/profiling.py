@@ -525,3 +525,47 @@ def q_selection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "below_four_fifths", F.col("parity_ppm") < 800000
     ).drop("__num")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit census — the classic forensic /
+# data-quality screen for fabricated or truncated numeric columns.
+# The digit is extracted with integer/string ops (no log), and the
+# fixed-point ppm share makes the whole report integer-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q_benford_digits",
+    sql="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           COUNT(*) AS n,
+           CAST(1000000 * COUNT(*) //
+                (SELECT COUNT(*) FROM d) AS BIGINT) AS share_ppm
+    FROM d
+    GROUP BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    d = orders.select(digit.alias("digit"))
+    total = d.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(1000000 * n div __total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
