@@ -558,3 +558,65 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue_micros"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-machine conformance audit: sessionized lag pairs joined to a
+# literal allowed-transition rule table (the data-quality twin of the
+# Markov matrix in q_event_transitions — that one MEASURES transition
+# mass, this one JUDGES it against a spec). Left join + flag, counts
+# integer-exact; the rule table rides as a broadcast VALUES relation.
+# ---------------------------------------------------------------------------
+_ALLOWED_TRANSITIONS = [
+    ("signup", "view"), ("signup", "click"),
+    ("view", "click"), ("view", "view"),
+    ("click", "purchase"), ("click", "view"),
+    ("purchase", "view"), ("error", "view"),
+]
+_ALLOWED_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _ALLOWED_TRANSITIONS)
+
+
+@query(
+    "q_illegal_transitions",
+    sql=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    rules(prev_type, event_type) AS (VALUES {_ALLOWED_VALUES})
+    SELECT s.prev_type, s.event_type AS next_type,
+           COUNT(*) AS n_transitions,
+           (r.prev_type IS NOT NULL) AS allowed
+    FROM seq s
+    LEFT JOIN rules r
+      ON r.prev_type = s.prev_type AND r.event_type = s.event_type
+    WHERE s.prev_type IS NOT NULL
+    GROUP BY 1, 2, 4
+    """,
+)
+def q_illegal_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    rules = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            _ALLOWED_TRANSITIONS, ["prev_type", "event_type"]
+        ).withColumn("__allowed", F.lit(True))
+    )
+    return (
+        seq.join(rules, ["prev_type", "event_type"], "left")
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            F.coalesce(F.col("__allowed"), F.lit(False)).alias("allowed"),
+        )
+        .groupBy("prev_type", "next_type", "allowed")
+        .agg(F.count("*").alias("n_transitions"))
+        .select("prev_type", "next_type", "n_transitions", "allowed")
+    )
