@@ -122,6 +122,12 @@ HEADLINE = [
     "q_dedup_containment",
     "q_selection_parity",
     "q_sax_words",
+    "q_stream_sliding_replay",
+    "q_activity_heatmap",
+    "q_asof_forward_join",
+    "q_benford_digits",
+    "q_cohort_ltv",
+    "q_illegal_transitions",
 ]
 
 
