@@ -802,3 +802,116 @@ def q_quantized_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_vec_id").cast("long").alias("n_overlap"),
         (F.count("t_vec_id") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (RRF) — the standard hybrid-retrieval
+# combiner: score(d) = sum over systems of 1/(k0 + rank_sys(d)).
+# Fused here: the full-dimension exact ranking and the Matryoshka
+# truncated ranking (two genuinely different retrieval systems over
+# the same id space). Scores are fixed-point 1e8 // (k0 + rank), so
+# fusion, ordering and the final top-k are all integer-exact.
+# ---------------------------------------------------------------------------
+RRF_K0 = 60
+RRF_DEPTH = 20
+RRF_TOP = 5
+
+
+def _rank_sql_for(emb_expr: str) -> str:
+    return f"""
+        SELECT q_id, vec_id, rk FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cosine_sql(emb_expr.format(t='e'),
+                                            emb_expr.format(t='q'))} DESC,
+                                e.vec_id
+                   ) AS rk
+            FROM embeddings e CROSS JOIN embeddings q
+            WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
+        ) WHERE rk <= {RRF_DEPTH}
+    """
+
+
+@query(
+    "q_rrf_fusion",
+    sql=f"""
+    WITH full_r AS ({_rank_sql_for('{t}.embedding')}),
+    trunc_r AS ({_rank_sql_for(f'list_slice({{t}}.embedding, 1, {TRUNC_DIM})')}),
+    fused AS (
+        SELECT COALESCE(f.q_id, t.q_id) AS q_id,
+               COALESCE(f.vec_id, t.vec_id) AS vec_id,
+               CAST(COALESCE(100000000 // ({RRF_K0} + f.rk), 0)
+                  + COALESCE(100000000 // ({RRF_K0} + t.rk), 0) AS BIGINT)
+                   AS rrf_score
+        FROM full_r f
+        FULL OUTER JOIN trunc_r t
+          ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+    )
+    SELECT q_id, vec_id, rrf_score, CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY rrf_score DESC, vec_id
+        ) AS fused_rank
+        FROM fused
+    )
+    WHERE fused_rank <= {RRF_TOP}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 RRF fusion of full-dim and truncated-dim rankings."""
+    emb = compute_table(spark, sf_dir, "embeddings")
+
+    def ranking(emb_col) -> DataFrame:
+        queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        scored = (
+            emb.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                cosine(
+                    emb_col(F.col("embedding")), emb_col(F.col("q_emb"))
+                ).alias("s"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= RRF_DEPTH)
+            .select("q_id", "vec_id", "rk")
+        )
+
+    full_r = ranking(lambda c: c)
+    trunc_r = (
+        ranking(lambda c: F.slice(c, 1, TRUNC_DIM))
+        .withColumnRenamed("rk", "t_rk")
+        .withColumnRenamed("q_id", "t_q_id")
+        .withColumnRenamed("vec_id", "t_vec_id")
+    )
+    fused = full_r.join(
+        trunc_r,
+        (full_r.q_id == trunc_r.t_q_id) & (full_r.vec_id == trunc_r.t_vec_id),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("q_id"), F.col("t_q_id")).alias("q_id"),
+        F.coalesce(F.col("vec_id"), F.col("t_vec_id")).alias("vec_id"),
+        (
+            F.coalesce(
+                F.expr(f"100000000 div ({RRF_K0} + rk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"100000000 div ({RRF_K0} + t_rk)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select("q_id", "vec_id", "rrf_score", "fused_rank")
+    )
