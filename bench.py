@@ -128,6 +128,7 @@ HEADLINE = [
     "q_benford_digits",
     "q_cohort_ltv",
     "q_illegal_transitions",
+    "q_rrf_fusion",
 ]
 
 
