@@ -60,8 +60,12 @@ REVERIFY: frozenset[str] = frozenset(
     {
         # r7 (late): centroid-count cap added (MAX_CENTROIDS) — results
         # identical at driver scale but the implementation changed after
-        # its last green row
+        # its last green row (no r7 slot reached it; still pending)
         "q_ivf_topk",
+        # r8: error-branch densities reduced (exception-storm fix,
+        # VERDICT r7 #2) — NULL-contract semantics unchanged but both
+        # query and oracle expressions changed
+        "q_try_arithmetic",
     }
 )
 

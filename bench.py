@@ -198,7 +198,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     registry.load_all()
-    spark = get_spark("bench")
+    # Console progress bars write \r-rewritten frames to stdout; if the
+    # driver captures stdout into the bench artifact they corrupt the
+    # JSON line (BENCH_r07.json recorded "parsed": null). Kill them.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen path once so per-query numbers measure the
@@ -224,17 +229,27 @@ def main() -> None:
     # reps, which would scale with rep count rather than engine speed)
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # The JSON line is the contract: emit it first on a clean stdout
+    # (before any teardown chatter), flush, AND persist a copy to
+    # BENCH.json so a truncated/interleaved capture can be recovered.
+    print(line, flush=True)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -48,6 +48,15 @@ def asof_join(
 
     Right-side column names must not collide with left's (rename first).
     ``how`` is 'inner' (drop unmatched left rows) or 'left'.
+
+    Determinism precondition: right rows must be unique per
+    ``(by_right, on_right)``. When several right rows tie on exactly
+    the same key and timestamp, which one is returned is
+    plan-dependent (the window orders by ``on_right`` only, and the
+    cogroup path relies on pandas ``merge_asof`` tie behavior) — both
+    directions are affected. Dedupe the right side first (as every
+    registered query here does) or the result is not stable across
+    partitionings/engines.
     """
     if strategy == "window":
         return _asof_window(

@@ -1094,7 +1094,21 @@ CONTAINMENT_THRESHOLD = 0.9
     """,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-superset pairs by shingle containment (>= 0.9)."""
+    """Near-superset pairs by shingle containment (>= 0.9).
+
+    Recall limitation (inherited from the df cap, mirrored in the
+    oracle so the gate can't see it): ``n_common`` is counted only
+    over shingles with df in [2, MAX_SHINGLE_DF], but the denominator
+    is the FULL min shingle-set size. A short doc embedded in more
+    than MAX_SHINGLE_DF documents — ubiquitous boilerplate, exactly
+    the asymmetric case this measure targets — has its shared shingles
+    capped out of the numerator and silently falls below the
+    threshold. At corpus scale this is the standard trade (uncapped
+    df-10^6 shingles would quadratically explode the pair expansion);
+    callers who need the boilerplate tail should run a dedicated pass
+    with the top-df shingles routed through a frequency-bucketed join
+    instead of raising the cap.
+    """
     from pyspark.sql import Window as _W
 
     docs = compute_table(spark, sf_dir, "documents")

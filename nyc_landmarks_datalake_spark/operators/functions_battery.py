@@ -329,12 +329,12 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql("CASE WHEN l_quantity = 25 THEN NULL "
                      "ELSE l_extendedprice / (l_quantity - 25) END")}
                AS div_sum,
-           CAST(SUM(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_orderkey % 20 = 0 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_cast_null,
-           CAST(SUM(CASE WHEN l_orderkey % 3 = 0 THEN NULL
+           CAST(SUM(CASE WHEN l_orderkey % 20 = 0 THEN NULL
                     ELSE CAST(l_orderkey AS BIGINT) END) AS BIGINT)
                AS cast_sum,
-           CAST(SUM(CASE WHEN l_orderkey % 20 > 7 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_orderkey % 101 = 100 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_overflow_null
     FROM lineitem
     GROUP BY l_returnflag
@@ -343,20 +343,30 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-on-error arithmetic census per return flag.
 
-    try_divide hits a real zero denominator (quantity == 25),
-    try_cast parses a string column that is non-numeric on 1/3 of rows,
-    try_add overflows int64 max on a deterministic subset — each NULL
+    try_divide hits a real zero denominator (quantity == 25, 2% of
+    rows), try_cast parses a string column that is non-numeric on 1/20
+    of rows, try_add overflows int64 max on 1/101 of rows — each NULL
     count and the surviving sums are mirrored by CASE-guard arithmetic
     in the oracle.
+
+    Error-branch density is deliberately LOW (~2%/5%/1%): each caught
+    error is a real JVM exception throw inside the try-expression, so
+    a majority-error data shape turns a single scan+agg into an
+    exception storm (~30x constant factor measured at 60%/33% density
+    in r7). The contracts are identical at any density; the bench
+    number should measure the engine, not fillInStackTrace(). At
+    sf0.01 the rare arm still NULLs ~600 rows — plenty for the gate.
     """
     li = table(spark, sf_dir, "lineitem")
     mixed = F.when(
-        F.col("l_orderkey") % 3 == 0,
+        F.col("l_orderkey") % 20 == 0,
         F.concat(F.lit("k"), F.col("l_orderkey").cast("string")),
     ).otherwise(F.col("l_orderkey").cast("string"))
     d = F.expr("try_divide(l_extendedprice, l_quantity - 25)")
     c = F.expr("try_cast(mixed AS BIGINT)")
-    ovf = F.expr("try_add(9223372036854775800L, l_orderkey % 20)")
+    # base + 99 == int64 max: only the 1/101 rows with remainder 100
+    # overflow
+    ovf = F.expr("try_add(9223372036854775708L, l_orderkey % 101)")
     base = li.select(
         "l_returnflag",
         "l_extendedprice",

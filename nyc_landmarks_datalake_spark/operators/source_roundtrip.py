@@ -162,11 +162,23 @@ def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content) AND that the file count actually dropped — the maintenance
 # op's whole contract.
 # ---------------------------------------------------------------------------
+#: session-scoped compaction staging zones, one per sf_dir — bench
+#: loops invoke the query repeatedly and a mkdtemp per call leaks a
+#: directory per invocation (r7 ADVICE). The zone is REBUILT and
+#: RE-COMPACTED on every call (the side effect is the thing under
+#: test); only the path is reused. Never cleaned inside the callable:
+#: the returned lazy DataFrame reads from it after we return.
+_COMPACT_ZONES: dict[str, str] = {}
+
+COMPACT_FILES_BEFORE = 24
+COMPACT_FILES_AFTER = 4
+
+
 @query(
     "q_compaction_census",
-    sql="""
-    SELECT 24 AS files_before,
-           4 AS files_after,
+    sql=f"""
+    SELECT {COMPACT_FILES_BEFORE} AS files_before,
+           {COMPACT_FILES_AFTER} AS files_after,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -188,8 +200,12 @@ def q_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    zone = os.path.join(tempfile.mkdtemp(prefix="compact_zone_"), "docs")
-    docs.repartition(24).write.mode("overwrite").parquet(zone)
+    if sf_dir not in _COMPACT_ZONES:
+        _COMPACT_ZONES[sf_dir] = os.path.join(
+            tempfile.mkdtemp(prefix="compact_zone_"), "docs"
+        )
+    zone = _COMPACT_ZONES[sf_dir]
+    docs.repartition(COMPACT_FILES_BEFORE).write.mode("overwrite").parquet(zone)
 
     def _count_parts(p: str) -> int:
         return sum(
@@ -199,8 +215,17 @@ def q_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     before = _count_parts(zone)
-    compact(spark, zone, target_files=4)
+    compact(spark, zone, target_files=COMPACT_FILES_AFTER)
     after = _count_parts(zone)
+    # fail in-plan, not just at the oracle compare: the literals in the
+    # oracle SQL are expectations, and a silent drift there would make
+    # both engines agree on wrong numbers
+    if before != COMPACT_FILES_BEFORE or after != COMPACT_FILES_AFTER:
+        raise AssertionError(
+            f"compaction census drifted: before={before} "
+            f"(want {COMPACT_FILES_BEFORE}), after={after} "
+            f"(want {COMPACT_FILES_AFTER})"
+        )
 
     back = spark.read.parquet(zone)
     return back.agg(
