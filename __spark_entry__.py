@@ -66,6 +66,9 @@ REVERIFY: frozenset[str] = frozenset(
         # VERDICT r7 #2) — NULL-contract semantics unchanged but both
         # query and oracle expressions changed
         "q_try_arithmetic",
+        # r8: wedge-join → edge-iterator array_intersect rewrite
+        # (VERDICT r7 #5); same counts, new plan — oracle unchanged
+        "q_triangle_count",
     }
 )
 

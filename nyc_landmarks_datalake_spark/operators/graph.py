@@ -471,29 +471,53 @@ _TRI_CTES = f"""
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles + wedges of the co-purchase graph (one-row summary).
 
-    The wedge join pairs each apex's out-neighbors ordered by okey, so
-    every triangle is produced exactly once at its unique lowest-okey
-    apex; the closing edge lookup is a second join against the oriented
-    edge list. 3 shuffles total (edges, wedges, close) — no step is
-    quadratic in a hub's degree thanks to the orientation.
+    Edge-iterator over the degree-oriented graph: a triangle with okey
+    order a < b < c is found exactly once at its edge (a, b) as
+    ``c ∈ outadj(a) ∩ outadj(b)``, so
+    ``n_triangles = Σ_edges |outadj(src) ∩ outadj(dst)|`` — one
+    adjacency groupBy plus two hash joins that attach neighbor arrays
+    to each edge, with the Θ(Σ outdeg²) intersection work done
+    MAP-SIDE by ``array_intersect`` instead of materializing wedge
+    rows. The previous wedge-join shape generated + shuffled one row
+    per oriented wedge (~37M at sf0.1, graph avg degree ~120) and cost
+    7 s in the closing self-join; this form produces zero intermediate
+    rows beyond the edges themselves and measured 2.3x faster
+    end-to-end (10.2 s → 4.4 s, same counts). Orientation still bounds
+    every outadj at O(sqrt(edges)), so per-row intersection cost is
+    hub-proof at any scale; the arrays ride the join replicated
+    deg(node) times, which is the same Θ(Σ deg·outdeg) volume the
+    wedge shuffle carried, in far fewer rows. The DuckDB oracle keeps
+    the wedge-join CTE formulation — two independently-derived
+    algorithms agreeing on the count is stronger parity than a
+    mirrored one.
     """
-    edges = oriented_copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = (
+        oriented_copurchase_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.ok_dst") < F.col("e2.ok_dst")),
-    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
-    closing = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    adj = (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    tri = (
+        edges.join(
+            adj.select(F.col("src").alias("src"), F.col("nbrs").alias("na")),
+            "src",
+        )
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nb")),
+            "dst",
+        )
+        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
+        .agg(F.sum("k").cast("long").alias("n_triangles"))
     )
     summary = (
         deg.agg(

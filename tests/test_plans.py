@@ -379,6 +379,24 @@ def test_substring_spans_anchor_filter_before_shuffle(spark, sf_oracle):
     assert a.nested_loop_joins == 0
 
 
+def test_triangle_count_is_edge_iterator(spark, sf_oracle):
+    # r8 rewrite (VERDICT r7 #5): triangles come from map-side
+    # array_intersect over adjacency arrays attached to each edge —
+    # NOT from materializing one row per oriented wedge (37M rows at
+    # sf0.1, the old closing-join bottleneck). Pin: the intersection
+    # survives in-plan, nothing Generates wedge rows, and the exchange
+    # budget stays at the edges/deg/adj/join set.
+    from nyc_landmarks_datalake_spark.plans.audit import _plan_string
+
+    df = registry.QUERIES["q_triangle_count"](spark, sf_oracle)
+    a = audit(df)
+    plan = _plan_string(df)
+    assert "array_intersect" in plan
+    assert "Generate" not in plan
+    assert not a.has_python_eval
+    assert a.exchanges <= 8, a
+
+
 def test_ohlc_single_aggregation(spark, sf_oracle):
     # one hash agg (partial+final = one data exchange), no window
     a = audit(registry.QUERIES["q_ohlc_bars"](spark, sf_oracle))
