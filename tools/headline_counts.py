@@ -1,0 +1,107 @@
+"""Emit the headline counts for STATUS.md from the ground truth itself.
+
+r7 VERDICT #6: STATUS.md's hand-edited "218/590" drifted from the actual
+219/592 within one round. This script derives every number it prints —
+registry size from ``len(registry.QUERIES)``, oracle coverage from
+``registry.ORACLE``/``ROWS_ONLY``, bench query count from
+``bench.HEADLINE``, driver-verification progress from the committed
+CORRECTNESS_r*.json artifacts — and takes the one number it cannot
+derive (the pytest summary) verbatim from a pytest output line passed on
+the command line, refusing to run without it.
+
+Usage (end-of-round ritual):
+
+    python -m pytest tests/ -q 2>&1 | tail -1   # e.g. "593 passed, 1 skipped in 450s"
+    python tools/headline_counts.py --pytest-line "593 passed, 1 skipped in 450s"
+
+Writes HEADLINE_COUNTS.json and prints the STATUS.md-ready line. The
+`Headline counts:` line in STATUS.md is pinned to the registry by
+tests/test_plans.py::test_status_headline_counts_match_registry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _driver_green() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            flags = [v for k, v in row.items() if k.endswith("_match") and v is not None]
+            if row.get("err") is None and flags and all(flags):
+                green.add(name)
+    return green
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--pytest-line",
+        required=True,
+        help='the pytest summary line, e.g. "593 passed, 1 skipped in 450s"',
+    )
+    args = ap.parse_args()
+
+    m = re.search(r"(\d+) passed", args.pytest_line)
+    if not m:
+        print("pytest line has no '<N> passed'", file=sys.stderr)
+        return 2
+    passed = int(m.group(1))
+    sk = re.search(r"(\d+) skipped", args.pytest_line)
+    skipped = int(sk.group(1)) if sk else 0
+    fl = re.search(r"(\d+) failed", args.pytest_line)
+    failed = int(fl.group(1)) if fl else 0
+
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    import bench
+
+    n_queries = len(registry.QUERIES)
+    n_oracle = len(registry.ORACLE)
+    n_rows_only = len(getattr(registry, "ROWS_ONLY", ()))
+    green = _driver_green() & set(registry.QUERIES)
+    counts = {
+        "registered_queries": n_queries,
+        "oracle_checked": n_oracle,
+        "rows_only": n_rows_only,
+        "bench_tracked": len(bench.HEADLINE),
+        "driver_green_ever": len(green),
+        "never_driver_green": n_queries - len(green),
+        "pytest_passed": passed,
+        "pytest_skipped": skipped,
+        "pytest_failed": failed,
+    }
+    with open(os.path.join(_REPO, "HEADLINE_COUNTS.json"), "w") as f:
+        json.dump(counts, f, indent=2)
+        f.write("\n")
+    print(
+        f"Headline counts: {n_queries} registered queries "
+        f"({n_oracle} oracle-checked, {n_rows_only} rows-only), "
+        f"{len(bench.HEADLINE)} bench-tracked; driver-green ever: "
+        f"{len(green)} ({n_queries - len(green)} pending); pytest: "
+        f"{passed} passed, {skipped} skipped, {failed} failed."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
