@@ -57,6 +57,7 @@ HEADLINE = [
     "q_repetition_signals",
     "q_png_decode_stats",
     "q_gif_decode_stats",
+    "q_gif_frame_sample",
     "q_jpeg_decode_stats",
     "q_wav_decode_stats",
     "q_image_resize_stats",

@@ -560,6 +560,156 @@ def encode_gif(indices: "object", palette: "object") -> bytes:
     return bytes(out)
 
 
+def decode_gif_frames(payload: bytes) -> tuple[int, int, int, list]:
+    """REAL multi-frame GIF decode: every image descriptor in the
+    stream, composited onto the logical screen in order.
+
+    Returns ``(screen_w, screen_h, 3, frames)`` where each frame is the
+    full (screen_h, screen_w, 3) uint8 SCREEN after pasting that
+    descriptor's (possibly sub-rect) raster at its (left, top) — i.e.
+    "do not dispose" animation semantics, the composition a frame-
+    sampling pipeline actually wants. Background starts black;
+    graphics-control extensions (delays/transparency/disposal modes
+    2-3) are skipped like every other extension — deliberately out of
+    scope, documented here rather than half-implemented. Shares
+    :func:`_lzw_decode` with the single-frame :func:`decode_gif`
+    (which returns the first descriptor's own rect, not the screen).
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: magic={payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        if gct.shape[0] != n:
+            raise ValueError("truncated GIF global color table")
+        i += 3 * n
+    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list = []
+    while i < len(payload):
+        block = payload[i]
+        i += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 1
+            while i < len(payload) and payload[i]:
+                i += payload[i] + 1
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[i : i + 9]
+            )
+            i += 9
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if left + w > sw or top + h > sh:
+                raise ValueError(
+                    f"GIF frame rect {w}x{h}+{left}+{top} exceeds "
+                    f"{sw}x{sh} logical screen"
+                )
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    payload[i : i + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = payload[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(payload) and payload[i]:
+                size = payload[i]
+                lzw += payload[i + 1 : i + 1 + size]
+                i += size + 1
+            i += 1
+            idx = _lzw_decode(min_code_size, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"short GIF raster: want {w * h} pixels, have {len(idx)}"
+                )
+            indices = np.frombuffer(idx[: w * h], dtype=np.uint8)
+            if int(indices.max(initial=0)) >= ct.shape[0]:
+                raise ValueError("GIF pixel index outside color table")
+            screen[top : top + h, left : left + w] = ct[indices].reshape(
+                h, w, 3
+            )
+            frames.append(screen.copy())
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return sw, sh, 3, frames
+
+
+def encode_gif_animated(
+    screen_wh: tuple[int, int],
+    frames: list,
+    palette: "object",
+) -> bytes:
+    """Animated-GIF fixture builder: one image descriptor per frame,
+    each ``(indices, left, top)`` pasted at its offset on the logical
+    screen (``indices`` a (h, w) uint8 array). Same clear-code LZW
+    form as :func:`encode_gif`; a shared global color table."""
+    import struct
+
+    import numpy as np
+
+    sw, sh = screen_wh
+    pal = np.asarray(palette, dtype=np.uint8)
+    bits = max(2, int(pal.shape[0] - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: pal.shape[0]] = pal
+    clear, end = n, n + 1
+    code_size = bits + 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    for indices, left, top in frames:
+        idx = np.asarray(indices, dtype=np.uint8)
+        h, w = idx.shape
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"frame rect {w}x{h}+{left}+{top} exceeds screen {sw}x{sh}"
+            )
+        acc = 0
+        acc_bits = 0
+        stream = bytearray()
+        codes: list[int] = []
+        for p in idx.reshape(-1):
+            codes += [clear, int(p)]
+        codes.append(end)
+        for c in codes:
+            acc |= c << acc_bits
+            acc_bits += code_size
+            while acc_bits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                acc_bits -= 8
+        if acc_bits:
+            stream.append(acc & 0xFF)
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out.append(bits)
+        for off in range(0, len(stream), 255):
+            chunk = stream[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, "object"]:
     """REAL audio decode for RIFF/WAVE PCM — like netpbm, a pure
     header-plus-raw-bytes format needing only stdlib struct + numpy.
@@ -1266,6 +1416,135 @@ def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = raw.mapInPandas(encode, schema=enc_schema)
     return decode_image(images, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked REAL animated-GIF decode + frame sampling: a genuine
+# multi-frame GIF89a per document (2-8 full-screen 5x5 frames, raster
+# k from two chained md5 digests over text||'f'||k), decoded by
+# decode_gif_frames inside mapInPandas, then every-2nd-frame sampled
+# (frame_sample semantics applied to REAL decoded frames, not
+# metadata) and channel-summed. DuckDB recomputes the sums from the
+# md5 hex over the sampled frame indexes — nested list_transform over
+# (sampled frame s, pixel j) — so the multi-frame walk, per-frame LZW
+# streams, composition order, and the sampling stride are all under
+# the value gate. Encode and decode run in ONE mapInPandas pass
+# (embarrassingly parallel, zero shuffle — the 100 TB shape).
+# ---------------------------------------------------------------------------
+_GIFAN_W, _GIFAN_H = 5, 5
+GIF_FRAME_EVERY = 2
+_GIFAN_MAX_FRAMES = 8  # n_frames = doc_id % 7 + 2 in [2, 8]
+
+
+def _gifan_oracle_channel_sum(mult: int) -> str:
+    h64 = (
+        "md5(text || 'f' || (2 * s)::VARCHAR) || "
+        "md5(text || 'f' || (2 * s)::VARCHAR || 'x')"
+    )
+    byte = f"('0x' || substr({h64}, 2 * j + 1, 2))::BIGINT"
+    frame_sum = (
+        f"list_sum(list_transform(range(0, {_GIFAN_W * _GIFAN_H}), "
+        f"j -> ({mult} * {byte}) % 256))"
+    )
+    return (
+        f"CAST(list_sum(list_transform("
+        f"range(0, (doc_id % 7 + 2 + {GIF_FRAME_EVERY} - 1) "
+        f"// {GIF_FRAME_EVERY}), s -> {frame_sum})) AS BIGINT)"
+    )
+
+
+@query(
+    "q_gif_frame_sample",
+    sql=f"""
+    SELECT doc_id,
+           CAST(doc_id % 7 + 2 AS INT) AS n_frames,
+           CAST((doc_id % 7 + 2 + {GIF_FRAME_EVERY} - 1)
+                // {GIF_FRAME_EVERY} AS INT) AS n_sampled,
+           {_gifan_oracle_channel_sum(1)} AS ch0_sum,
+           {_gifan_oracle_channel_sum(2)} AS ch1_sum,
+           {_gifan_oracle_channel_sum(3)} AS ch2_sum
+    FROM documents
+    """,
+)
+def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = compute_table(spark, sf_dir, "documents")
+    rasters = F.array(
+        *[
+            F.unhex(
+                F.concat(
+                    F.md5(F.concat(F.col("text"), F.lit(f"f{k}"))),
+                    F.md5(F.concat(F.col("text"), F.lit(f"f{k}x"))),
+                )
+            )
+            for k in range(_GIFAN_MAX_FRAMES)
+        ]
+    )
+    raw = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 2).cast("int").alias("n_frames"),
+        rasters.alias("rasters"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", raw.schema["doc_id"].dataType),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_sampled", T.IntegerType()),
+            T.StructField("ch0_sum", T.LongType()),
+            T.StructField("ch1_sum", T.LongType()),
+            T.StructField("ch2_sum", T.LongType()),
+        ]
+    )
+    npx = _GIFAN_W * _GIFAN_H
+    pal = np.stack(
+        [
+            np.arange(256, dtype=np.int64) % 256,
+            (2 * np.arange(256, dtype=np.int64)) % 256,
+            (3 * np.arange(256, dtype=np.int64)) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, nf, rs in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["rasters"]
+            ):
+                frames = [
+                    (
+                        np.frombuffer(
+                            bytes(rs[k])[:npx], dtype=np.uint8
+                        ).reshape(_GIFAN_H, _GIFAN_W),
+                        0,
+                        0,
+                    )
+                    for k in range(int(nf))
+                ]
+                payload = encode_gif_animated(
+                    (_GIFAN_W, _GIFAN_H), frames, pal
+                )
+                _w, _h, _c, decoded = decode_gif_frames(payload)
+                sampled = decoded[::GIF_FRAME_EVERY]
+                sums = np.zeros(3, dtype=np.int64)
+                for fr in sampled:
+                    sums += fr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        len(decoded),
+                        len(sampled),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return raw.mapInPandas(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

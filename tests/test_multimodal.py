@@ -6,6 +6,8 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.operators.multimodal import (
@@ -407,6 +409,81 @@ def test_decode_gif_roundtrip_and_errors():
         decode_gif(bytes(bad))
     with pytest.raises(ValueError, match="no image data"):
         decode_gif(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")
+
+
+def test_decode_gif_frames_composition():
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    # frame 0 full-screen; frames 1-2 sub-rect patches composited with
+    # "do not dispose" semantics (paste over the previous screen)
+    f0 = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    f1 = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    f2 = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    payload = encode_gif_animated(
+        (8, 6), [(f0, 0, 0), (f1, 2, 1), (f2, 6, 4)], pal
+    )
+    sw, sh, c, frames = decode_gif_frames(payload)
+    assert (sw, sh, c, len(frames)) == (8, 6, 3, 3)
+    expect = pal[f0]
+    assert (frames[0] == expect).all()
+    expect = expect.copy()
+    expect[1:4, 2:6] = pal[f1]
+    assert (frames[1] == expect).all()
+    expect = expect.copy()
+    expect[4:6, 6:8] = pal[f2]
+    assert (frames[2] == expect).all()
+    # single-frame decoder sees the first descriptor's own rect
+    w, h, _c, px = decode_gif(payload)
+    assert (w, h) == (8, 6) and (px == pal[f0]).all()
+    # out-of-bounds rect fails loudly on both sides
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif_animated((4, 4), [(f0, 0, 0)], pal)
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=5),
+    w=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_frames_roundtrip_property(n_frames, w, h, seed):
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    frames = []
+    screens = []
+    screen = np.zeros((h, w, 3), dtype=np.uint8)
+    for _ in range(n_frames):
+        fh = int(rng.integers(1, h + 1))
+        fw = int(rng.integers(1, w + 1))
+        top = int(rng.integers(0, h - fh + 1))
+        left = int(rng.integers(0, w - fw + 1))
+        idx = rng.integers(0, 256, size=(fh, fw), dtype=np.uint8)
+        frames.append((idx, left, top))
+        screen = screen.copy()
+        screen[top : top + fh, left : left + fw] = pal[idx]
+        screens.append(screen)
+    sw, sh, c, decoded = decode_gif_frames(
+        encode_gif_animated((w, h), frames, pal)
+    )
+    assert (sw, sh, c, len(decoded)) == (w, h, 3, n_frames)
+    for got, want in zip(decoded, screens):
+        assert (got == want).all()
 
 
 def test_decode_image_routes_gif(spark):

@@ -1,0 +1,248 @@
+"""Decomposed sf10 verification for the oracle-intractable tail
+(VERDICT r7 #4).
+
+The recursive-CTE connected-components oracle behind q_dup_clusters /
+q_dedup_apply enumerates (doc, label) reachability pairs transitively —
+quadratic inside clusters and unbounded-iteration — and ran >1h at sf10
+before being cut in r7. This tool verifies the SAME queries at sf10 with
+a decomposed, non-recursive oracle:
+
+  1. Rebuild the edge set independently in DuckDB (the committed
+     LSH_PAIR_CTES + exact-dup edges — the pair tier itself was proven
+     bit-exact vs Spark at sf10 in r7).
+  2. Run UNROLLED min-label propagation: lbl_{i+1}(v) = min(lbl_i(v),
+     min over in-edges lbl_i(u)), each round one hash join + group-min,
+     until two consecutive rounds are identical (bounded by
+     MAX_ROUNDS, asserted).  A fixed point of min-propagation seeded
+     with vertex ids IS the exact min-id component labeling: stability
+     across both edge directions forces equal labels across every
+     edge; labels only travel along edges, so each label names a
+     vertex of its own component; and the component's min-id vertex
+     can never adopt a larger label, so every class label is the
+     component min.  No recursion, no transitive pair blow-up.
+  3. Compare Spark's q_dup_clusters labels value-exactly, then derive
+     q_dedup_apply's census from the verified labels and compare.
+
+Also provides a CHUNKED evaluation of the shingle-contamination oracles
+(q_contamination_check / q_curation_census) for the case where the
+single-statement unnest-join exhausts DuckDB at sf10: bench shingles are
+materialized once, then train-side hits accumulate per doc_id-mod chunk
+— identical result set, bounded per-statement footprint.
+
+Usage:
+    python tools/verify_sf10_tail.py --sf-dir .sfnative10 \
+        --checks clusters,apply[,contamination,curation]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+MAX_ROUNDS = 12
+N_CHUNKS = 16
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def build_cc_labels(con) -> str:
+    """Materialize edges + run unrolled min-label propagation; return
+    the name of the final labels table (doc, lbl)."""
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        EXACT_DUP_EDGES_SQL,
+        LSH_PAIR_CTES,
+    )
+
+    t0 = time.time()
+    con.execute(
+        f"CREATE TEMP TABLE vt_lsh AS WITH {LSH_PAIR_CTES} "
+        "SELECT doc1, doc2 FROM lsh_pairs"
+    )
+    log(f"lsh pairs: {con.execute('SELECT count(*) FROM vt_lsh').fetchone()[0]}"
+        f" rows in {time.time() - t0:.0f}s")
+    con.execute(
+        "CREATE TEMP TABLE vt_all AS SELECT doc1, doc2 FROM vt_lsh "
+        f"UNION ALL SELECT doc1, doc2 FROM ({EXACT_DUP_EDGES_SQL})"
+    )
+    con.execute(
+        "CREATE TEMP TABLE vt_edges AS "
+        "SELECT doc1 AS src, doc2 AS dst FROM vt_all "
+        "UNION ALL SELECT doc2 AS src, doc1 AS dst FROM vt_all"
+    )
+    con.execute(
+        "CREATE TEMP TABLE vt_lab0 AS "
+        "SELECT DISTINCT src AS doc, src AS lbl FROM vt_edges"
+    )
+    prev = "vt_lab0"
+    for i in range(1, MAX_ROUNDS + 1):
+        cur = f"vt_lab{i}"
+        con.execute(
+            f"CREATE TEMP TABLE {cur} AS "
+            f"SELECT v.doc, LEAST(v.lbl, COALESCE(m.mn, v.lbl)) AS lbl "
+            f"FROM {prev} v LEFT JOIN ("
+            f"  SELECT e.dst AS doc, MIN(l.lbl) AS mn "
+            f"  FROM vt_edges e JOIN {prev} l ON l.doc = e.src "
+            f"  GROUP BY e.dst) m ON m.doc = v.doc"
+        )
+        changed = con.execute(
+            f"SELECT count(*) FROM {cur} a JOIN {prev} b "
+            "ON a.doc = b.doc AND a.lbl <> b.lbl"
+        ).fetchone()[0]
+        log(f"label-prop round {i}: {changed} changed")
+        con.execute(f"DROP TABLE {prev}")
+        prev = cur
+        if changed == 0:
+            return prev
+    raise AssertionError(
+        f"min-label propagation did not reach a fixed point in "
+        f"{MAX_ROUNDS} rounds — graph diameter exceeds the unroll budget"
+    )
+
+
+def build_contamination_hits(con) -> None:
+    """Materialize vt_hits (contaminated train doc_ids), chunked."""
+    from nyc_landmarks_datalake_spark.operators.dedup import _SHINGLED_DUCK
+    from nyc_landmarks_datalake_spark.operators.training_pipeline import (
+        BENCH_MOD,
+    )
+
+    t0 = time.time()
+    con.execute(
+        f"CREATE TEMP TABLE vt_bench_sh AS WITH sh AS ({_SHINGLED_DUCK}) "
+        f"SELECT DISTINCT unnest(shingles) AS shingle FROM sh "
+        f"WHERE doc_id % {BENCH_MOD} = 0"
+    )
+    log(f"bench shingles in {time.time() - t0:.0f}s")
+    con.execute("CREATE TEMP TABLE vt_hits (doc_id BIGINT)")
+    for i in range(N_CHUNKS):
+        con.execute(
+            f"INSERT INTO vt_hits WITH sh AS ({_SHINGLED_DUCK}) "
+            f"SELECT DISTINCT t.doc_id FROM ("
+            f"  SELECT doc_id, unnest(shingles) AS shingle FROM sh "
+            f"  WHERE doc_id % {BENCH_MOD} <> 0 "
+            f"    AND doc_id % {N_CHUNKS} = {i}) t "
+            f"JOIN vt_bench_sh USING (shingle)"
+        )
+        log(f"contamination chunk {i + 1}/{N_CHUNKS}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=".sfnative10")
+    ap.add_argument("--checks", default="clusters,apply")
+    args = ap.parse_args()
+    checks = {c.strip() for c in args.checks.split(",") if c.strip()}
+    sf_dir = os.path.abspath(args.sf_dir)
+
+    from oracle_harness import compare, duckdb_conn
+
+    from nyc_landmarks_datalake_spark import registry
+    from nyc_landmarks_datalake_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(
+        "verify_sf10_tail",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_conn(sf_dir)
+    failures: list[str] = []
+
+    def check(name: str, oracle_sql: str) -> None:
+        t0 = time.time()
+        sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+        ts = time.time() - t0
+        odf = con.execute(oracle_sql).fetchdf()
+        probs = compare(sdf, odf, name)
+        status = "ok" if not probs else "FAIL"
+        log(f"{name}: {status} (spark {ts:.0f}s, {len(sdf)} rows) {probs[:2]}")
+        if probs:
+            failures.append(name)
+
+    if checks & {"clusters", "apply"}:
+        labels = build_cc_labels(con)
+        if "clusters" in checks:
+            check(
+                "q_dup_clusters",
+                f"SELECT doc AS doc_id, lbl AS cluster_id FROM {labels}",
+            )
+        if "apply" in checks:
+            check(
+                "q_dedup_apply",
+                "SELECT lang, COUNT(*) AS n_docs, "
+                "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+                "FROM documents WHERE doc_id NOT IN "
+                f"(SELECT doc FROM {labels} WHERE doc <> lbl) GROUP BY 1",
+            )
+
+    if checks & {"contamination", "curation"}:
+        from nyc_landmarks_datalake_spark.operators.training_pipeline import (
+            BENCH_MOD,
+            MAX_CHARS,
+            MIN_CHARS,
+        )
+
+        build_contamination_hits(con)
+        if "contamination" in checks:
+            check(
+                "q_contamination_check",
+                f"""
+                SELECT d.lang, COUNT(*) AS n_train_docs,
+                       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_contaminated
+                FROM documents d
+                LEFT JOIN vt_hits h ON d.doc_id = h.doc_id
+                WHERE d.doc_id % {BENCH_MOD} <> 0
+                GROUP BY 1
+                """,
+            )
+        if "curation" in checks:
+            check(
+                "q_curation_census",
+                f"""
+                WITH dup AS (
+                    SELECT doc_id FROM (
+                        SELECT doc_id, row_number() OVER (
+                            PARTITION BY md5(text) ORDER BY doc_id) AS rk
+                        FROM documents
+                    ) WHERE rk > 1
+                ),
+                staged AS (
+                    SELECT d.lang,
+                           CASE
+                             WHEN d.doc_id % {BENCH_MOD} = 0 THEN 'benchmark'
+                             WHEN d.n_chars < {MIN_CHARS}
+                                  OR d.n_chars > {MAX_CHARS}
+                                 THEN 'drop_quality'
+                             WHEN dup.doc_id IS NOT NULL
+                                 THEN 'drop_duplicate'
+                             WHEN c.doc_id IS NOT NULL
+                                 THEN 'drop_contaminated'
+                             ELSE 'keep'
+                           END AS stage
+                    FROM documents d
+                    LEFT JOIN dup ON d.doc_id = dup.doc_id
+                    LEFT JOIN vt_hits c ON d.doc_id = c.doc_id
+                )
+                SELECT lang, stage, COUNT(*) AS n_docs
+                FROM staged GROUP BY 1, 2
+                """,
+            )
+
+    if failures:
+        log(f"FAILURES: {failures}")
+        return 1
+    log("all selected sf10 tail checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
