@@ -148,22 +148,40 @@ def main() -> int:
     from nyc_landmarks_datalake_spark.session import get_spark
 
     registry.load_all()
+    # Phase 1: run every selected Spark query and STOP the JVM before
+    # the DuckDB phase starts — the sf10 pair/label build and a 48g
+    # Spark heap together exceed the machine (a concurrent run killed
+    # both JVMs), and the phases never need to overlap.
+    query_of = {
+        "clusters": "q_dup_clusters",
+        "apply": "q_dedup_apply",
+        "contamination": "q_contamination_check",
+        "curation": "q_curation_census",
+    }
     spark = get_spark(
         "verify_sf10_tail",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    spark_results: dict[str, object] = {}
+    for c in sorted(checks):
+        name = query_of[c]
+        t0 = time.time()
+        spark_results[name] = registry.QUERIES[name](spark, sf_dir).toPandas()
+        log(f"{name}: spark side done in {time.time() - t0:.0f}s "
+            f"({len(spark_results[name])} rows)")
+    spark.stop()
+    log("spark stopped; starting DuckDB phase")
+
     con = duckdb_conn(sf_dir)
     failures: list[str] = []
 
     def check(name: str, oracle_sql: str) -> None:
-        t0 = time.time()
-        sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
-        ts = time.time() - t0
+        sdf = spark_results[name]
         odf = con.execute(oracle_sql).fetchdf()
         probs = compare(sdf, odf, name)
         status = "ok" if not probs else "FAIL"
-        log(f"{name}: {status} (spark {ts:.0f}s, {len(sdf)} rows) {probs[:2]}")
+        log(f"{name}: {status} ({len(sdf)} rows) {probs[:2]}")
         if probs:
             failures.append(name)
 
