@@ -29,9 +29,22 @@ single-statement unnest-join exhausts DuckDB at sf10: bench shingles are
 materialized once, then train-side hits accumulate per doc_id-mod chunk
 — identical result set, bounded per-statement footprint.
 
+For q_semantic_dedup — whose committed single-statement oracle OOMs at
+sf10 (112 GB RSS; the assign1 window carries a 64-double list across
+40M rows) — `--checks semantic` rebuilds the k-means assignment chain
+with streaming MAX(struct) argmax aggregation (bounded state, no
+list-carrying window), proves it reproduces the committed oracle bit-for-bit at a
+tractable sf (`--checks semantic-equiv`), then recomputes the FULL
+pair expansion for the deterministic (c_id // KM_MOD) %
+SEM_SAMPLE_MOD == 0 cluster sample (MOD=1 — everything — is
+tractable at sf10) and compares it against Spark's output restricted to
+those clusters.
+
 Usage:
     python tools/verify_sf10_tail.py --sf-dir .sfnative10 \
-        --checks clusters,apply[,contamination,curation]
+        --checks clusters,apply[,contamination,curation,semantic]
+    python tools/verify_sf10_tail.py --sf-dir /root/testdata/sf0.01 \
+        --checks semantic-equiv,semantic   # formulation equivalence
 """
 
 from __future__ import annotations
@@ -107,6 +120,108 @@ def build_cc_labels(con) -> str:
     )
 
 
+#: cluster-sampling modulus for the semantic check: clusters with
+#: (c_id // KM_MOD) % MOD == 0 get their pair expansion recomputed
+#: (c_id values are multiples of KM_MOD, so the modulus must apply to
+#: the centroid INDEX, not the raw id). MOD = 1 verifies everything —
+#: tractable even at sf10 (45 s) once the assignment chain uses the
+#: streaming formulation; the committed single-statement oracle OOMs
+#: there (112 GB RSS: the assign1 window carries a 64-double list
+#: across 40M rows). Raise MOD only for sfs where the full pair
+#: expansion itself becomes the bottleneck.
+SEM_SAMPLE_MOD = 1
+
+
+def build_semantic_tables(con) -> None:
+    """Decomposed k-means assignment tables: same math as the committed
+    _kmeans_ctes_sql but via streaming MAX(struct) argmax aggregation (no window
+    ever carries an embedding list), so DuckDB's peak memory is the
+    200k-group aggregate state instead of a 40M-row sort buffer. The
+    tie-break MAX({cos, -c_id}) == ORDER BY cos DESC, c_id
+    ASC; equivalence to the committed oracle is asserted at sf0.01 by
+    --checks semantic-equiv before this is trusted at sf10."""
+    from nyc_landmarks_datalake_spark.functions.numeric import davg_sql
+    from nyc_landmarks_datalake_spark.functions.vectors import cosine_sql
+    from nyc_landmarks_datalake_spark.operators.clustering import (
+        KM_MOD,
+        MAX_K,
+    )
+
+    cos_ec = cosine_sql("e.embedding", "c.c_emb")
+    t0 = time.time()
+    con.execute(
+        f"CREATE TEMP TABLE vt_cent0 AS "
+        f"SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings "
+        f"WHERE vec_id % {KM_MOD} = 0 AND vec_id < {KM_MOD * MAX_K}"
+    )
+    # MAX over a struct is lexicographic: max cosine first, then max
+    # -c_id == MIN c_id — identical tie-break to the committed
+    # oracle's ORDER BY cos DESC, c_id ASC (max_by rejects struct
+    # "by" values in this DuckDB build; plain MAX accepts them)
+    con.execute(
+        f"CREATE TEMP TABLE vt_a1 AS "
+        f"SELECT vec_id, -(best.i) AS c_id FROM ("
+        f"  SELECT e.vec_id, MAX({{'c': {cos_ec}, 'i': -c.c_id}}) AS best "
+        f"  FROM embeddings e CROSS JOIN vt_cent0 c GROUP BY e.vec_id)"
+    )
+    log(f"assign1 in {time.time() - t0:.0f}s")
+    t0 = time.time()
+    con.execute(
+        f"CREATE TEMP TABLE vt_cent1 AS "
+        f"SELECT c_id, list(mv ORDER BY pos) AS c_emb FROM ("
+        f"  SELECT c_id, pos, {davg_sql('val')} AS mv FROM ("
+        f"    SELECT a.c_id, "
+        f"      CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS pos, "
+        f"      CAST(unnest(e.embedding) AS DOUBLE) AS val "
+        f"    FROM vt_a1 a JOIN embeddings e USING (vec_id)) "
+        f"  GROUP BY 1, 2) GROUP BY c_id"
+    )
+    con.execute(
+        f"CREATE TEMP TABLE vt_a2 AS "
+        f"SELECT vec_id, c_id_prev, -(best.i) AS c_id, best.c AS cos FROM ("
+        f"  SELECT e.vec_id, a.c_id AS c_id_prev, "
+        f"  MAX({{'c': {cos_ec}, 'i': -c.c_id}}) AS best "
+        f"  FROM embeddings e JOIN vt_a1 a USING (vec_id) "
+        f"  CROSS JOIN vt_cent1 c GROUP BY e.vec_id, a.c_id)"
+    )
+    log(f"cent1+assign2 in {time.time() - t0:.0f}s")
+
+
+def semantic_oracle_sql(sample_mod: int) -> str:
+    from nyc_landmarks_datalake_spark.functions.vectors import cosine_sql
+    from nyc_landmarks_datalake_spark.operators.clustering import (
+        SEM_THRESHOLD,
+    )
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        capped_pair_ctes_sql,
+    )
+
+    from nyc_landmarks_datalake_spark.operators.clustering import KM_MOD
+
+    cos_ab = cosine_sql("p.a.embedding", "p.b.embedding")
+    km_mod = KM_MOD
+    return f"""
+    WITH members AS (
+        SELECT a.c_id, a.vec_id, e.embedding
+        FROM vt_a2 a JOIN embeddings e USING (vec_id)
+        WHERE (a.c_id // {km_mod}) % {sample_mod} = 0
+    ),
+    {capped_pair_ctes_sql(
+        'sd_',
+        'members',
+        ['c_id'],
+        "{'vec_id': vec_id, 'embedding': embedding}",
+        k_sql='embedding',
+    )}
+    SELECT p.b.vec_id AS vec_id,
+           COUNT(*) AS n_partners,
+           MAX({cos_ab}) AS max_cos
+    FROM sd_pairs
+    WHERE {cos_ab} >= {SEM_THRESHOLD}
+    GROUP BY 1
+    """
+
+
 def build_contamination_hits(con) -> None:
     """Materialize vt_hits (contaminated train doc_ids), chunked."""
     from nyc_landmarks_datalake_spark.operators.dedup import _SHINGLED_DUCK
@@ -165,10 +280,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark_results: dict[str, object] = {}
     for c in sorted(checks):
-        name = query_of[c]
+        name = query_of.get(c)
+        if name is None:
+            continue
         t0 = time.time()
         spark_results[name] = registry.QUERIES[name](spark, sf_dir).toPandas()
         log(f"{name}: spark side done in {time.time() - t0:.0f}s "
+            f"({len(spark_results[name])} rows)")
+    if checks & {"semantic", "semantic-equiv"}:
+        from nyc_landmarks_datalake_spark.operators.clustering import (
+            kmeans_assignments,
+        )
+
+        t0 = time.time()
+        name = "q_semantic_dedup"
+        spark_results[name] = registry.QUERIES[name](spark, sf_dir).toPandas()
+        spark_results["__assignments"] = (
+            kmeans_assignments(spark, sf_dir)
+            .select("vec_id", "c_id")
+            .toPandas()
+        )
+        log(f"semantic spark side done in {time.time() - t0:.0f}s "
             f"({len(spark_results[name])} rows)")
     spark.stop()
     log("spark stopped; starting DuckDB phase")
@@ -254,6 +386,45 @@ def main() -> int:
                 FROM staged GROUP BY 1, 2
                 """,
             )
+
+    if checks & {"semantic", "semantic-equiv"}:
+        build_semantic_tables(con)
+        if "semantic-equiv" in checks:
+            # prove the streaming-aggregate formulation reproduces the
+            # committed window-based oracle bit-for-bit (run where the
+            # committed one is tractable, i.e. sf0.01/sf0.1)
+            committed = con.execute(
+                registry.ORACLE["q_semantic_dedup"]
+            ).fetchdf()
+            decomposed = con.execute(semantic_oracle_sql(1)).fetchdf()
+            probs = compare(decomposed, committed, "semantic-equiv")
+            log(
+                f"semantic-equiv (decomposed vs committed oracle): "
+                f"{'ok' if not probs else 'FAIL'} ({len(decomposed)} rows) "
+                f"{probs[:2]}"
+            )
+            if probs:
+                failures.append("semantic-equiv")
+        if "semantic" in checks:
+            a = spark_results["__assignments"]
+            from nyc_landmarks_datalake_spark.operators.clustering import (
+                KM_MOD,
+            )
+
+            sampled = set(
+                a.loc[(a["c_id"] // KM_MOD) % SEM_SAMPLE_MOD == 0, "vec_id"]
+            )
+            sdf = spark_results["q_semantic_dedup"]
+            sdf = sdf[sdf["vec_id"].isin(sampled)].reset_index(drop=True)
+            odf = con.execute(semantic_oracle_sql(SEM_SAMPLE_MOD)).fetchdf()
+            probs = compare(sdf, odf, "q_semantic_dedup(sampled)")
+            log(
+                f"q_semantic_dedup sampled (centroid idx % {SEM_SAMPLE_MOD} == 0): "
+                f"{'ok' if not probs else 'FAIL'} ({len(sdf)} rows) "
+                f"{probs[:2]}"
+            )
+            if probs:
+                failures.append("q_semantic_dedup")
 
     if failures:
         log(f"FAILURES: {failures}")
