@@ -23,6 +23,7 @@ PYTHON_ALLOWED = {
     "q_image_decode_stats",
     "q_png_decode_stats",  # r7: real PNG decode (zlib+numpy mapInPandas)
     "q_gif_decode_stats",  # r7: real GIF decode (from-scratch LZW)
+    "q_gif_frame_sample",  # r8: real animated-GIF multi-frame decode
     "q_jpeg_decode_stats",  # r7: real baseline JPEG decode (huffman+IDCT)
     "q_wav_decode_stats",  # r7: real WAV PCM decode (struct+numpy)
     "q_image_resize_stats",  # r7: real NN pixel resize of decoded payloads
