@@ -69,6 +69,10 @@ REVERIFY: frozenset[str] = frozenset(
         # r8: wedge-join → edge-iterator array_intersect rewrite
         # (VERDICT r7 #5); same counts, new plan — oracle unchanged
         "q_triangle_count",
+        # r8: Sxx and the slope denominator moved from BIGINT to exact
+        # DECIMAL(38,0) — the native-sf1 sweep caught Sx^2 overflowing
+        # int64 (~10^21 per group); schema changed (sxx is decimal now)
+        "q_trend_slope",
     }
 )
 

@@ -328,11 +328,17 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-series OLS trend: slope/intercept of value vs time for each event
 # type — the regression aggregate behind drift dashboards and forecast
 # seeds. All five sufficient statistics (n, Sx, Sy, Sxx, Sxy) are
-# exact: integer day indices sum in BIGINT, the value sums go through
-# the decimal dsum/dprod_sum path, and slope/intercept derive from
-# them in identical float64 expressions — so a regression aggregate,
-# normally the epitome of float-order nondeterminism, sits under the
-# bit-exact oracle. One map-side-combinable aggregation; nothing else.
+# exact: the day-index sum stays in BIGINT (safe to ~10^14 rows/group),
+# but Sxx and the slope denominator n*Sxx - Sx^2 go through
+# DECIMAL(38,0) — at native sf1 a group's Sx^2 is already ~10^21, past
+# int64, and the r8 native sweep caught exactly that overflow here.
+# The value sums go through the decimal dsum/dprod_sum path, and
+# slope/intercept derive from the exact statistics in identical float64
+# expressions — so a regression aggregate, normally the epitome of
+# float-order nondeterminism, sits under the bit-exact oracle. The
+# exact-decimal→double casts route through VARCHAR on the DuckDB side
+# (see functions/numeric.py: DuckDB's int128-decimal→double is not
+# correctly rounded). One map-side-combinable aggregation; nothing else.
 # ---------------------------------------------------------------------------
 @query(
     "q_trend_slope",
@@ -342,22 +348,32 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n,
                CAST(SUM(datediff('day', DATE '1970-01-01', ts::DATE))
                     AS BIGINT) AS sx,
-               CAST(SUM(datediff('day', DATE '1970-01-01', ts::DATE)
-                        * datediff('day', DATE '1970-01-01', ts::DATE))
-                    AS BIGINT) AS sxx,
+               CAST(SUM(CAST(datediff('day', DATE '1970-01-01', ts::DATE)
+                             AS DECIMAL(19,0))
+                        * CAST(datediff('day', DATE '1970-01-01', ts::DATE)
+                               AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxx,
                {dsum_sql('value')} AS sy,
                {dprod_sum_sql(
                    "datediff('day', DATE '1970-01-01', ts::DATE)", 'value'
                )} AS sxy
         FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT *,
+               CAST(CAST(CAST(n AS DECIMAL(19,0)) * sxx
+                         - CAST(sx AS DECIMAL(19,0))
+                           * CAST(sx AS DECIMAL(19,0))
+                         AS VARCHAR) AS DOUBLE) AS den
+        FROM s
     )
     SELECT event_type, n, sx, sxx, sy, sxy,
-           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / den
+               AS slope,
            (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                  / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                  / den) * CAST(sx AS DOUBLE))
                / CAST(n AS DOUBLE) AS intercept
-    FROM s
+    FROM d
     """,
 )
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,18 +381,26 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    xd19 = x.cast("decimal(19,0)")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).cast("long").alias("sx"),
-        F.sum(x.cast("long") * x.cast("long")).cast("long").alias("sxx"),
+        # day^2 products and their sum in exact decimal: a BIGINT Sxx
+        # holds only to ~10^9 rows/group at day-index ~2*10^4
+        F.sum(xd19 * xd19).cast("decimal(38,0)").alias("sxx"),
         dsum(F.col("value")).alias("sy"),
         dprod_sum(x.cast("double"), F.col("value")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
-    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # n*Sxx - Sx^2 exceeds int64 from sf1 up; compute it losslessly in
+    # DECIMAL(38,0) and take ONE correctly-rounded cast to float64
+    # (Spark's BigDecimal→double; the oracle routes via VARCHAR).
+    den = (
+        F.col("n").cast("decimal(19,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
     ).cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / den
     intercept = (F.col("sy") - slope * sxd) / nd
     return s.select(
         "event_type",
