@@ -55,10 +55,29 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pytest-line",
-        required=True,
         help='the pytest summary line, e.g. "593 passed, 1 skipped in 450s"',
     )
+    ap.add_argument(
+        "--list-pending",
+        action="store_true",
+        help="print every registry query WITHOUT a green driver "
+        "CORRECTNESS row (the verification gap) and exit non-zero if "
+        "any exist; no artifacts written",
+    )
     args = ap.parse_args()
+
+    if args.list_pending:
+        from nyc_landmarks_datalake_spark import registry
+
+        registry.load_all()
+        pending = sorted(set(registry.QUERIES) - _driver_green())
+        for name in pending:
+            print(name)
+        print(f"pending: {len(pending)} of {len(registry.QUERIES)}")
+        return 1 if pending else 0
+
+    if not args.pytest_line:
+        ap.error("--pytest-line is required unless --list-pending")
 
     m = re.search(r"(\d+) passed", args.pytest_line)
     if not m:
