@@ -517,7 +517,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
         )
         .select(F.size(F.array_intersect("na", "nb")).alias("k"))
-        .agg(F.sum("k").cast("long").alias("n_triangles"))
+        # coalesce: SUM over zero rows is NULL, but a graph with no
+        # directed 2-paths has 0 triangles (the oracle's COUNT(*) says 0)
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     summary = (
         deg.agg(

@@ -458,9 +458,9 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
-        if gct.shape[0] != n:
+        if len(payload) - i < 3 * n:
             raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
         i += 3 * n
     while i < len(payload):
         block = payload[i]
@@ -480,6 +480,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
             ct = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
+                if len(payload) - i < 3 * n:
+                    raise ValueError("truncated GIF local color table")
                 ct = np.frombuffer(
                     payload[i : i + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
@@ -588,9 +590,9 @@ def decode_gif_frames(payload: bytes) -> tuple[int, int, int, list]:
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
-        if gct.shape[0] != n:
+        if len(payload) - i < 3 * n:
             raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
         i += 3 * n
     screen = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list = []
@@ -617,6 +619,8 @@ def decode_gif_frames(payload: bytes) -> tuple[int, int, int, list]:
             ct = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
+                if len(payload) - i < 3 * n:
+                    raise ValueError("truncated GIF local color table")
                 ct = np.frombuffer(
                     payload[i : i + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
@@ -1438,8 +1442,8 @@ _GIFAN_MAX_FRAMES = 8  # n_frames = doc_id % 7 + 2 in [2, 8]
 
 def _gifan_oracle_channel_sum(mult: int) -> str:
     h64 = (
-        "md5(text || 'f' || (2 * s)::VARCHAR) || "
-        "md5(text || 'f' || (2 * s)::VARCHAR || 'x')"
+        f"md5(text || 'f' || ({GIF_FRAME_EVERY} * s)::VARCHAR) || "
+        f"md5(text || 'f' || ({GIF_FRAME_EVERY} * s)::VARCHAR || 'x')"
     )
     byte = f"('0x' || substr({h64}, 2 * j + 1, 2))::BIGINT"
     frame_sum = (

@@ -162,13 +162,17 @@ def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content) AND that the file count actually dropped — the maintenance
 # op's whole contract.
 # ---------------------------------------------------------------------------
-#: session-scoped compaction staging zones, one per sf_dir — bench
+#: session-scoped compaction staging ROOTS, one per sf_dir — bench
 #: loops invoke the query repeatedly and a mkdtemp per call leaks a
-#: directory per invocation (r7 ADVICE). The zone is REBUILT and
-#: RE-COMPACTED on every call (the side effect is the thing under
-#: test); only the path is reused. Never cleaned inside the callable:
-#: the returned lazy DataFrame reads from it after we return.
-_COMPACT_ZONES: dict[str, str] = {}
+#: temp root per invocation (r7 ADVICE). Each invocation stages into a
+#: fresh VERSIONED subdir of the shared root (docs_v0, docs_v1, ...):
+#: the rebuild+compact side effect runs every call (it is the thing
+#: under test), while earlier invocations' lazy DataFrames keep
+#: reading their own untouched subdir — overwriting one shared path
+#: would delete the part-files backing a still-held result. Never
+#: cleaned inside the callable; versions accumulate only within one
+#: session and die with the temp root.
+_COMPACT_ZONES: dict[str, tuple[str, int]] = {}
 
 COMPACT_FILES_BEFORE = 24
 COMPACT_FILES_AFTER = 4
@@ -200,12 +204,13 @@ def q_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    if sf_dir not in _COMPACT_ZONES:
-        _COMPACT_ZONES[sf_dir] = os.path.join(
-            tempfile.mkdtemp(prefix="compact_zone_"), "docs"
-        )
-    zone = _COMPACT_ZONES[sf_dir]
-    docs.repartition(COMPACT_FILES_BEFORE).write.mode("overwrite").parquet(zone)
+    root, version = _COMPACT_ZONES.get(sf_dir) or (
+        tempfile.mkdtemp(prefix="compact_zone_"),
+        0,
+    )
+    _COMPACT_ZONES[sf_dir] = (root, version + 1)
+    zone = os.path.join(root, f"docs_v{version}")
+    docs.repartition(COMPACT_FILES_BEFORE).write.parquet(zone)
 
     def _count_parts(p: str) -> int:
         return sum(

@@ -242,3 +242,20 @@ def test_zorder_write_tightens_cross_dim_stats(spark, sf_small, tmp_path):
     # linear layout leaves zy unsorted inside each file → span ~ full
     # domain; z-order must cut the average y-envelope at least in half
     assert z_span < 0.5 * l_span, (z_span, l_span)
+
+
+def test_compaction_census_survives_reinvocation(spark, sf_small):
+    """A held lazy result must stay readable after the query re-stages.
+
+    The census rebuilds + recompacts its staging zone on every call; a
+    shared overwritten path would delete the part-files backing an
+    earlier invocation's DataFrame (r8 review). Versioned per-call
+    subdirs keep old results valid — collect the FIRST result LAST.
+    """
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES["q_compaction_census"]
+    df1 = q(spark, sf_small)
+    df2 = q(spark, sf_small)
+    assert df2.collect() == df1.collect()

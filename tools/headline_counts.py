@@ -70,9 +70,16 @@ def main() -> int:
         from nyc_landmarks_datalake_spark import registry
 
         registry.load_all()
-        pending = sorted(set(registry.QUERIES) - _driver_green())
+        # REVERIFY names have stale green rows (implementation or oracle
+        # changed since) — they are part of the gap, annotated as such
+        import __spark_entry__ as entry
+
+        pending = sorted(
+            set(registry.QUERIES) - (_driver_green() - entry.REVERIFY)
+        )
         for name in pending:
-            print(name)
+            tag = "  (REVERIFY)" if name in entry.REVERIFY else ""
+            print(f"{name}{tag}")
         print(f"pending: {len(pending)} of {len(registry.QUERIES)}")
         return 1 if pending else 0
 

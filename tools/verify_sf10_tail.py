@@ -287,7 +287,10 @@ def main() -> int:
         spark_results[name] = registry.QUERIES[name](spark, sf_dir).toPandas()
         log(f"{name}: spark side done in {time.time() - t0:.0f}s "
             f"({len(spark_results[name])} rows)")
-    if checks & {"semantic", "semantic-equiv"}:
+    # semantic-equiv compares the two DuckDB formulations only — the
+    # Spark side (and the assignments collect) is needed just for the
+    # 'semantic' value comparison
+    if "semantic" in checks:
         from nyc_landmarks_datalake_spark.operators.clustering import (
             kmeans_assignments,
         )
