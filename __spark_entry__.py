@@ -73,6 +73,11 @@ REVERIFY: frozenset[str] = frozenset(
         # DECIMAL(38,0) — the native-sf1 sweep caught Sx^2 overflowing
         # int64 (~10^21 per group); schema changed (sxx is decimal now)
         "q_trend_slope",
+        # r8: bin_id moved from float floor-division to integer `div`
+        # (review finding: past 2^53 total tokens the long->double
+        # rounding of the running sum could move boundary-adjacent docs
+        # into the wrong bin while the oracle's BIGINT // stays exact)
+        "q_sequence_pack",
     }
 )
 

@@ -164,7 +164,13 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = distributed_running_sum(
         toks, ["doc_id"], "n_tokens", out_col="__running"
     ).withColumn(
-        "bin_id", F.floor((F.col("__running") - F.col("n_tokens")) / PACK_BUDGET)
+        # integer `div`, not float floor-division: past 2^53 total
+        # tokens a long->double rounding of the running sum could move
+        # a boundary-adjacent doc into the wrong bin while the oracle's
+        # exact BIGINT // stays put (same bug class as the trend-slope
+        # int64 overflow — caught by review, fixed before it can bite)
+        "bin_id",
+        F.expr(f"(__running - n_tokens) div {PACK_BUDGET}"),
     )
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -212,7 +218,9 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rate — the downsample-the-big-domains / upsample-the-rare-ones step
 # of corpus mixing. Same hash-threshold machinery as the uniform
 # sample (partition-stable, reproducible, pushable), with the rate
-# joined from a tiny broadcast rate table instead of a constant.
+# inlined as a CASE chain over the (tiny, fixed) source domain — at
+# hundreds of sources switch to a broadcast-joined rate table instead
+# of growing the expression tree.
 # ---------------------------------------------------------------------------
 SOURCE_RATES = {"src0": 250, "src1": 500, "src2": 750}  # permille
 SOURCE_DEFAULT_RATE = 1000

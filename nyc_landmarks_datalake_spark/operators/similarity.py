@@ -403,7 +403,12 @@ def _q8(x: Column, scale: Column) -> Column:
 
 
 def _q8_sql(x: str, scale: str) -> str:
-    return f"greatest(least(floor(({x}) / ({scale}) + 0.5), 127.0), -127.0)"
+    # float(Q8_HI) renders "127.0" — byte-identical SQL to the previous
+    # literals, but a range change now propagates to every mirror
+    return (
+        f"greatest(least(floor(({x}) / ({scale}) + 0.5), "
+        f"{float(Q8_HI)}), {float(Q8_LO)})"
+    )
 
 
 @query(
@@ -413,7 +418,7 @@ def _q8_sql(x: str, scale: str) -> str:
         SELECT vec_id,
                embedding::DOUBLE[] AS e,
                greatest(list_max(list_transform(embedding::DOUBLE[],
-                                                x -> abs(x))), 1e-30) / 127
+                                                x -> abs(x))), 1e-30) / {Q8_HI}
                    AS scale
         FROM embeddings
     )
@@ -438,7 +443,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(
                 F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-30)
             )
-            / 127
+            / Q8_HI
         ).alias("scale"),
     )
     scale = F.col("scale")
@@ -729,7 +734,7 @@ def _recon_rank_sql(vec: str, k: int) -> str:
     WITH qsc AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                greatest(list_max(list_transform(embedding::DOUBLE[],
-                                                x -> abs(x))), 1e-30) / 127
+                                                x -> abs(x))), 1e-30) / {Q8_HI}
                    AS scale
         FROM embeddings
     ),
@@ -759,7 +764,7 @@ def q_quantized_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(
                 F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-30)
             )
-            / 127
+            / Q8_HI
         ).alias("scale"),
     )
     scale = F.col("scale")
