@@ -462,6 +462,89 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared exact-ranking machinery for the recall / fusion batteries.
+# ONE copy of the broadcast-queries / window-rank shape and ONE copy of
+# the recall@k tail, so a tie-break, depth, or scoring tweak can never
+# evaluate one metric against a subtly different ranking than another
+# (r8 review: the pattern had drifted into four hand-kept copies).
+# ---------------------------------------------------------------------------
+def _exact_rank_ids(
+    base: DataFrame,
+    *,
+    q_src: Column,
+    q_alias: str,
+    corpus_expr: Column,
+    q_expr: Column,
+    score_alias: str,
+    k: int,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """(q_id, vec_id[, rk]) of the top-k corpus rows per query vector
+    (vec_id < N_QUERY_VECS) by exact cosine, ties to the smaller
+    vec_id. Queries are broadcast; scoring never shuffles the corpus;
+    the only reduction is the per-query top-k window."""
+    queries = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), q_src.alias(q_alias)
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", cosine(corpus_expr, q_expr).alias(score_alias)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(score_alias), F.asc("vec_id")
+    )
+    out = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    return out.select("q_id", "vec_id", "rk") if keep_rank else out.select(
+        "q_id", "vec_id"
+    )
+
+
+def _recall_at_k(full_k: DataFrame, variant_k: DataFrame, k: int) -> DataFrame:
+    """Per-query overlap of a variant ranking with the exact top-k.
+    Misses stay in the denominator via the left join."""
+    t = variant_k.withColumnRenamed("vec_id", "t_vec_id")
+    j = full_k.join(
+        t,
+        (full_k.q_id == t.q_id) & (full_k.vec_id == t.t_vec_id),
+        "left",
+    ).select(full_k.q_id.alias("q_id"), "t_vec_id")
+    return j.groupBy("q_id").agg(
+        F.count("t_vec_id").cast("long").alias("n_overlap"),
+        (F.count("t_vec_id") * F.lit(1.0) / k).alias("recall_at_k"),
+    )
+
+
+def _rank_ids_sql(
+    relation: str,
+    corpus_expr: str,
+    query_expr: str,
+    k: int,
+    *,
+    cols: str = "q_id, vec_id",
+) -> str:
+    """The oracle twin of _exact_rank_ids — one template for every
+    ranked-retrieval CTE (full/truncated/dequantized), parameterized by
+    relation and pre-formatted corpus/query expressions."""
+    return f"""
+        SELECT {cols} FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cosine_sql(corpus_expr, query_expr)} DESC,
+                                e.vec_id
+                   ) AS rk
+            FROM {relation} e CROSS JOIN {relation} q
+            WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
+        ) WHERE rk <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation recall: score the corpus with only the first
 # TRUNC_DIM dims (the memory/bandwidth play — a truncated index is
 # TRUNC_DIM/DIM the size and the dot product TRUNC_DIM/DIM the FLOPs),
@@ -475,19 +558,9 @@ TRUNC_DIM = 16
 
 
 def _topk_sql(emb_expr: str, k: int) -> str:
-    return f"""
-        SELECT q_id, vec_id FROM (
-            SELECT q.vec_id AS q_id, e.vec_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {cosine_sql(emb_expr.format(t='e'),
-                                            emb_expr.format(t='q'))} DESC,
-                                e.vec_id
-                   ) AS rk
-            FROM embeddings e CROSS JOIN embeddings q
-            WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
-        ) WHERE rk <= {k}
-    """
+    return _rank_ids_sql(
+        "embeddings", emb_expr.format(t="e"), emb_expr.format(t="q"), k
+    )
 
 
 @query(
@@ -507,40 +580,19 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = compute_table(spark, sf_dir, "embeddings")
 
     def topk(emb_col, q_col) -> DataFrame:
-        queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-        )
-        scored = (
-            emb.crossJoin(F.broadcast(queries))
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select(
-                "q_id",
-                "vec_id",
-                cosine(
-                    emb_col(F.col("embedding")), q_col(F.col("q_emb"))
-                ).alias("cos_sim"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("q_id", "vec_id")
+        return _exact_rank_ids(
+            emb,
+            q_src=F.col("embedding"),
+            q_alias="q_emb",
+            corpus_expr=emb_col(F.col("embedding")),
+            q_expr=q_col(F.col("q_emb")),
+            score_alias="cos_sim",
+            k=TOP_K,
         )
 
     ident = lambda c: c  # noqa: E731
     trunc = lambda c: F.slice(c, 1, TRUNC_DIM)  # noqa: E731
-    full_k = topk(ident, ident)
-    trunc_k = topk(trunc, trunc).withColumnRenamed("vec_id", "t_vec_id")
-    j = full_k.join(
-        trunc_k,
-        (full_k.q_id == trunc_k.q_id) & (full_k.vec_id == trunc_k.t_vec_id),
-        "left",
-    ).select(full_k.q_id.alias("q_id"), "t_vec_id")
-    return j.groupBy("q_id").agg(
-        F.count("t_vec_id").cast("long").alias("n_overlap"),
-        (F.count("t_vec_id") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
-    )
+    return _recall_at_k(topk(ident, ident), topk(trunc, trunc), TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -714,18 +766,7 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under the bit-exact gate, not eyeballed.
 # ---------------------------------------------------------------------------
 def _recon_rank_sql(vec: str, k: int) -> str:
-    return f"""
-        SELECT q_id, vec_id FROM (
-            SELECT q.vec_id AS q_id, e.vec_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {cosine_sql(f'e.{vec}', f'q.{vec}')} DESC,
-                                e.vec_id
-                   ) AS rk
-            FROM qrecon e CROSS JOIN qrecon q
-            WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
-        ) WHERE rk <= {k}
-    """
+    return _rank_ids_sql("qrecon", f"e.{vec}", f"q.{vec}", k)
 
 
 @query(
@@ -777,36 +818,17 @@ def q_quantized_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def topk(col_name: str) -> DataFrame:
-        queries = qrecon.filter(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("q_id"), F.col(col_name).alias("q_vec")
-        )
-        scored = (
-            qrecon.crossJoin(F.broadcast(queries))
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select(
-                "q_id",
-                "vec_id",
-                cosine(F.col(col_name), F.col("q_vec")).alias("s"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("vec_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("q_id", "vec_id")
+        return _exact_rank_ids(
+            qrecon,
+            q_src=F.col(col_name),
+            q_alias="q_vec",
+            corpus_expr=F.col(col_name),
+            q_expr=F.col("q_vec"),
+            score_alias="s",
+            k=TOP_K,
         )
 
-    full_k = topk("e")
-    quant_k = topk("r").withColumnRenamed("vec_id", "t_vec_id")
-    j = full_k.join(
-        quant_k,
-        (full_k.q_id == quant_k.q_id) & (full_k.vec_id == quant_k.t_vec_id),
-        "left",
-    ).select(full_k.q_id.alias("q_id"), "t_vec_id")
-    return j.groupBy("q_id").agg(
-        F.count("t_vec_id").cast("long").alias("n_overlap"),
-        (F.count("t_vec_id") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
-    )
+    return _recall_at_k(topk("e"), topk("r"), TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -823,19 +845,13 @@ RRF_TOP = 5
 
 
 def _rank_sql_for(emb_expr: str) -> str:
-    return f"""
-        SELECT q_id, vec_id, rk FROM (
-            SELECT q.vec_id AS q_id, e.vec_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {cosine_sql(emb_expr.format(t='e'),
-                                            emb_expr.format(t='q'))} DESC,
-                                e.vec_id
-                   ) AS rk
-            FROM embeddings e CROSS JOIN embeddings q
-            WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
-        ) WHERE rk <= {RRF_DEPTH}
-    """
+    return _rank_ids_sql(
+        "embeddings",
+        emb_expr.format(t="e"),
+        emb_expr.format(t="q"),
+        RRF_DEPTH,
+        cols="q_id, vec_id, rk",
+    )
 
 
 @query(
@@ -868,25 +884,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = compute_table(spark, sf_dir, "embeddings")
 
     def ranking(emb_col) -> DataFrame:
-        queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-        )
-        scored = (
-            emb.crossJoin(F.broadcast(queries))
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select(
-                "q_id",
-                "vec_id",
-                cosine(
-                    emb_col(F.col("embedding")), emb_col(F.col("q_emb"))
-                ).alias("s"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("vec_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= RRF_DEPTH)
-            .select("q_id", "vec_id", "rk")
+        return _exact_rank_ids(
+            emb,
+            q_src=F.col("embedding"),
+            q_alias="q_emb",
+            corpus_expr=emb_col(F.col("embedding")),
+            q_expr=emb_col(F.col("q_emb")),
+            score_alias="s",
+            k=RRF_DEPTH,
+            keep_rank=True,
         )
 
     full_r = ranking(lambda c: c)

@@ -82,48 +82,74 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Language-ID heuristic: deterministic rule over stopword density and
 # token shape. (A real model would be a pandas_udf; the judge-checkable
 # part is the deterministic featurization, identical in both engines.)
+# The featurization AND the threshold cascade live HERE ONCE — q_lang_id
+# (the classifier) and q_lang_confusion (its evaluation rollup) both
+# build from these, so a threshold tweak can never evaluate a different
+# classifier than the one producing pred_lang.
 # ---------------------------------------------------------------------------
+#: SQL fragments for the two features (over the documents.text column)
+_LANG_STOP_RATIO_SQL = (
+    f"(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL})))"
+    " * 1.0) / len(string_split(text, ' '))"
+)
+_LANG_AVG_LEN_SQL = (
+    "(length(replace(text, ' ', '')) * 1.0) / len(string_split(text, ' '))"
+)
+#: the threshold cascade over feature columns named stop_ratio/avg_len
+_LANG_PRED_SQL = (
+    "CASE WHEN stop_ratio >= 0.08 THEN 'en' "
+    "WHEN avg_len >= 5.0 THEN 'de' "
+    "WHEN avg_len >= 4.5 THEN 'fr' ELSE 'other' END"
+)
+
+
+def _lang_features() -> tuple[Column, Column]:
+    """(stop_ratio, avg_len) Columns over the text column."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+        * F.lit(1.0)
+        / n_tokens
+    )
+    avg_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        * F.lit(1.0)
+        / n_tokens
+    )
+    return stop_ratio, avg_len
+
+
+def lang_pred() -> Column:
+    """The classifier: threshold cascade over the shared features."""
+    stop_ratio, avg_len = _lang_features()
+    return (
+        F.when(stop_ratio >= 0.08, "en")
+        .when(avg_len >= 5.0, "de")
+        .when(avg_len >= 4.5, "fr")
+        .otherwise("other")
+    )
+
+
 @query(
     "q_lang_id",
     sql=f"""
     WITH feat AS (
         SELECT doc_id, lang,
-               string_split(text, ' ') AS toks,
-               (len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) * 1.0)
-                   / len(string_split(text, ' ')) AS stop_ratio,
-               (length(replace(text, ' ', '')) * 1.0)
-                   / len(string_split(text, ' ')) AS avg_len
+               {_LANG_STOP_RATIO_SQL} AS stop_ratio,
+               {_LANG_AVG_LEN_SQL} AS avg_len
         FROM documents
     )
     SELECT doc_id, lang,
-           CASE WHEN stop_ratio >= 0.08 THEN 'en'
-                WHEN avg_len >= 5.0 THEN 'de'
-                WHEN avg_len >= 4.5 THEN 'fr'
-                ELSE 'other' END AS pred_lang,
-           CASE WHEN (CASE WHEN stop_ratio >= 0.08 THEN 'en'
-                           WHEN avg_len >= 5.0 THEN 'de'
-                           WHEN avg_len >= 4.5 THEN 'fr'
-                           ELSE 'other' END) = lang
+           {_LANG_PRED_SQL} AS pred_lang,
+           CASE WHEN ({_LANG_PRED_SQL}) = lang
                 THEN 1 ELSE 0 END AS is_correct
     FROM feat
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = compute_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
-    )
-    avg_len = (
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * F.lit(1.0) / n_tokens
-    )
-    pred = (
-        F.when(stop_ratio >= 0.08, "en")
-        .when(avg_len >= 5.0, "de")
-        .when(avg_len >= 4.5, "fr")
-        .otherwise("other")
-    )
+    pred = lang_pred()
     return docs.select(
         "doc_id",
         "lang",
@@ -210,18 +236,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH feat AS (
         SELECT lang,
-               (len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) * 1.0)
-                   / len(string_split(text, ' ')) AS stop_ratio,
-               (length(replace(text, ' ', '')) * 1.0)
-                   / len(string_split(text, ' ')) AS avg_len
+               {_LANG_STOP_RATIO_SQL} AS stop_ratio,
+               {_LANG_AVG_LEN_SQL} AS avg_len
         FROM documents
     ),
     pred AS (
-        SELECT lang,
-               CASE WHEN stop_ratio >= 0.08 THEN 'en'
-                    WHEN avg_len >= 5.0 THEN 'de'
-                    WHEN avg_len >= 4.5 THEN 'fr'
-                    ELSE 'other' END AS pred_lang
+        SELECT lang, {_LANG_PRED_SQL} AS pred_lang
         FROM feat
     ),
     cells AS (
@@ -234,21 +254,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = compute_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))) * F.lit(1.0) / n_tokens
-    )
-    avg_len = (
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * F.lit(1.0)
-        / n_tokens
-    )
-    pred = (
-        F.when(stop_ratio >= 0.08, "en")
-        .when(avg_len >= 5.0, "de")
-        .when(avg_len >= 4.5, "fr")
-        .otherwise("other")
-    )
+    pred = lang_pred()
     cells = (
         docs.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
