@@ -78,6 +78,17 @@ REVERIFY: frozenset[str] = frozenset(
         # rounding of the running sum could move boundary-adjacent docs
         # into the wrong bin while the oracle's BIGINT // stays exact)
         "q_sequence_pack",
+        # r9 (cosine zero-norm guard, both engines): denominator floored
+        # at 1e-30 so a degenerate embedding scores 0.0 instead of
+        # aborting under ANSI — bit-identical on all real vectors, but
+        # the expression changed in every cosine-scoring query
+        "q_cosine_topk",
+        "q_embedding_neardup",
+        "q_matryoshka_recall",
+        "q_retrieval_mrr",
+        "q_quantized_retrieval_recall",
+        "q_rrf_fusion",
+        "q_kmeans_lloyd",
     }
 )
 

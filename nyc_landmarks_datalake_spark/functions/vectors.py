@@ -37,8 +37,19 @@ def norm(a: Column) -> Column:
     )
 
 
+#: denominator floor for cosine: a zero-norm (failed/padded) embedding
+#: would make norm(a)*norm(b) = 0.0, which under Spark 4's ANSI default
+#: aborts the whole job with DIVIDE_BY_ZERO while DuckDB yields NULL.
+#: Flooring the product at 1e-30 (the q_embedding_quantize idiom,
+#: mirrored into the SQL side) is bit-identical for every real vector
+#: (any nonzero float32 lane gives a product far above 1e-30) and maps
+#: degenerate vectors to cosine 0.0 — "similar to nothing" — in BOTH
+#: engines instead of crashing one and NULLing the other.
+COSINE_DENOM_FLOOR = 1e-30
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(COSINE_DENOM_FLOOR))
 
 
 def dot_sql(a: str, b: str) -> str:
@@ -51,4 +62,7 @@ def norm_sql(a: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+    return (
+        f"({dot_sql(a, b)} / greatest({norm_sql(a)} * {norm_sql(b)}, "
+        f"{COSINE_DENOM_FLOOR}))"
+    )

@@ -52,6 +52,29 @@ def test_vector_ops_match_numpy(spark):
     assert math.isclose(row["cos"], expected_cos, rel_tol=1e-12)
 
 
+def test_cosine_zero_norm_does_not_crash(spark):
+    """A zero-norm (failed/padded) embedding must score 0.0, not abort
+    the job with ANSI DIVIDE_BY_ZERO (r8 review; guard in vectors.py).
+    Both engines agree: the SQL mirror carries the same floor."""
+    import duckdb
+
+    from nyc_landmarks_datalake_spark.functions.vectors import cosine_sql
+
+    z = [0.0] * 8
+    v = [1.0] * 8
+    df = spark.createDataFrame([(z, v)], ["a", "b"])
+    row = df.select(
+        cosine(F.col("a"), F.col("b")).alias("zz"),
+        cosine(F.col("b"), F.col("b")).alias("vv"),
+    ).collect()[0]
+    assert row["zz"] == 0.0
+    assert math.isclose(row["vv"], 1.0, rel_tol=1e-12)
+    got = duckdb.sql(
+        f"SELECT {cosine_sql('[0.0,0.0]', '[1.0,1.0]')} AS zz"
+    ).fetchone()[0]
+    assert got == 0.0
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as E
 
