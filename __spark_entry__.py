@@ -78,6 +78,9 @@ REVERIFY: frozenset[str] = frozenset(
         # rounding of the running sum could move boundary-adjacent docs
         # into the wrong bin while the oracle's BIGINT // stays exact)
         "q_sequence_pack",
+        # r9: embeddings read via compute_table (single-file corpora ran
+        # the 64x posexplode on one task); results identical, plan changed
+        "q_label_centroids",
     }
 )
 
