@@ -89,6 +89,9 @@ REVERIFY: frozenset[str] = frozenset(
         "q_quantized_retrieval_recall",
         "q_rrf_fusion",
         "q_kmeans_lloyd",
+        # r9: embeddings read via compute_table (single-file corpora ran
+        # the 64x posexplode on one task); results identical, plan changed
+        "q_label_centroids",
     }
 )
 

@@ -367,7 +367,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_landmarks_datalake_spark.functions.numeric import davg
 
-    emb = table(spark, sf_dir, "embeddings")
+    # compute_table, not table: the 64x posexplode + decimal partial
+    # aggregation is compute-heavy, and a single-file corpus would
+    # otherwise run it on one task (every sibling query in this module
+    # already reads embeddings this way)
+    emb = compute_table(spark, sf_dir, "embeddings")
     return (
         emb.select(
             "label", F.posexplode("embedding").alias("pos", "val")
