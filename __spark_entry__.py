@@ -58,26 +58,13 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # r7 (late): centroid-count cap added (MAX_CENTROIDS) — results
-        # identical at driver scale but the implementation changed after
-        # its last green row (no r7 slot reached it; still pending)
-        "q_ivf_topk",
-        # r8: error-branch densities reduced (exception-storm fix,
-        # VERDICT r7 #2) — NULL-contract semantics unchanged but both
-        # query and oracle expressions changed
-        "q_try_arithmetic",
-        # r8: wedge-join → edge-iterator array_intersect rewrite
-        # (VERDICT r7 #5); same counts, new plan — oracle unchanged
-        "q_triangle_count",
-        # r8: Sxx and the slope denominator moved from BIGINT to exact
-        # DECIMAL(38,0) — the native-sf1 sweep caught Sx^2 overflowing
-        # int64 (~10^21 per group); schema changed (sxx is decimal now)
+        # (q_ivf_topk / q_try_arithmetic / q_triangle_count /
+        # q_sequence_pack cleared: green CORRECTNESS_r08 rows landed.)
+        # r8→r9: the DECIMAL(38,0) sxx column red-rowed in r8 (Spark
+        # delivers decimal.Decimal, DuckDB float64 — values equal,
+        # dtype-class skew). r9 emits sxx as DOUBLE via one correctly-
+        # rounded Spark-side cast, VARCHAR-routed on the DuckDB side.
         "q_trend_slope",
-        # r8: bin_id moved from float floor-division to integer `div`
-        # (review finding: past 2^53 total tokens the long->double
-        # rounding of the running sum could move boundary-adjacent docs
-        # into the wrong bin while the oracle's BIGINT // stays exact)
-        "q_sequence_pack",
         # r9 (cosine zero-norm guard, both engines): denominator floored
         # at 1e-30 so a degenerate embedding scores 0.0 instead of
         # aborting under ANSI — bit-identical on all real vectors, but

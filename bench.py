@@ -251,6 +251,22 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass
+    # The full line above is ~100 entries and can outgrow a bounded
+    # tail capture (BENCH_r08.json recorded "parsed": null). Emit a
+    # SHORT headline summary LAST so the total always lands inside the
+    # captured tail; the full breakdown lives in BENCH.json.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -367,7 +367,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS VARCHAR) AS DOUBLE) AS den
         FROM s
     )
-    SELECT event_type, n, sx, sxx, sy, sxy,
+    SELECT event_type, n, sx,
+           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+           sy, sxy,
            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / den
                AS slope,
            (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -402,11 +404,17 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     slope = (nd * F.col("sxy") - sxd * F.col("sy")) / den
     intercept = (F.col("sy") - slope * sxd) / nd
+    # The OUTPUT sxx column is a single correctly-rounded decimal→double
+    # cast (Spark BigDecimal→double; oracle VARCHAR-routed): a decimal
+    # output column red-rows the driver gate — Spark's toPandas delivers
+    # decimal.Decimal objects while DuckDB's fetchdf delivers float64,
+    # and the driver hashes values as delivered (CORRECTNESS_r08). The
+    # EXACT decimal still feeds `den`, so slope/intercept lose nothing.
     return s.select(
         "event_type",
         "n",
         "sx",
-        "sxx",
+        F.col("sxx").cast("double").alias("sxx"),
         "sy",
         "sxy",
         slope.alias("slope"),

@@ -605,6 +605,8 @@ def decode_gif_frames(payload: bytes) -> tuple[int, int, int, list]:
                 i += payload[i] + 1
             i += 1
         elif block == 0x2C:  # image descriptor
+            if len(payload) - i < 9:
+                raise ValueError("truncated GIF image descriptor")
             left, top, w, h, ipacked = struct.unpack(
                 "<HHHHB", payload[i : i + 9]
             )
@@ -671,6 +673,11 @@ def encode_gif_animated(
 
     sw, sh = screen_wh
     pal = np.asarray(palette, dtype=np.uint8)
+    if pal.shape[0] > 256:
+        # bits-1 would overflow the 3-bit color-table-size field in the
+        # packed header byte and the table paste would raise an obscure
+        # broadcast error — fail the contract explicitly instead.
+        raise ValueError(f"GIF palette holds at most 256 entries, got {pal.shape[0]}")
     bits = max(2, int(pal.shape[0] - 1).bit_length())
     n = 1 << bits
     table = np.zeros((n, 3), dtype=np.uint8)

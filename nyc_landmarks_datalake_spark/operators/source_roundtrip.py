@@ -22,6 +22,7 @@ as sources/layout.py.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,9 +170,10 @@ def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the rebuild+compact side effect runs every call (it is the thing
 #: under test), while earlier invocations' lazy DataFrames keep
 #: reading their own untouched subdir — overwriting one shared path
-#: would delete the part-files backing a still-held result. Never
-#: cleaned inside the callable; versions accumulate only within one
-#: session and die with the temp root.
+#: would delete the part-files backing a still-held result. Growth is
+#: bounded (r8 ADVICE): each invocation deletes every version older
+#: than its predecessor, so at most two versions exist at a time and
+#: the root dies with the session temp dir.
 _COMPACT_ZONES: dict[str, tuple[str, int]] = {}
 
 COMPACT_FILES_BEFORE = 24
@@ -211,6 +213,12 @@ def q_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     _COMPACT_ZONES[sf_dir] = (root, version + 1)
     zone = os.path.join(root, f"docs_v{version}")
     docs.repartition(COMPACT_FILES_BEFORE).write.parquet(zone)
+    # Bound temp-disk growth under bench loops (r8 ADVICE): keep only
+    # this version and its predecessor (the newest result a caller can
+    # still be holding lazily — bench consumes each result before
+    # re-invoking); everything older is deleted.
+    for stale in range(version - 1):
+        shutil.rmtree(os.path.join(root, f"docs_v{stale}"), ignore_errors=True)
 
     def _count_parts(p: str) -> int:
         return sum(

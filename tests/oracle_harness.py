@@ -31,13 +31,25 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _decimal_cols(df: pd.DataFrame) -> set[str]:
+    """Columns delivered as decimal.Decimal objects (dtype=object)."""
+    out: set[str] = set()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and s.dropna().size and isinstance(
+            s.dropna().iloc[0], Decimal
+        ):
+            out.add(c)
+    return out
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
-        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, Decimal):
+        elif c in _decimal_cols(df):
             df[c] = s.astype(float)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
@@ -52,6 +64,23 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> list[
         ]
     if len(spark_df) != len(oracle_df):
         return [f"{name}: row count spark={len(spark_df)} oracle={len(oracle_df)}"]
+    # Decimal-OBJECT delivery is itself a dtype-class skew, flagged
+    # BEFORE the float coercion below hides it: Spark toPandas delivers
+    # DecimalType as decimal.Decimal objects while DuckDB fetchdf
+    # delivers (most) decimals as float64, and the driver hashes values
+    # as delivered — q_trend_slope red-rowed r8 on exactly this even
+    # though every value was equal. A Decimal column on EITHER side
+    # means the query should emit one correctly-rounded cast to DOUBLE
+    # (VARCHAR-routed on the DuckDB side) instead.
+    for c, side in (
+        *((c, "spark") for c in sorted(_decimal_cols(spark_df))),
+        *((c, "oracle") for c in sorted(_decimal_cols(oracle_df))),
+    ):
+        problems.append(
+            f"{name}.{c}: DTYPE-CLASS SKEW {side} delivers decimal.Decimal "
+            f"objects — driver hash mismatches even on equal values; emit "
+            f"one correctly-rounded CAST(... AS DOUBLE) instead"
+        )
     s = _normalize(spark_df)
     o = _normalize(oracle_df)
     for c in s.columns:
@@ -112,7 +141,23 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
         if sql is None:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            out = fn(spark, sf_dir)
+            # A DecimalType OUTPUT column is banned outright: toPandas
+            # delivers it as decimal.Decimal objects and the driver's
+            # value hash mismatches float64 delivery from DuckDB even
+            # on equal values (q_trend_slope, CORRECTNESS_r08). Exact
+            # decimals belong INSIDE the query; emit one correctly-
+            # rounded cast to DOUBLE (oracle side VARCHAR-routed).
+            from pyspark.sql.types import DecimalType
+
+            dec = [f.name for f in out.schema.fields if isinstance(f.dataType, DecimalType)]
+            if dec:
+                results[name] = [
+                    f"{name}: DecimalType output column(s) {dec} — driver "
+                    f"delivery skew; cast to DOUBLE in the projection"
+                ]
+                continue
+            sdf = out.toPandas()
         except Exception as e:  # noqa: BLE001
             results[name] = [f"{name}: SPARK ERROR {e}"]
             continue

@@ -446,6 +446,19 @@ def test_decode_gif_frames_composition():
     # out-of-bounds rect fails loudly on both sides
     with pytest.raises(ValueError, match="exceeds"):
         encode_gif_animated((4, 4), [(f0, 0, 0)], pal)
+    # oversize palette overflows the 3-bit table-size header field —
+    # explicit contract violation, not an obscure broadcast error
+    with pytest.raises(ValueError, match="256"):
+        encode_gif_animated((8, 6), [(f0, 0, 0)], np.zeros((257, 3), np.uint8))
+    # payload ending mid image-descriptor is the same ValueError
+    # contract as every other malformed-GIF case (not struct.error)
+    # header = 6 (sig) + 7 (LSD) + 768 (256-entry GCT); first image
+    # descriptor block starts right after — keep its 0x2c marker plus
+    # 4 of the 9 descriptor bytes
+    trunc = payload[: 13 + 768 + 5]
+    assert trunc[13 + 768] == 0x2C
+    with pytest.raises(ValueError, match="truncated GIF image descriptor"):
+        decode_gif_frames(trunc)
 
 
 @given(

@@ -37,3 +37,31 @@ def test_harness_flags_dtype_class_skew():
     o = pd.DataFrame({"k": ["a", "b"], "v": pd.Series([0.0, 1.0], dtype="float64")})
     problems = compare(s, o, "seeded")
     assert any("DTYPE-CLASS SKEW" in p for p in problems), problems
+
+
+def test_harness_flags_decimal_object_delivery():
+    """Decimal-object columns must trip the skew flag BEFORE the float
+    coercion hides them — a DECIMAL(38,0) output column red-rowed
+    q_trend_slope in CORRECTNESS_r08 with every value equal (Spark
+    delivers decimal.Decimal, DuckDB float64, driver hashes as
+    delivered) while the harness silently coerced both to float."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from tests.oracle_harness import compare
+
+    s = pd.DataFrame(
+        {"k": ["a", "b"], "v": pd.Series([Decimal(1), Decimal(2)], dtype=object)}
+    )
+    o = pd.DataFrame({"k": ["a", "b"], "v": pd.Series([1.0, 2.0], dtype="float64")})
+    problems = compare(s, o, "seeded")
+    assert any(
+        "DTYPE-CLASS SKEW" in p and "decimal.Decimal" in p for p in problems
+    ), problems
+    # ...and on the oracle side too (DuckDB can deliver DECIMAL(38,x)
+    # as Decimal objects for some widths).
+    problems = compare(o, s, "seeded")
+    assert any(
+        "DTYPE-CLASS SKEW" in p and "decimal.Decimal" in p for p in problems
+    ), problems
