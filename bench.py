@@ -130,6 +130,11 @@ HEADLINE = [
     "q_cohort_ltv",
     "q_illegal_transitions",
     "q_rrf_fusion",
+    "q_kll_quantile_rollup",
+    "q_theta_sketch_setops",
+    "q_rerank_two_stage",
+    "q_curriculum_schedule",
+    "q_session_variables",
 ]
 
 

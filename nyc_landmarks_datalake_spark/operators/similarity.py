@@ -27,7 +27,7 @@ from nyc_landmarks_datalake_spark.functions.numeric import (
     dprod_sum_sql,
     dsum_sql,
 )
-from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql
+from nyc_landmarks_datalake_spark.functions.vectors import cosine, cosine_sql, dot_sql
 from nyc_landmarks_datalake_spark.operators.dedup import (
     capped_bucket_pairs,
     capped_pair_ctes_sql,
@@ -929,4 +929,103 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("fused_rank") <= RRF_TOP)
         .select("q_id", "vec_id", "rrf_score", "fused_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval with a rerank pass — the standard production
+# shape: a CHEAP first stage (truncated 16-dim cosine, 1/4 the FLOPs
+# and index bytes) over-fetches RERANK_CAND candidates per query, then
+# an EXPENSIVE second stage rescores only those candidates with a
+# joint pair score a bi-encoder index cannot produce: full-dimension
+# cosine with an L2-distance penalty (cross-encoder-style — the score
+# is a function of the PAIR, not of two independent vectors). At 100 TB
+# the economics are the whole point: stage 1 touches the corpus
+# (broadcast queries, zero corpus shuffle, TakeOrdered reduction);
+# stage 2 touches N_queries x RERANK_CAND rows — metadata-sized — so
+# the expensive scorer's cost is independent of corpus size. The L2^2
+# term derives purely from dot products (||a-b||^2 = a.a + b.b - 2a.b)
+# evaluated in the identical order both engines, keeping every float
+# bit-exact under the oracle; ranks are integers.
+# ---------------------------------------------------------------------------
+RERANK_CAND = 30
+RERANK_LAMBDA = 0.05
+
+
+@query(
+    "q_rerank_two_stage",
+    sql=f"""
+    WITH cand AS ({_rank_ids_sql(
+        'embeddings',
+        f'list_slice(e.embedding, 1, {TRUNC_DIM})',
+        f'list_slice(q.embedding, 1, {TRUNC_DIM})',
+        RERANK_CAND,
+        cols='q_id, vec_id, rk',
+    )}),
+    scored AS (
+        SELECT c.q_id, c.vec_id, c.rk AS coarse_rk,
+               ({cosine_sql('e.embedding', 'q.embedding')}
+                - {RERANK_LAMBDA}
+                  * (({dot_sql('e.embedding', 'e.embedding')}
+                      + {dot_sql('q.embedding', 'q.embedding')}
+                      - 2 * {dot_sql('e.embedding', 'q.embedding')})
+                     / {DIM})) AS rerank_score
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings q ON q.vec_id = c.q_id
+    )
+    SELECT q_id, vec_id, CAST(coarse_rk AS BIGINT) AS coarse_rk,
+           rerank_score, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY rerank_score DESC, vec_id
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.functions.vectors import dot
+
+    emb = compute_table(spark, sf_dir, "embeddings")
+    cand = _exact_rank_ids(
+        emb,
+        q_src=F.col("embedding"),
+        q_alias="q_emb",
+        corpus_expr=F.slice(F.col("embedding"), 1, TRUNC_DIM),
+        q_expr=F.slice(F.col("q_emb"), 1, TRUNC_DIM),
+        score_alias="s",
+        k=RERANK_CAND,
+        keep_rank=True,
+    ).withColumnRenamed("rk", "coarse_rk")
+    # stage 2 reads full vectors ONLY for the candidate set: broadcast
+    # the (N_queries x RERANK_CAND)-row candidate list into the corpus
+    # scan, then broadcast the query vectors — no corpus shuffle
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_emb")
+    )
+    qvecs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("cq_id"), F.col("embedding").alias("cq_emb")
+    )
+    j = (
+        corpus.join(F.broadcast(cand), F.col("c_vec_id") == F.col("vec_id"))
+        .join(F.broadcast(qvecs), F.col("q_id") == F.col("cq_id"))
+    )
+    a, b = F.col("c_emb"), F.col("cq_emb")
+    l2sq = dot(a, a) + dot(b, b) - 2 * dot(a, b)
+    score = cosine(a, b) - F.lit(RERANK_LAMBDA) * (l2sq / F.lit(DIM))
+    scored = j.select(
+        "q_id",
+        "vec_id",
+        F.col("coarse_rk").cast("long").alias("coarse_rk"),
+        score.alias("rerank_score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rerank_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "coarse_rk", "rerank_score", "rk")
     )

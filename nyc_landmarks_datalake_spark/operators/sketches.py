@@ -337,3 +337,194 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch rollup (DataSketches KLL, Spark 4.1
+# kll_* SQL surface). Same 100 TB pattern as q_hll_union_rollup:
+# per-(event_type, day) sketches are built once near the data, the
+# per-type rollup is a merge of fixed ~KB sketch states — quantiles
+# over any coarser grain without re-scanning raw rows, which exact
+# percentiles (a full sort per group) cannot do at scale.
+#
+# Oracle gate (sketch internals are engine-specific, so estimates can
+# never hash-match): the KLL guarantee is a NORMALIZED RANK bound —
+# the true rank of the sketch's p-quantile answer lies within eps(k)
+# of p. The query re-ranks each merged-sketch answer against the raw
+# rows inside the same plan and reduces it to a boolean; DuckDB
+# recomputes the exact counts and asserts TRUE. The stream length n
+# carried by a KLL sketch is exact and merges additively, so sketch-n
+# == exact COUNT(*) is a second, exact boolean.
+# ---------------------------------------------------------------------------
+KLL_K = 200
+#: normalized rank error for k=200 is ~1.65% (DataSketches published
+#: table, 99% confidence); 3x before we call the sketch broken.
+KLL_RANK_TOL = 0.05
+
+
+@query(
+    "q_kll_quantile_rollup",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS n_exact,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM events GROUP BY 1
+    """,
+)
+def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.sources.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("msk"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    est = merged.select(
+        "event_type",
+        "n_days",
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_n_double("msk").alias("sk_n"),
+    )
+    # rank the sketch answers against the raw stream (parity cost only;
+    # the production path stops at `est`)
+    j = ev.join(F.broadcast(est), "event_type")
+    ranked = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("n_days").alias("n_days"),
+        F.first("sk_n").alias("sk_n"),
+        (
+            F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("r50"),
+        (
+            F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("r95"),
+    )
+    return ranked.select(
+        "event_type",
+        "n_rows",
+        "n_days",
+        (F.col("sk_n") == F.col("n_rows")).alias("n_exact"),
+        (F.abs(F.col("r50") - 0.5) <= KLL_RANK_TOL).alias("p50_rank_ok"),
+        (F.abs(F.col("r95") - 0.95) <= KLL_RANK_TOL).alias("p95_rank_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch set operations (Spark 4.1 theta_* surface) — the sketch
+# family HLL cannot replace: theta sketches support INTERSECTION and
+# DIFFERENCE, not just union, so "users who did A and B" / "A but not
+# B" become sketch-algebra over ~KB states instead of a distinct-join
+# over raw IDs. At 100 TB: per-segment sketches are built map-side
+# once; every audience-overlap question afterwards touches only the
+# sketch states.
+#
+# Gate: exact cohort sizes computed via one per-user flag aggregation
+# (integral, hash-exact in both engines); each theta estimate must sit
+# within THETA_REL_TOL of its exact value, relative to the union size
+# (intersection/difference error in theta algebra is bounded relative
+# to the union, not the result — small intersections have large
+# relative error by design).
+# ---------------------------------------------------------------------------
+THETA_LGK = 12
+#: union rsd at lgK=12 is ~1.6%; intersections/differences inherit
+#: union-relative error. 5x headroom before declaring breakage.
+THETA_REL_TOL = 0.08
+
+
+@query(
+    "q_theta_sketch_setops",
+    sql="""
+    WITH flags AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ha,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hb
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    )
+    SELECT CAST(SUM(ha) AS BIGINT) AS exact_a,
+           CAST(SUM(hb) AS BIGINT) AS exact_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(ha * hb) AS BIGINT) AS exact_inter,
+           CAST(SUM(ha * (1 - hb)) AS BIGINT) AS exact_diff,
+           TRUE AS union_ok,
+           TRUE AS inter_ok,
+           TRUE AS diff_ok
+    FROM flags
+    """,
+)
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.sources.catalog import table as _table
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+    )
+    # exact cohort algebra: one per-user flag reduction (map-side
+    # combinable), then one scalar aggregate
+    flags = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ha"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("hb"),
+    )
+    exact = flags.agg(
+        F.sum("ha").cast("long").alias("exact_a"),
+        F.sum("hb").cast("long").alias("exact_b"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("ha") * F.col("hb")).cast("long").alias("exact_inter"),
+        F.sum(F.col("ha") * (1 - F.col("hb"))).cast("long").alias("exact_diff"),
+    )
+    # sketch algebra: two conditional sketches in ONE pass, then
+    # union/intersection/difference over the two ~KB states
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")),
+            F.lit(THETA_LGK),
+        ).alias("ska"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")),
+            F.lit(THETA_LGK),
+        ).alias("skb"),
+    )
+    est = sk.select(
+        F.expr("theta_sketch_estimate(theta_union(ska, skb))").alias("est_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(ska, skb))").alias(
+            "est_inter"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(ska, skb))").alias(
+            "est_diff"
+        ),
+    )
+    j = exact.crossJoin(F.broadcast(est))
+    tol = F.lit(THETA_REL_TOL) * F.col("exact_union")
+
+    def ok(est_c: str, exact_c: str):
+        return (F.abs(F.col(est_c) - F.col(exact_c)) <= tol).alias(
+            exact_c.replace("exact_", "") + "_ok"
+        )
+
+    return j.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        "exact_diff",
+        ok("est_union", "exact_union"),
+        ok("est_inter", "exact_inter"),
+        ok("est_diff", "exact_diff"),
+    )

@@ -255,3 +255,60 @@ def q_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables + named parameter markers (Spark 4 surface):
+# DECLARE VARIABLE holds a data-derived scalar across statements, and
+# the analysis query binds a named :mult parameter via spark.sql(...,
+# args=...) — the session-scripting workflow (compute a threshold once,
+# reuse it in parameterized statements) without any driver-side value
+# round-trip. The oracle inlines the variable as a CTE scalar and the
+# parameter as a literal; the threshold derives from the decimal-exact
+# sum, so the > comparison is bit-identical in both engines.
+# ---------------------------------------------------------------------------
+SV_MULT = 1.25
+
+
+@query(
+    "q_session_variables",
+    sql=f"""
+    WITH stats AS (
+        SELECT {dsum_sql('c_acctbal')} / COUNT(*) AS bal_mean FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           {dsum_sql('c_acctbal')} AS sum_bal
+    FROM customer, stats
+    WHERE c_acctbal > bal_mean * {SV_MULT}
+    GROUP BY c_mktsegment
+    """,
+)
+def q_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance census per market segment, threshold held in a SQL
+    session variable and scaled by a named parameter marker.
+
+    ``SET VAR`` evaluates the scalar subquery once (decimal-exact mean
+    — Spark's BigDecimal→double cast is correctly rounded, matching the
+    oracle's VARCHAR-routed cast); the parameterized statement then
+    sees it as a constant, so Catalyst folds ``bal_mean * :mult`` into
+    one literal comparison pushed to the scan."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("sv_customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_bal_mean DOUBLE")
+    spark.sql(
+        "SET VAR sv_bal_mean = ("
+        "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)"
+        " / COUNT(*) FROM sv_customer)"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_above,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                   AS sum_bal
+        FROM sv_customer
+        WHERE c_acctbal > sv_bal_mean * :mult
+        GROUP BY c_mktsegment
+        """,
+        args={"mult": SV_MULT},
+    )

@@ -647,3 +647,148 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("long").alias("n_tokens"),
         md5_long(F.array_join(piece, " ")).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum mixing schedule: per-epoch source sampling weights that
+# interpolate from a uniform mixture (epoch 0 — maximum diversity early
+# in training) to a size-proportional mixture (final epoch — match the
+# natural distribution once the model is past the memorization-prone
+# phase). The standard data-curriculum shape (anneal the mixture, not
+# the data); every weight is fixed-point ppm integer arithmetic so the
+# whole schedule sits under the bit-exact oracle gate.
+#
+# Scale: one tiny per-source aggregate (N_sources rows) cross-joined
+# with an N_EPOCHS literal spine — the 100 TB input reduces map-side to
+# one row per source before any schedule math happens; the schedule
+# itself is metadata-sized and broadcastable to whatever sampler
+# consumes it.
+# ---------------------------------------------------------------------------
+N_EPOCHS = 4
+PPM = 1_000_000
+
+
+@query(
+    "q_curriculum_schedule",
+    sql=f"""
+    WITH per_src AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1
+    ),
+    base AS (
+        SELECT source, n_docs, total_chars,
+               {PPM} // COUNT(*) OVER () AS uniform_ppm,
+               ({PPM} * total_chars)
+                   // SUM(total_chars) OVER () AS natural_ppm
+        FROM per_src
+    )
+    SELECT epoch, source, n_docs,
+           CAST(uniform_ppm AS BIGINT) AS uniform_ppm,
+           CAST(natural_ppm AS BIGINT) AS natural_ppm,
+           CAST((({N_EPOCHS - 1} - epoch) * uniform_ppm
+                 + epoch * natural_ppm) // {N_EPOCHS - 1} AS BIGINT)
+               AS weight_ppm,
+           CAST(({EPOCH_BUDGET} * ((({N_EPOCHS - 1} - epoch) * uniform_ppm
+                                    + epoch * natural_ppm)
+                                   // {N_EPOCHS - 1})) // {PPM} AS BIGINT)
+               AS target_docs
+    FROM base
+    CROSS JOIN (SELECT unnest(range({N_EPOCHS})) AS epoch)
+    """,
+)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    # the unpartitioned windows run over N_sources rows (the already-
+    # reduced per-source frame), not raw documents — metadata-sized
+    base = per_src.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.expr(f"{PPM} div count(*) over ()").alias("uniform_ppm"),
+        F.expr(
+            f"({PPM} * total_chars) div sum(total_chars) over ()"
+        ).alias("natural_ppm"),
+    )
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    sched = base.crossJoin(F.broadcast(epochs))
+    mix_sql = (
+        f"((({N_EPOCHS - 1} - epoch) * uniform_ppm"
+        f" + epoch * natural_ppm) div {N_EPOCHS - 1})"
+    )
+    return sched.select(
+        "epoch",
+        "source",
+        "n_docs",
+        F.col("uniform_ppm").cast("long").alias("uniform_ppm"),
+        F.col("natural_ppm").cast("long").alias("natural_ppm"),
+        F.expr(mix_sql).cast("long").alias("weight_ppm"),
+        F.expr(f"({EPOCH_BUDGET}L * {mix_sql}) div {PPM}")
+        .cast("long")
+        .alias("target_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source loss-weight planning: temperature-scaled sampling
+# probabilities p_i ∝ (n_i/N)^alpha with alpha=0.5 (the multilingual
+# pre-training standard — up-weights small sources without letting any
+# source dominate), plus the per-example LOSS weight that keeps the
+# expected gradient unbiased under that sampling: loss_w_i =
+# natural_p_i / sampled_p_i. sqrt(BIGINT) is the same float64 in both
+# engines; the normalizing sum routes through DECIMAL(30,6) (dsum) so
+# every derived float is bit-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q_loss_weight_plan",
+    sql="""
+    WITH per_lang AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    scored AS (
+        SELECT lang, n_docs,
+               SQRT(CAST(n_docs AS DOUBLE)) AS s
+        FROM per_lang
+    ),
+    norm AS (
+        SELECT lang, n_docs, s,
+               CAST(CAST(SUM(CAST(s AS DECIMAL(30,6))) OVER ()
+                         AS VARCHAR) AS DOUBLE) AS total_s,
+               CAST(SUM(n_docs) OVER () AS BIGINT) AS total_n
+        FROM scored
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           s / total_s AS sample_p,
+           (CAST(n_docs AS DOUBLE) / total_n) / (s / total_s) AS loss_w
+    FROM norm
+    """,
+)
+def q_loss_weight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    s = F.sqrt(F.col("n_docs").cast("double"))
+    w = Window.partitionBy()
+    scored = per_lang.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        s.alias("s"),
+        # exact decimal normalizer — summing a handful of doubles is
+        # still order-dependent; the (30,6) round-trip pins it
+        F.sum(s.cast("decimal(30,6)")).over(w).cast("double").alias("total_s"),
+        F.sum("n_docs").over(w).cast("long").alias("total_n"),
+    )
+    sample_p = F.col("s") / F.col("total_s")
+    natural_p = F.col("n_docs").cast("double") / F.col("total_n")
+    return scored.select(
+        "lang",
+        "n_docs",
+        sample_p.alias("sample_p"),
+        (natural_p / sample_p).alias("loss_w"),
+    )

@@ -131,3 +131,94 @@ def _register() -> None:
 
 
 _register()
+
+
+def _register_session() -> None:
+    from nyc_landmarks_datalake_spark.functions.numeric import dsum_sql
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_session_replay",
+        sql=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                >= INTERVAL '2 hours'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessioned AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               {dsum_sql('value')} AS session_value
+        FROM sessioned
+        GROUP BY user_id, session_id
+        """,
+    )
+    def q_stream_session_replay(spark, sf_dir: str) -> DataFrame:
+        """Session windows (2h gap, per user) through the REAL streaming
+        engine. The batch twin (q_session_window) pins gap semantics;
+        this replay pins the hard streaming part: sessions MERGE in the
+        state store — an early micro-batch can close two provisional
+        sessions that a later file's bridging event fuses into one, so
+        the final complete-mode snapshot proves cross-batch session
+        merge, not just windowed accumulation. Events arrive in
+        3 arbitrary file-order batches (maxFilesPerTrigger=1) and the
+        result must still equal the batch gaps-and-islands oracle
+        bit-exactly (decimal state sums — order-independent)."""
+        import os
+        import tempfile
+
+        ev = table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_id", "value"
+        )
+        base = tempfile.mkdtemp(prefix="stream_session_")
+        src = os.path.join(base, "src")
+        ckpt = os.path.join(base, "ckpt")
+        out = os.path.join(base, "out")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = stream.groupBy(
+            F.session_window("ts", "2 hours").alias("sw"),
+            F.col("user_id"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("dec_total"),
+        )
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = spark.read.parquet(out)
+        return snap.select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            F.col("dec_total").cast("double").alias("session_value"),
+        )
+
+
+_register_session()

@@ -453,3 +453,51 @@ def test_coverage_doc_count_matches_registry():
         f"COVERAGE.md says {m.group(1)} entries, registry has "
         f"{len(registry.QUERIES)}"
     )
+
+
+def test_kll_rollup_no_sort_no_python(spark, sf_oracle):
+    """The quantile ROLLUP must be sketch-merge aggregation — no global
+    sort anywhere (exact percentiles would need one per group) and no
+    Python. Two hash-agg levels (daily sketch build, per-type merge)
+    plus the parity rank-join; the production path stops at `est`."""
+    from nyc_landmarks_datalake_spark.plans.audit import _plan_string
+
+    df = registry.QUERIES["q_kll_quantile_rollup"](spark, sf_oracle)
+    a = audit(df)
+    plan = _plan_string(df)
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan[:800]
+    assert not a.has_python_eval
+    assert a.broadcast_hash_joins >= 1  # parity rank-join broadcasts est
+
+
+def test_theta_setops_single_pass(spark, sf_oracle):
+    """Both conditional sketches build in ONE scan pass (no per-cohort
+    rescan), and the estimate row rides a broadcast into the exact
+    aggregate — the raw events shuffle at most twice (user-flag
+    reduction + scalar agg)."""
+    from nyc_landmarks_datalake_spark.plans.audit import _plan_string
+
+    df = registry.QUERIES["q_theta_sketch_setops"](spark, sf_oracle)
+    a = audit(df)
+    assert _plan_string(df).count("theta_sketch_agg") <= 4  # one agg (+ partials)
+    assert not a.has_python_eval
+    assert a.broadcast_hash_joins + a.nested_loop_joins >= 1
+
+
+def test_rerank_stage2_is_broadcast_only(spark, sf_oracle):
+    """Stage 2 must never shuffle the corpus: the candidate list and
+    query vectors arrive as broadcasts; the only exchanges are stage
+    1's top-k reduction and the final per-query window."""
+    a = audit(registry.QUERIES["q_rerank_two_stage"](spark, sf_oracle))
+    assert a.broadcast_hash_joins >= 2, a.plan[:800]
+    assert a.sort_merge_joins == 0 and a.shuffled_hash_joins == 0
+    assert not a.has_python_eval
+
+
+def test_curriculum_schedule_reduces_before_spine(spark, sf_oracle):
+    """The 100 TB input reduces to one row per source BEFORE the epoch
+    spine cross-join — the cross join must be on the aggregated side
+    (broadcast), never on raw documents."""
+    a = audit(registry.QUERIES["q_curriculum_schedule"](spark, sf_oracle))
+    assert a.nested_loop_joins + a.broadcast_hash_joins >= 1
+    assert not a.has_python_eval
