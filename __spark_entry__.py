@@ -76,6 +76,16 @@ REVERIFY: frozenset[str] = frozenset(
         "q_quantized_retrieval_recall",
         "q_rrf_fusion",
         "q_kmeans_lloyd",
+        # (self-review r9: these two also score through the changed
+        # cosine expression — ivf_topk via cosine_sql/cosine, and
+        # semantic_dedup via the clustering assignment scorer)
+        "q_ivf_topk",
+        "q_semantic_dedup",
+        # (self-review r9: replay protocol unified into replay_stream_agg
+        # with bounded versioned staging + awaitTermination timeout check
+        # — results identical, machinery changed)
+        "q_stream_tumbling_replay",
+        "q_stream_sliding_replay",
         # r9: embeddings read via compute_table (single-file corpora ran
         # the 64x posexplode on one task); results identical, plan changed
         "q_label_centroids",

@@ -488,6 +488,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, "object"]:
                 i += 3 * n
             if ct is None:
                 raise ValueError("GIF image has no color table")
+            if i >= len(payload):
+                raise ValueError("truncated GIF image data")
             min_code_size = payload[i]
             i += 1
             lzw = bytearray()
@@ -629,6 +631,8 @@ def decode_gif_frames(payload: bytes) -> tuple[int, int, int, list]:
                 i += 3 * n
             if ct is None:
                 raise ValueError("GIF image has no color table")
+            if i >= len(payload):
+                raise ValueError("truncated GIF image data")
             min_code_size = payload[i]
             i += 1
             lzw = bytearray()

@@ -680,8 +680,9 @@ PPM = 1_000_000
     base AS (
         SELECT source, n_docs, total_chars,
                {PPM} // COUNT(*) OVER () AS uniform_ppm,
-               ({PPM} * total_chars)
-                   // SUM(total_chars) OVER () AS natural_ppm
+               CAST(({PPM} * CAST(total_chars AS HUGEINT))
+                   // SUM(CAST(total_chars AS HUGEINT)) OVER ()
+                   AS BIGINT) AS natural_ppm
         FROM per_src
     )
     SELECT epoch, source, n_docs,
@@ -711,8 +712,14 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_chars",
         F.expr(f"{PPM} div count(*) over ()").alias("uniform_ppm"),
+        # PPM * total_chars overflows int64 once a source holds ~9e12
+        # chars (~9 TB of text — routine at the 100 TB posture); route
+        # the product and the window sum through DECIMAL(38,0) / int128
+        # like the trend-slope sufficient statistics (both operands
+        # positive, so Spark's `div` and DuckDB's `//` truncation agree)
         F.expr(
-            f"({PPM} * total_chars) div sum(total_chars) over ()"
+            f"({PPM} * cast(total_chars as decimal(20,0)))"
+            " div sum(cast(total_chars as decimal(20,0))) over ()"
         ).alias("natural_ppm"),
     )
     epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))

@@ -45,11 +45,12 @@ def _decimal_cols(df: pd.DataFrame) -> set[str]:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    dec = _decimal_cols(df)
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
-        elif c in _decimal_cols(df):
+        elif c in dec:
             df[c] = s.astype(float)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 

@@ -459,6 +459,12 @@ def test_decode_gif_frames_composition():
     assert trunc[13 + 768] == 0x2C
     with pytest.raises(ValueError, match="truncated GIF image descriptor"):
         decode_gif_frames(trunc)
+    # ...and ending exactly AFTER the full 9-byte descriptor (before
+    # the LZW min-code-size byte) must also be ValueError, not
+    # IndexError — the adjacent truncation point
+    trunc2 = payload[: 13 + 768 + 10]
+    with pytest.raises(ValueError, match="truncated GIF image data"):
+        decode_gif_frames(trunc2)
 
 
 @given(
