@@ -135,6 +135,8 @@ HEADLINE = [
     "q_rerank_two_stage",
     "q_curriculum_schedule",
     "q_session_variables",
+    # added r9 (second leg): PQ completes the compression tier
+    "q_pq_retrieval_recall",
 ]
 
 

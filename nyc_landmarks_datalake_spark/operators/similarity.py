@@ -1029,3 +1029,162 @@ def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "vec_id", "coarse_rk", "rerank_score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization (PQ) retrieval recall — the third leg of the
+# compression tier (int8 scalar / Matryoshka truncation / PQ): split
+# each 64-dim vector into PQ_M=8 subvectors of PQ_SUB=8 dims, assign
+# every subvector to its nearest code in a per-subspace codebook
+# (deterministic corpus sample, the CENTROID_MOD idiom), and rank the
+# corpus by ASYMMETRIC distance computation — full-precision query
+# against the RECONSTRUCTED (code-concatenated) corpus vector, which is
+# exactly what a PQ index scores with. Recall@K against the exact
+# full-precision top-k; overlap counts are integer-exact under the
+# bit-exact gate.
+#
+# 100 TB design: the whole codebook is PQ_M * PQ_K = 128 subvectors —
+# one broadcast array column; assignment + reconstruction are pure
+# map-side codegen over the corpus (128 8-dim dot-product-derived L2
+# evaluations per vector, no shuffle, no per-centroid plan literals —
+# the q_ivf_topk lesson). A real PQ index stores only the PQ_M code
+# BYTES per vector (8 bytes vs 256: a 32x compression); reconstruction
+# here feeds the ranking so the recall measurement needs no lookup
+# tables. L2^2 derives from dot products evaluated in the identical
+# order both engines (the rerank idiom), keeping the argmin bit-exact.
+# ---------------------------------------------------------------------------
+PQ_M = 8
+PQ_SUB = 8
+PQ_K = 16
+PQ_CODE_MOD = 25
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        f" - 2 * list_dot_product({a}, {b}))"
+    )
+
+
+@query(
+    "q_pq_retrieval_recall",
+    sql=f"""
+    WITH ms AS (SELECT unnest(range({PQ_M})) AS m),
+    codes AS (
+        SELECT ms.m, vec_id AS c_id,
+               list_transform(range(1 + ms.m * {PQ_SUB},
+                                    1 + (ms.m + 1) * {PQ_SUB}),
+                              i -> embedding[i]::DOUBLE) AS sub
+        FROM embeddings, ms
+        WHERE vec_id % {PQ_CODE_MOD} = 0
+          AND vec_id < {PQ_CODE_MOD * PQ_K}
+    ),
+    subs AS (
+        SELECT e.vec_id, ms.m,
+               list_transform(range(1 + ms.m * {PQ_SUB},
+                                    1 + (ms.m + 1) * {PQ_SUB}),
+                              i -> e.embedding[i]::DOUBLE) AS sub
+        FROM embeddings e, ms
+    ),
+    assign AS (
+        SELECT vec_id, m, sub_c FROM (
+            SELECT s.vec_id, s.m, c.sub AS sub_c,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_l2_sql('s.sub', 'c.sub')} ASC, c.c_id ASC
+                   ) AS rn
+            FROM subs s JOIN codes c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    rec AS (
+        SELECT vec_id, flatten(list(sub_c ORDER BY m)) AS r
+        FROM assign GROUP BY vec_id
+    ),
+    pqrecon AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS e, rec.r
+        FROM embeddings e JOIN rec USING (vec_id)
+    ),
+    full_k AS ({_rank_ids_sql('pqrecon', 'e.e', 'q.e', TOP_K)}),
+    pq_k AS ({_rank_ids_sql('pqrecon', 'e.r', 'q.e', TOP_K)})
+    SELECT f.q_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           (COUNT(t.vec_id) * 1.0) / {TOP_K} AS recall_at_k
+    FROM full_k f
+    LEFT JOIN pq_k t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def q_pq_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.functions.vectors import dot
+
+    emb = compute_table(spark, sf_dir, "embeddings")
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # per-subspace codebook: PQ_M * PQ_K rows -> ONE broadcast array
+    codes_rows = (
+        emb.filter(
+            (F.col("vec_id") % PQ_CODE_MOD == 0)
+            & (F.col("vec_id") < PQ_CODE_MOD * PQ_K)
+        )
+        .select(F.col("vec_id").alias("c_id"), e_dbl.alias("ce"))
+        .select(
+            "c_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            F.col("ce"),
+        )
+        .select(
+            "m",
+            "c_id",
+            F.slice(F.col("ce"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sub"),
+        )
+    )
+    codes_arr = codes_rows.agg(
+        F.array_sort(F.collect_list(F.struct("m", "c_id", "sub"))).alias("codes")
+    )
+
+    def _best_sub(m: Column) -> Column:
+        """Nearest code's subvector for subspace ``m`` — argmin L2 via
+        array_max over (-d, -c_id, sub) structs (min distance, ties to
+        the smallest code id, matching the oracle's ORDER BY)."""
+        sub_e = F.slice(F.col("e"), m * PQ_SUB + 1, PQ_SUB)
+        return F.array_max(
+            F.transform(
+                F.filter(F.col("codes"), lambda c: c["m"] == m),
+                lambda c: F.struct(
+                    (
+                        -(
+                            (dot(sub_e, sub_e) + dot(c["sub"], c["sub"]))
+                            - F.lit(2.0) * dot(sub_e, c["sub"])
+                        )
+                    ).alias("neg_d"),
+                    (-c["c_id"]).alias("neg_id"),
+                    c["sub"].alias("sub"),
+                ),
+            )
+        )["sub"]
+
+    recon = (
+        emb.select("vec_id", e_dbl.alias("e"))
+        .crossJoin(F.broadcast(codes_arr))
+        .select(
+            "vec_id",
+            "e",
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)), _best_sub
+                )
+            ).alias("r"),
+        )
+    )
+
+    def topk(corpus_col: str) -> DataFrame:
+        return _exact_rank_ids(
+            recon,
+            q_src=F.col("e"),
+            q_alias="q_vec",
+            corpus_expr=F.col(corpus_col),
+            q_expr=F.col("q_vec"),
+            score_alias="s",
+            k=TOP_K,
+        )
+
+    return _recall_at_k(topk("e"), topk("r"), TOP_K)
