@@ -137,6 +137,7 @@ HEADLINE = [
     "q_session_variables",
     # added r9 (second leg): PQ completes the compression tier
     "q_pq_retrieval_recall",
+    "q_image_phash_dedup",
 ]
 
 

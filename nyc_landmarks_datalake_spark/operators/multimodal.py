@@ -1633,3 +1633,230 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = raw.mapInPandas(encode, schema=enc_schema)
     return decode_image(images, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image-hash near-dup — the multimodal leg of the dedup
+# tier (the LAION-style pipeline: images that differ by a few pixels
+# must collapse even though their bytes differ). Each document gets a
+# REAL 8x8 grayscale P5 image (raster = 4 chained md5 digests over the
+# doc's GROUP key, doc_id div 4, plus doc_id%4 per-doc perturbed
+# pixels, all built with Spark built-ins); an Arrow-batched mapInPandas
+# pass DECODES the payload and computes the average-hash: bit b set iff
+# pixel b >= the integer mean — the classic aHash, 60 bits so the
+# signature is sign-safe BIGINT in both engines and reuses the proven
+# simhash layout (4 bands x 15 bits, pigeonhole-exact recall at
+# hamming <= 3). Candidates come from the member-capped band buckets,
+# verification is pure bit math on the pair.
+#
+# DuckDB never decodes an image: it recomputes every pixel from the
+# same md5 hex + perturbation arithmetic and mirrors the banded join —
+# so a decode, mean, bit-pack, banding or hamming bug all surface as
+# value mismatches. 100 TB design: signatures are 8 bytes/image and the
+# band shuffle never moves pixels; decode is embarrassingly parallel
+# (zero shuffle, one Arrow batch per task in flight).
+# ---------------------------------------------------------------------------
+PHASH_W, PHASH_H = 8, 8
+PHASH_BITS = 60
+PHASH_GROUP = 4
+PHASH_PERTURB = 9
+
+
+def phash_images(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary image payload → 60-bit average-hash via real decode
+    inside mapInPandas. Same format routing as decode_image."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                if payload[:2] in (b"P5", b"P6"):
+                    _w, _h, c, px = decode_netpbm(payload)
+                elif payload[:8] == _PNG_SIG:
+                    _w, _h, c, px = decode_png(payload)
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    _w, _h, c, px = decode_gif(payload)
+                else:
+                    from nyc_landmarks_datalake_spark.operators.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    _w, _h, c, px = decode_jpeg(payload)
+                flat = px.reshape(-1, c).astype(np.int64)
+                if c > 1:  # luma fold for color inputs (fixture is gray)
+                    flat = flat.sum(axis=1) // c
+                else:
+                    flat = flat[:, 0]
+                mu = int(flat.sum()) // flat.size
+                ph = 0
+                for b in range(PHASH_BITS):
+                    if int(flat[b]) >= mu:
+                        ph |= 1 << b
+                rows.append((pid, ph))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def _phash_fixture(docs: DataFrame) -> DataFrame:
+    """doc_id + P5 payload whose 64 raster bytes derive from the GROUP
+    key's md5 chain, with the first doc_id%PHASH_GROUP pixels bumped by
+    PHASH_PERTURB (capped at 255) — near-identical images within a
+    group, built entirely with JVM built-ins."""
+    gs = F.expr(f"cast(doc_id div {PHASH_GROUP} as string)")
+    h128 = F.concat(
+        F.md5(gs),
+        F.md5(F.concat(gs, F.lit("a"))),
+        F.md5(F.concat(gs, F.lit("b"))),
+        F.md5(F.concat(gs, F.lit("c"))),
+    )
+    r = (F.col("doc_id") % PHASH_GROUP).cast("int")
+
+    def _pix(j):
+        b = F.conv(F.substring(F.col("h128"), j * 2 + 1, 2), 16, 10).cast(
+            "long"
+        )
+        return F.when(
+            j < r, F.least(b + PHASH_PERTURB, F.lit(255).cast("long"))
+        ).otherwise(b)
+
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_W * PHASH_H - 1)), _pix
+    )
+    raster_hex = F.concat_ws(
+        "", F.transform(pix, lambda v: F.lpad(F.hex(v), 2, "0"))
+    )
+    header = F.lit(f"P5\n{PHASH_W} {PHASH_H}\n255\n".encode())
+    return docs.select("doc_id", h128.alias("h128")).select(
+        "doc_id", F.concat(header, F.unhex(raster_hex)).alias("payload")
+    )
+
+
+def _phash_pixel_sql(j: str) -> str:
+    base = f"('0x' || substr(h128, 2 * ({j}) + 1, 2))::BIGINT"
+    return (
+        f"CASE WHEN ({j}) < doc_id % {PHASH_GROUP}"
+        f" THEN least({base} + {PHASH_PERTURB}, 255) ELSE {base} END"
+    )
+
+
+def _register_phash() -> None:
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        capped_bucket_pairs,
+        capped_pair_ctes_sql,
+    )
+
+    @query(
+        "q_image_phash_dedup",
+        sql=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(0, {PHASH_W * PHASH_H}),
+                                  j -> {_phash_pixel_sql('j')}) AS pix
+            FROM (
+                SELECT doc_id,
+                       md5(gs) || md5(gs || 'a') || md5(gs || 'b')
+                               || md5(gs || 'c') AS h128
+                FROM (
+                    SELECT doc_id,
+                           CAST(doc_id // {PHASH_GROUP} AS VARCHAR) AS gs
+                    FROM documents
+                )
+            )
+        ),
+        mx AS (
+            SELECT doc_id, pix,
+                   list_sum(pix) // {PHASH_W * PHASH_H} AS mu
+            FROM px
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {' + '.join(
+                       f"(CASE WHEN pix[{b + 1}] >= mu"
+                       f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+                       for b in range(PHASH_BITS)
+                   )} AS phash
+            FROM mx
+        ),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, phash, {j} AS band_id,"
+                f" (phash >> {j * SIMHASH_BAND_BITS})"
+                f" & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key FROM sig"
+                for j in range(SIMHASH_BANDS)
+            )}
+        ),
+        {capped_pair_ctes_sql(
+            'ib_',
+            'bands',
+            ['band_id', 'band_key'],
+            "{'doc_id': doc_id, 'phash': phash}",
+            k_sql='phash',
+        )},
+        cand AS (
+            SELECT DISTINCT p.a.doc_id AS doc1, p.a.phash AS s1,
+                            p.b.doc_id AS doc2, p.b.phash AS s2
+            FROM ib_pairs
+        )
+        SELECT doc1, doc2,
+               CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
+        """,
+    )
+    def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = compute_table(spark, sf_dir, "documents")
+        sig = phash_images(_phash_fixture(docs)).localCheckpoint(eager=False)
+        mask = (1 << SIMHASH_BAND_BITS) - 1
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.shiftright(F.col("phash"), j * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_key"),
+                )
+                for j in range(SIMHASH_BANDS)
+            ]
+        )
+        bands = sig.select(
+            F.struct("doc_id", "phash").alias("m"),
+            F.explode(band_structs).alias("b"),
+        ).select(
+            "m",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_key").alias("band_key"),
+        )
+        hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
+        return (
+            capped_bucket_pairs(
+                bands, ["band_id", "band_key"], member_col="m", key_col="m.phash"
+            )
+            .select(
+                F.col("p.a.doc_id").alias("doc1"),
+                F.col("p.a.phash").alias("s1"),
+                F.col("p.b.doc_id").alias("doc2"),
+                F.col("p.b.phash").alias("s2"),
+            )
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .select("doc1", "doc2", "hamming")
+            .distinct()
+        )
+
+
+_register_phash()

@@ -685,3 +685,53 @@ def test_resize_image_nearest_neighbor(spark):
     expect = px[np.ix_(ys, xs)].reshape(-1, 3).sum(axis=0)
     assert (r["width"], r["height"], r["channels"]) == (4, 3, 3)
     assert (r["ch0_sum"], r["ch1_sum"], r["ch2_sum"]) == tuple(int(s) for s in expect)
+
+
+def test_phash_images_matches_reference_impl(spark):
+    """The 60-bit average-hash from the Spark decode path must equal a
+    direct numpy recompute from the same payload bytes (decode, luma,
+    integer mean, bit order)."""
+    import numpy as np
+
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        PHASH_BITS,
+        decode_netpbm,
+        phash_images,
+    )
+
+    payloads = []
+    for i in range(6):
+        raster = hashlib.md5(f"ph{i}".encode()).digest() * 4  # 64 bytes
+        payloads.append((i, b"P5\n8 8\n255\n" + raster))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: r.phash for r in phash_images(df).collect()}
+    for i, payload in payloads:
+        _w, _h, _c, px = decode_netpbm(payload)
+        flat = px.reshape(-1).astype(np.int64)
+        mu = int(flat.sum()) // flat.size
+        want = 0
+        for b in range(PHASH_BITS):
+            if int(flat[b]) >= mu:
+                want |= 1 << b
+        assert got[i] == want
+
+
+def test_phash_dedup_groups_found(spark):
+    """Within-group image pairs (same md5 base, <=3 perturbed pixels)
+    must surface as near-dups: full within-group recall is expected at
+    hamming<=3 because a +9 pixel bump flips at most that pixel's
+    mean-bit (and the mean itself moves by < 1)."""
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q_image_phash_dedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pairs = {(r.doc1, r.doc2) for r in out}
+    # group 0 = docs 0..3 -> all 6 ordered pairs present
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert (a, b) in pairs
+    for r in out:
+        assert r.hamming <= 3
+        assert r.doc1 // 4 == r.doc2 // 4  # no cross-group false pair

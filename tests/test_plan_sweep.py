@@ -35,6 +35,9 @@ PYTHON_ALLOWED = {
 # but its Python stage runs inside the eager streaming replay; the
 # RETURNED plan is the JVM-only read-back of the replay output, which is
 # what audit() sees — so it takes the default JVM-only branch below.
+# q_image_phash_dedup likewise: its mapInPandas decode sits behind the
+# anti-GenerateExec localCheckpoint boundary, so the audited plan shows
+# only the JVM banded join over the checkpointed signatures.
 
 
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
