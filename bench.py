@@ -138,6 +138,7 @@ HEADLINE = [
     # added r9 (second leg): PQ completes the compression tier
     "q_pq_retrieval_recall",
     "q_image_phash_dedup",
+    "q_hard_negative_mining",
 ]
 
 

@@ -1188,3 +1188,112 @@ def q_pq_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _recall_at_k(topk("e"), topk("r"), TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the triplet-construction step of contrastive
+# embedding training: for each anchor, the nearest SAME-label vector
+# (the positive) and the top-HN_NEGS nearest DIFFERENT-label vectors
+# (the hard negatives — the ones a triplet/InfoNCE loss actually learns
+# from), plus the triplet margin pos_cos - neg_cos (negative margin =
+# an active violation, the triplets worth training on). Mining is the
+# data-scale half of contrastive training; the gradient step consumes
+# the metadata-sized output.
+#
+# 100 TB design: anchors are a broadcast mini-batch (the production
+# shape — mining runs per training batch, never corpus x corpus);
+# scoring is map-side codegen over the corpus with zero corpus shuffle;
+# the only reductions are the two per-anchor top-k windows over the
+# already-scored stream. Cosines are bit-exact (identical-order float64
+# dot products), ranks and ids integer-exact.
+# ---------------------------------------------------------------------------
+HN_ANCHORS = 10
+HN_NEGS = 3
+
+
+@query(
+    "q_hard_negative_mining",
+    sql=f"""
+    WITH a AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < {HN_ANCHORS}
+    ),
+    scored AS (
+        SELECT a.q_id, a.q_label, e.vec_id, e.label,
+               {cosine_sql('e.embedding', 'a.q_emb')} AS cos_sim
+        FROM embeddings e CROSS JOIN a
+        WHERE e.vec_id <> a.q_id
+    ),
+    pos AS (
+        SELECT q_id, vec_id AS pos_id, cos_sim AS pos_cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+            ) AS rn
+            FROM scored WHERE label = q_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT q_id, vec_id AS neg_id, cos_sim AS neg_cos,
+               CAST(rn AS BIGINT) AS neg_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+            ) AS rn
+            FROM scored WHERE label <> q_label
+        ) WHERE rn <= {HN_NEGS}
+    )
+    SELECT n.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.neg_rank,
+           (p.pos_cos - n.neg_cos) AS margin
+    FROM neg n JOIN pos p USING (q_id)
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = compute_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=False)  # feeds both the pos and neg rank
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    pos = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_NEGS)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_cos"),
+            F.col("rn").cast("long").alias("neg_rank"),
+        )
+    )
+    return neg.join(F.broadcast(pos), "q_id").select(
+        "q_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        "neg_rank",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
