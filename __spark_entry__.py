@@ -86,6 +86,11 @@ REVERIFY: frozenset[str] = frozenset(
         # — results identical, machinery changed)
         "q_stream_tumbling_replay",
         "q_stream_sliding_replay",
+        # (self-review r9 second pass: banded-hamming machinery extracted
+        # into shared dedup.banded_hamming_pairs/-tail_sql builders used
+        # by both the text simhash and image phash tiers — results
+        # identical, plan and oracle text regenerated)
+        "q_dedup_simhash_hamming",
         # r9: embeddings read via compute_table (single-file corpora ran
         # the 64x posexplode on one task); results identical, plan changed
         "q_label_centroids",

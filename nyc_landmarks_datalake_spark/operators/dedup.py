@@ -791,51 +791,31 @@ SIMHASH_BAND_BITS = 15
 HAMMING_MAX = 3
 
 
-@query(
-    "q_dedup_simhash_hamming",
-    sql=f"""
-    WITH sig AS ({_SIMHASH_DUCK}),
-    bands AS (
-        {' UNION ALL '.join(
-            f"SELECT doc_id, simhash, {j} AS band_id,"
-            f" (simhash >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
-            f" AS band_key FROM sig"
-            for j in range(SIMHASH_BANDS)
-        )}
-    ),
-    {capped_pair_ctes_sql(
-        'sb_',
-        'bands',
-        ['band_id', 'band_key'],
-        "{'doc_id': doc_id, 'simhash': simhash}",
-        k_sql='simhash',
-    )},
-    cand AS (
-        SELECT DISTINCT p.a.doc_id AS doc1, p.a.simhash AS s1,
-                        p.b.doc_id AS doc2, p.b.simhash AS s2
-        FROM sb_pairs
-    )
-    SELECT doc1, doc2,
-           CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
-    """,
-)
-def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signature computed once; bands explode from an inline array (a
-    # bands self-join would duplicate the whole simhash subtree); pairs
-    # expand inside buckets; verification is pure bit math on the pair.
-    # The lazy checkpoint keeps GenerateExec from re-evaluating the
-    # 60-term simhash chain while banding (see shingled() docstring).
-    sig = simhash_df(compute_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
+def banded_hamming_pairs(sig: DataFrame, sig_col: str) -> DataFrame:
+    """(doc1, doc2, hamming <= HAMMING_MAX) near-dup pairs from a
+    (doc_id, ``sig_col``) signature frame via the 4x15-bit banded
+    layout — ONE copy of the machinery for every hamming-space
+    signature (text simhash, image average-hash, ...).
+
+    Bands explode from an inline array (a bands self-join would
+    duplicate the whole signature subtree); pairs expand inside
+    member-capped buckets; verification is pure bit math on the pair.
+    Oversized buckets chain in SIGNATURE order (key_col) — adjacent
+    chain members are numerically-close signatures, so chain edges are
+    likely to pass the hamming filter (candidate connectivity would
+    otherwise be destroyed by verification in an id-interleaved
+    mega-bucket). hamming is computed and filtered BEFORE the
+    pair-dedup shuffle so the distinct only carries surviving pairs
+    (filter(distinct(x)) == distinct(filter(x)) since hamming is a
+    function of the pair). Callers should localCheckpoint(eager=False)
+    the signature frame if its computation is expensive (GenerateExec
+    re-evaluates its input while banding)."""
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band_id"),
-                F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
+                F.shiftright(F.col(sig_col), j * SIMHASH_BAND_BITS)
                 .bitwiseAND(F.lit(mask))
                 .alias("band_key"),
             )
@@ -843,32 +823,74 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sig.select(
-        F.struct("doc_id", "simhash").alias("m"), F.explode(band_structs).alias("b")
+        F.struct("doc_id", sig_col).alias("m"), F.explode(band_structs).alias("b")
     ).select("m", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
-    # Oversized buckets chain in SIMHASH order (key_col) — adjacent
-    # chain members are numerically-close signatures, so chain edges are
-    # likely to pass the hamming filter (candidate connectivity would
-    # otherwise be destroyed by verification in an id-interleaved
-    # mega-bucket). hamming is computed and filtered BEFORE the
-    # pair-dedup shuffle so the distinct only carries surviving pairs
-    # (filter(distinct(x)) == distinct(filter(x)) since hamming is a
-    # function of the pair).
     return (
         capped_bucket_pairs(
-            bands, ["band_id", "band_key"], member_col="m", key_col="m.simhash"
+            bands, ["band_id", "band_key"], member_col="m", key_col=f"m.{sig_col}"
         )
         .select(
             F.col("p.a.doc_id").alias("doc1"),
-            F.col("p.a.simhash").alias("s1"),
+            F.col(f"p.a.{sig_col}").alias("s1"),
             F.col("p.b.doc_id").alias("doc2"),
-            F.col("p.b.simhash").alias("s2"),
+            F.col(f"p.b.{sig_col}").alias("s2"),
         )
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc1", "doc2", "hamming")
         .distinct()
     )
+
+
+def banded_hamming_tail_sql(sig_col: str, prefix: str) -> str:
+    """The oracle twin of :func:`banded_hamming_pairs`: bands/pairs/
+    cand CTEs plus the final hamming SELECT, reading a CTE named
+    ``sig`` that provides (doc_id, ``sig_col``). Compose as
+    ``WITH sig AS (...), {banded_hamming_tail_sql(...)}``."""
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {sig_col}, {j} AS band_id,"
+        f" ({sig_col} >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        f" AS band_key FROM sig"
+        for j in range(SIMHASH_BANDS)
+    )
+    pair_ctes = capped_pair_ctes_sql(
+        prefix,
+        "bands",
+        ["band_id", "band_key"],
+        "{'doc_id': doc_id, '" + sig_col + "': " + sig_col + "}",
+        k_sql=sig_col,
+    )
+    return f"""bands AS (
+        {bands}
+    ),
+    {pair_ctes},
+    cand AS (
+        SELECT DISTINCT p.a.doc_id AS doc1, p.a.{sig_col} AS s1,
+                        p.b.doc_id AS doc2, p.b.{sig_col} AS s2
+        FROM {prefix}pairs
+    )
+    SELECT doc1, doc2,
+           CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}"""
+
+
+@query(
+    "q_dedup_simhash_hamming",
+    sql=f"""
+    WITH sig AS ({_SIMHASH_DUCK}),
+    {banded_hamming_tail_sql('simhash', 'sb_')}
+    """,
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signature computed once; the lazy checkpoint keeps GenerateExec
+    # from re-evaluating the 60-term simhash chain while banding (see
+    # shingled() docstring).
+    sig = simhash_df(compute_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    return banded_hamming_pairs(sig, "simhash")
 
 
 # ---------------------------------------------------------------------------

@@ -1753,11 +1753,8 @@ def _phash_pixel_sql(j: str) -> str:
 
 def _register_phash() -> None:
     from nyc_landmarks_datalake_spark.operators.dedup import (
-        HAMMING_MAX,
-        SIMHASH_BAND_BITS,
-        SIMHASH_BANDS,
-        capped_bucket_pairs,
-        capped_pair_ctes_sql,
+        banded_hamming_pairs,
+        banded_hamming_tail_sql,
     )
 
     @query(
@@ -1792,71 +1789,15 @@ def _register_phash() -> None:
                    )} AS phash
             FROM mx
         ),
-        bands AS (
-            {' UNION ALL '.join(
-                f"SELECT doc_id, phash, {j} AS band_id,"
-                f" (phash >> {j * SIMHASH_BAND_BITS})"
-                f" & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key FROM sig"
-                for j in range(SIMHASH_BANDS)
-            )}
-        ),
-        {capped_pair_ctes_sql(
-            'ib_',
-            'bands',
-            ['band_id', 'band_key'],
-            "{'doc_id': doc_id, 'phash': phash}",
-            k_sql='phash',
-        )},
-        cand AS (
-            SELECT DISTINCT p.a.doc_id AS doc1, p.a.phash AS s1,
-                            p.b.doc_id AS doc2, p.b.phash AS s2
-            FROM ib_pairs
-        )
-        SELECT doc1, doc2,
-               CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
+        {banded_hamming_tail_sql('phash', 'ib_')}
         """,
     )
     def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the lazy checkpoint keeps GenerateExec from re-running the
+        # mapInPandas decode while banding (shared-helper contract)
         docs = compute_table(spark, sf_dir, "documents")
         sig = phash_images(_phash_fixture(docs)).localCheckpoint(eager=False)
-        mask = (1 << SIMHASH_BAND_BITS) - 1
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band_id"),
-                    F.shiftright(F.col("phash"), j * SIMHASH_BAND_BITS)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("band_key"),
-                )
-                for j in range(SIMHASH_BANDS)
-            ]
-        )
-        bands = sig.select(
-            F.struct("doc_id", "phash").alias("m"),
-            F.explode(band_structs).alias("b"),
-        ).select(
-            "m",
-            F.col("b.band_id").alias("band_id"),
-            F.col("b.band_key").alias("band_key"),
-        )
-        hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
-        return (
-            capped_bucket_pairs(
-                bands, ["band_id", "band_key"], member_col="m", key_col="m.phash"
-            )
-            .select(
-                F.col("p.a.doc_id").alias("doc1"),
-                F.col("p.a.phash").alias("s1"),
-                F.col("p.b.doc_id").alias("doc2"),
-                F.col("p.b.phash").alias("s2"),
-            )
-            .withColumn("hamming", hamming)
-            .filter(F.col("hamming") <= HAMMING_MAX)
-            .select("doc1", "doc2", "hamming")
-            .distinct()
-        )
+        return banded_hamming_pairs(sig, "phash")
 
 
 _register_phash()

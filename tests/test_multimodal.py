@@ -716,22 +716,48 @@ def test_phash_images_matches_reference_impl(spark):
         assert got[i] == want
 
 
-def test_phash_dedup_groups_found(spark):
-    """Within-group image pairs (same md5 base, <=3 perturbed pixels)
-    must surface as near-dups: full within-group recall is expected at
-    hamming<=3 because a +9 pixel bump flips at most that pixel's
-    mean-bit (and the mean itself moves by < 1)."""
+def test_phash_dedup_groups_found(spark, sf_small):
+    """The query's pair set over group 0 must equal an independent
+    pure-Python recompute of the fixture hashes. NOTE: full within-
+    group recall is fixture-dependent, not guaranteed — the perturbed
+    pixels shift the integer floor mean by up to 1, which can flip
+    mean-boundary bits of UNPERTURBED pixels and push a pair past
+    hamming 3 — so the expectation is recomputed, never assumed."""
+    import hashlib as _hl
+
     from nyc_landmarks_datalake_spark import registry
+    from nyc_landmarks_datalake_spark.operators.multimodal import (
+        PHASH_BITS,
+        PHASH_GROUP,
+        PHASH_PERTURB,
+    )
 
     registry.load_all()
-    out = registry.QUERIES["q_image_phash_dedup"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
-    pairs = {(r.doc1, r.doc2) for r in out}
-    # group 0 = docs 0..3 -> all 6 ordered pairs present
-    for a in range(4):
-        for b in range(a + 1, 4):
-            assert (a, b) in pairs
-    for r in out:
-        assert r.hamming <= 3
-        assert r.doc1 // 4 == r.doc2 // 4  # no cross-group false pair
+    out = registry.QUERIES["q_image_phash_dedup"](spark, sf_small).collect()
+    pairs = {(r.doc1, r.doc2): r.hamming for r in out}
+
+    def _phash(doc_id: int) -> int:
+        gs = str(doc_id // PHASH_GROUP)
+        hx = "".join(
+            _hl.md5((gs + suf).encode()).hexdigest()
+            for suf in ("", "a", "b", "c")
+        )
+        pix = [int(hx[2 * j : 2 * j + 2], 16) for j in range(64)]
+        for j in range(doc_id % PHASH_GROUP):
+            pix[j] = min(pix[j] + PHASH_PERTURB, 255)
+        mu = sum(pix) // 64
+        return sum(1 << b for b in range(PHASH_BITS) if pix[b] >= mu)
+
+    for a in range(PHASH_GROUP):
+        for b in range(a + 1, PHASH_GROUP):
+            ham = bin(_phash(a) ^ _phash(b)).count("1")
+            if ham <= 3:
+                assert pairs[(a, b)] == ham
+            else:
+                assert (a, b) not in pairs
+    # and at least one near-dup pair must exist (a +9 bump on <=3
+    # pixels rarely moves the hash far) or the fixture is broken
+    assert pairs
+    for (d1, d2), ham in pairs.items():
+        assert ham <= 3
+        assert d1 // PHASH_GROUP == d2 // PHASH_GROUP  # no cross-group pair
