@@ -139,6 +139,9 @@ HEADLINE = [
     "q_pq_retrieval_recall",
     "q_image_phash_dedup",
     "q_hard_negative_mining",
+    # added r9 (third leg): domain-partitioned dedup + DPP star join
+    "q_domain_dedup_cascade",
+    "q_dpp_join_agg",
 ]
 
 

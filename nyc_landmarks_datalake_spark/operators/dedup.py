@@ -1168,3 +1168,237 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_common").cast("long").alias("n_common"),
         containment.alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain dedup cascade: MinHash-LSH partitioned by source with
+# per-source thresholds — the production web-crawl shape.
+# ---------------------------------------------------------------------------
+
+#: per-source Jaccard threshold tiers in ppm: 0.3 / 0.4 / 0.5, assigned
+#: deterministically from the source name's md5. Production crawls tune
+#: dedup aggressiveness per domain (template-heavy hosts need stricter
+#: thresholds than prose-heavy ones); the ppm form keeps the threshold
+#: comparison INTEGER-exact on both engines (1e6*n_common >= thr*(union))
+#: instead of comparing floats.
+DOMAIN_THR_BASE_PPM = 300_000
+DOMAIN_THR_STEP_PPM = 100_000
+DOMAIN_THR_TIERS = 3
+
+
+def _domain_thr_ppm_spark(source: Column) -> Column:
+    return (
+        F.lit(DOMAIN_THR_BASE_PPM)
+        + F.lit(DOMAIN_THR_STEP_PPM) * (md5_long(source) % DOMAIN_THR_TIERS)
+    ).cast("long")
+
+
+def _domain_thr_ppm_sql(source: str) -> str:
+    return (
+        f"CAST({DOMAIN_THR_BASE_PPM} + {DOMAIN_THR_STEP_PPM} * "
+        f"({md5_long_sql(source)} % {DOMAIN_THR_TIERS}) AS BIGINT)"
+    )
+
+
+#: bands CTE carrying source (the member struct {'source','doc_id'}
+#: survives the capped pair expansion, so each pair keeps its domain
+#: without a join back to the corpus; source is constant within every
+#: bucket, so struct comparisons degrade to plain doc_id order).
+_DOMAIN_BANDS_DUCK = f"""dsh AS (
+        SELECT doc_id, source, {_SH_DUCK} AS shingles
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    dsig AS (
+        SELECT doc_id, source, {', '.join(_minhash_sql_exprs())}
+        FROM dsh
+    ),
+    dbands AS (
+        {' UNION ALL '.join(
+            f"SELECT {{'source': source, 'doc_id': doc_id}} AS mem, "
+            f"source, {j} AS band_id, {_band_hash_sql(j)} AS band_hash "
+            f"FROM dsig"
+            for j in range(BANDS)
+        )}
+    )"""
+
+
+@query(
+    "q_domain_dedup_cascade",
+    sql=f"""
+    WITH {_DOMAIN_BANDS_DUCK},
+    {capped_pair_ctes_sql('dd_', 'dbands',
+                          ['source', 'band_id', 'band_hash'], 'mem')},
+    dcand AS (
+        SELECT DISTINCT p.a.source AS source,
+               p.a.doc_id AS doc1, p.b.doc_id AS doc2
+        FROM dd_pairs
+    ),
+    dhot AS (
+        SELECT coalesce(list(shingle), []) AS hot_shingles FROM (
+            SELECT shingle
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM dsh)
+            GROUP BY shingle
+            HAVING COUNT(*) > {MAX_SHINGLE_DF}
+        )
+    ),
+    dshk AS (
+        SELECT doc_id, len(shingles) AS n_sh,
+               list_filter(shingles,
+                           s -> NOT list_contains(dhot.hot_shingles, s)) AS kept
+        FROM dsh CROSS JOIN dhot
+    ),
+    dver AS (
+        SELECT c.source, c.doc1, c.doc2
+        FROM dcand c
+        JOIN dshk s1 ON s1.doc_id = c.doc1
+        JOIN dshk s2 ON s2.doc_id = c.doc2
+        WHERE 1000000 * len(list_intersect(s1.kept, s2.kept)) >=
+              {_domain_thr_ppm_sql('c.source')} *
+              (s1.n_sh + s2.n_sh - len(list_intersect(s1.kept, s2.kept)))
+    ),
+    dbase AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    dcandcnt AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cand_pairs
+        FROM dcand GROUP BY 1
+    ),
+    dvercnt AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+               CAST(COUNT(DISTINCT doc2) AS BIGINT) AS n_dropped
+        FROM dver GROUP BY 1
+    )
+    SELECT b.source,
+           {_domain_thr_ppm_sql('b.source')} AS thr_ppm,
+           b.n_docs,
+           CAST(COALESCE(c.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+           CAST(COALESCE(v.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(v.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(b.n_docs - COALESCE(v.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM dbase b
+    LEFT JOIN dcandcnt c USING (source)
+    LEFT JOIN dvercnt v USING (source)
+    """,
+)
+def q_domain_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain MinHash-LSH dedup census with per-domain thresholds.
+
+    The production web-crawl dedup shape: near-dup detection runs
+    WITHIN each domain (cross-domain near-dups are rare and cheap to
+    mop up with the global pass, while within-domain template pages are
+    the bulk of the dup mass), and each domain carries its own Jaccard
+    threshold. Adding ``source`` to the LSH band key delivers the
+    domain partitioning for free — the one candidate-generation shuffle
+    is keyed (source, band_id, band_hash), so a 1000-executor run is
+    co-partitioned by domain with no extra exchange, per-domain skew is
+    bounded by the same member cap as the global pass, and the member
+    struct {source, doc_id} carries the domain THROUGH the capped pair
+    expansion (source is constant within a bucket, so struct ordering
+    degrades to doc_id order and the chain/canon semantics are
+    unchanged).
+
+    Census per source: docs, LSH candidate pairs, pairs verified at the
+    source's threshold (integer-exact ppm cross-multiplication), docs
+    dropped under keep-lowest-doc_id, and docs kept. Verification uses
+    the engine-wide df-capped Jaccard (shared with q_dedup_minhash_lsh)
+    so "near-dup" means one thing everywhere.
+    """
+    docs = compute_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", "source", F.expr(_SH_SPARK).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    sig = (
+        _with_xs(sh)
+        .select(
+            F.struct(F.col("source"), F.col("doc_id")).alias("mem"),
+            "source",
+            *_minhash_cols(),
+        )
+        .localCheckpoint(eager=False)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
+            )
+            for j in range(BANDS)
+        ]
+    )
+    bands = sig.select("mem", "source", F.explode(band_structs).alias("b")).select(
+        "mem",
+        "source",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    # candidate pairs feed TWO consumers (the per-source census count
+    # and the verification join) — checkpoint the expansion boundary or
+    # the band windows + pair explode run once per consumer
+    cand = (
+        capped_bucket_pairs(
+            bands, ["source", "band_id", "band_hash"], member_col="mem"
+        )
+        .select(
+            F.col("p.a.source").alias("source"),
+            F.col("p.a.doc_id").alias("doc1"),
+            F.col("p.b.doc_id").alias("doc2"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    shk = _kept_sets(sh)
+    s1 = shk.select(
+        F.col("doc_id").alias("d1"),
+        F.col("n_sh").alias("n1"),
+        F.col("kept").alias("k1"),
+    )
+    s2 = shk.select(
+        F.col("doc_id").alias("d2"),
+        F.col("n_sh").alias("n2"),
+        F.col("kept").alias("k2"),
+    )
+    n_common = F.size(F.array_intersect(F.col("k1"), F.col("k2")))
+    ver = (
+        cand.join(s1, F.col("doc1") == F.col("d1"))
+        .join(s2, F.col("doc2") == F.col("d2"))
+        .filter(
+            F.lit(1_000_000).cast("long") * n_common
+            >= _domain_thr_ppm_spark(F.col("source"))
+            * (F.col("n1") + F.col("n2") - n_common)
+        )
+        .select("source", "doc1", "doc2")
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    candcnt = cand.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand_pairs")
+    )
+    vercnt = ver.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("doc2").cast("long").alias("n_dropped"),
+    )
+    return (
+        base.join(candcnt, "source", "left")
+        .join(vercnt, "source", "left")
+        .select(
+            "source",
+            _domain_thr_ppm_spark(F.col("source")).alias("thr_ppm"),
+            "n_docs",
+            F.coalesce(F.col("n_cand_pairs"), F.lit(0).cast("long")).alias(
+                "n_cand_pairs"
+            ),
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0).cast("long")).alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+            (F.col("n_docs") - F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

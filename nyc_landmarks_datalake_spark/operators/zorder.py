@@ -166,3 +166,91 @@ def q_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: the fact's partition filter arrives at
+# RUNTIME from the dim side of a join — the lakehouse star-join scan
+# eliminator. Static pruning (above) needs the literal in the query;
+# DPP prunes when the selection is only expressible through a join
+# (dim attributes the fact doesn't carry). At 100 TB a date-dim or
+# domain-dim join with DPP reads only the matching fact partitions —
+# without it the join scans the whole fact. The plan shape
+# (dynamicpruningexpression in the fact scan's PartitionFilters) is
+# pinned by tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+#: session-scoped staging zones for the event_type-partitioned fact
+#: copy (one deterministic write per sf_dir; re-invocations reuse it,
+#: so bench loops don't grow temp disk).
+_DPP_ZONES: dict[str, str] = {}
+
+#: dim attribute selecting which event types the join keeps: types
+#: whose GLOBAL row count is odd. Deliberately an aggregate of the dim
+#: build — a function of the join KEY VALUE (e.g. an md5 tag) would be
+#: propagated to the fact as a static partition filter by constraint
+#: inference, and the scan would be pruned at plan time without any
+#: dynamic machinery. An aggregate attribute is only knowable by
+#: running the dim side, so the fact's partition filter can ONLY
+#: arrive via DynamicPruningExpression.
+DPP_PARITY = 1
+
+
+def _events_by_type_zone(spark: SparkSession, sf_dir: str) -> str:
+    from nyc_landmarks_datalake_spark.sources.catalog import table as _table
+
+    path = _DPP_ZONES.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="events_by_type_") + "/data"
+        _table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+        _DPP_ZONES[sf_dir] = path
+    return path
+
+
+def dpp_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-dim join whose fact partition filter only exists at
+    runtime: fact = events partitioned by event_type on disk; dim = the
+    event types whose global row count is odd (see DPP_PARITY: an
+    aggregate attribute, underivable from the key, so no static filter
+    can prune the fact scan). Catalyst inserts a
+    DynamicPruningExpression that reuses the dim's broadcast to
+    enumerate surviving partitions before the fact scan runs."""
+    from nyc_landmarks_datalake_spark.sources.catalog import table as _table
+
+    fact = spark.read.parquet(_events_by_type_zone(spark, sf_dir))
+    dim = (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_n"))
+        .filter(F.col("type_n") % 2 == DPP_PARITY)
+        .select("event_type")
+    )
+    return fact.join(F.broadcast(dim), "event_type")
+
+
+@query(
+    "q_dpp_join_agg",
+    sql=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    WHERE event_type IN (
+        SELECT event_type FROM events
+        GROUP BY 1 HAVING COUNT(*) % 2 = {DPP_PARITY}
+    )
+    GROUP BY 1
+    """,
+)
+def q_dpp_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the dynamically-pruned fact-dim join. The oracle
+    inlines the dim predicate over the raw table — equal results prove
+    the pruned scan read exactly the surviving partitions' rows."""
+    return dpp_join_plan(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )

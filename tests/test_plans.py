@@ -501,3 +501,37 @@ def test_curriculum_schedule_reduces_before_spine(spark, sf_oracle):
     a = audit(registry.QUERIES["q_curriculum_schedule"](spark, sf_oracle))
     assert a.nested_loop_joins + a.broadcast_hash_joins >= 1
     assert not a.has_python_eval
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_oracle):
+    # r9: the fact scan's partition filter must arrive DYNAMICALLY from
+    # the dim side (DynamicPruningExpression reusing the dim broadcast)
+    # — the dim attribute is an aggregate (odd global count), which
+    # constraint inference cannot rewrite into a static fact filter. At
+    # 100 TB this is the difference between scanning matching fact
+    # partitions and scanning the whole fact.
+    from nyc_landmarks_datalake_spark.operators.zorder import dpp_join_plan
+    from nyc_landmarks_datalake_spark.plans.audit import _plan_string
+
+    df = dpp_join_plan(spark, sf_oracle)
+    plan = _plan_string(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    a = audit(df)
+    assert a.broadcast_hash_joins >= 1
+    assert not a.has_python_eval
+
+
+def test_domain_dedup_cascade_partitions_by_source(spark, sf_oracle):
+    # r9: the candidate-generation shuffle must be keyed by
+    # (source, band_id, band_hash) — the domain rides in the bucket key,
+    # so a cluster run is co-partitioned by domain with no extra
+    # exchange, and the member cap bounds per-domain skew exactly like
+    # the global LSH pass.
+    from nyc_landmarks_datalake_spark.plans.audit import _plan_string
+
+    df = registry.QUERIES["q_domain_dedup_cascade"](spark, sf_oracle)
+    a = audit(df)
+    plan = _plan_string(df)
+    assert "hashpartitioning(source#" in plan, plan[:2000]
+    assert not a.has_python_eval
+    assert "CartesianProduct" not in plan
