@@ -142,6 +142,7 @@ HEADLINE = [
     # added r9 (third leg): domain-partitioned dedup + DPP star join
     "q_domain_dedup_cascade",
     "q_dpp_join_agg",
+    "q_repetition_filter",
 ]
 
 

@@ -528,3 +528,153 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition filters (the Gopher/MassiveText quality
+# rules): fraction of n-gram positions covered by n-grams that repeat
+# within the document, plus the single most-repeated 2-gram's coverage.
+# Repetitious documents (template spam, keyword stuffing, degenerate
+# generations) are the canonical pre-training quality cut. All metrics
+# are integer ppm — per-doc work is pure map-side HOF composition
+# (codegen), the census is one partial-aggregated groupBy(source):
+# a 100 TB corpus scans once, shuffles only 20 census rows per task.
+# ---------------------------------------------------------------------------
+
+#: flag thresholds (ppm of n-gram positions covered by repeating grams;
+#: chosen against the synthetic corpus distribution — dup2 median
+#: ~56k ppm / max ~267k, dup3 median 0 / max ~143k — so each rule
+#: flags a real minority, like production cuts do)
+REP2_MAX_PPM = 100_000
+REP3_MAX_PPM = 50_000
+
+
+def _grams_expr(n: int) -> str:
+    """Spark SQL: the NON-distinct n-gram list over ``toks`` (repetition
+    counting needs every position, unlike the dedup shingles)."""
+    parts = ", ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+
+
+def _grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks)-{n}+2), i -> {parts}) "
+        "ELSE [] END"
+    )
+
+
+#: positions covered by grams occurring >= 2 times in the doc (Spark)
+def _dup_positions_expr(g: str) -> str:
+    return f"size(filter({g}, x -> size(filter({g}, y -> y = x)) >= 2))"
+
+
+def _dup_positions_sql(g: str) -> str:
+    return f"len(list_filter({g}, x -> len(list_filter({g}, y -> y = x)) >= 2))"
+
+
+@query(
+    "q_repetition_filter",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               {_grams_sql(2)} AS g2,
+               {_grams_sql(3)} AS g3
+        FROM t
+    ),
+    m AS (
+        SELECT source,
+               CASE WHEN len(g2) > 0
+                    THEN {_dup_positions_sql('g2')} * 1000000 // len(g2)
+                    ELSE 0 END AS dup2_ppm,
+               CASE WHEN len(g3) > 0
+                    THEN {_dup_positions_sql('g3')} * 1000000 // len(g3)
+                    ELSE 0 END AS dup3_ppm,
+               CASE WHEN len(g2) > 0
+                    THEN coalesce(list_max(list_transform(list_distinct(g2),
+                         x -> len(list_filter(g2, y -> y = x)))), 0)
+                         * 1000000 // len(g2)
+                    ELSE 0 END AS top2_ppm
+        FROM g
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup2_ppm > {REP2_MAX_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_rep2,
+           CAST(SUM(CASE WHEN dup3_ppm > {REP3_MAX_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_rep3,
+           CAST(SUM(CASE WHEN dup2_ppm > {REP2_MAX_PPM}
+                          OR dup3_ppm > {REP3_MAX_PPM}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_any,
+           CAST(SUM(dup2_ppm) AS BIGINT) AS sum_dup2_ppm,
+           CAST(SUM(dup3_ppm) AS BIGINT) AS sum_dup3_ppm,
+           CAST(MAX(top2_ppm) AS BIGINT) AS max_top2_ppm
+    FROM m
+    GROUP BY 1
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repetition-quality census (Gopher-style cuts).
+
+    For every document: the ppm of 2-gram / 3-gram positions covered by
+    grams repeating within the document, and the most-repeated 2-gram's
+    coverage; flags against REP2/REP3 thresholds; per-source counts and
+    exact ppm sums. Per-doc counting is the O(k^2) nested-HOF form —
+    bounded by document token count, embarrassingly parallel, zero
+    Python."""
+    docs = compute_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).select(
+        "source",
+        F.expr(_grams_expr(2)).alias("g2"),
+        F.expr(_grams_expr(3)).alias("g3"),
+    )
+    top2 = (
+        "coalesce(array_max(transform(array_distinct(g2),"
+        " x -> size(filter(g2, y -> y = x)))), 0)"
+    )
+    m = g.selectExpr(
+        "source",
+        f"CAST(CASE WHEN size(g2) > 0 THEN "
+        f"CAST({_dup_positions_expr('g2')} AS BIGINT) * 1000000 div size(g2) "
+        f"ELSE 0 END AS BIGINT) AS dup2_ppm",
+        f"CAST(CASE WHEN size(g3) > 0 THEN "
+        f"CAST({_dup_positions_expr('g3')} AS BIGINT) * 1000000 div size(g3) "
+        f"ELSE 0 END AS BIGINT) AS dup3_ppm",
+        f"CAST(CASE WHEN size(g2) > 0 THEN "
+        f"CAST({top2} AS BIGINT) * 1000000 div size(g2) "
+        f"ELSE 0 END AS BIGINT) AS top2_ppm",
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("dup2_ppm") > REP2_MAX_PPM).cast("int"))
+        .cast("long")
+        .alias("n_flagged_rep2"),
+        F.sum((F.col("dup3_ppm") > REP3_MAX_PPM).cast("int"))
+        .cast("long")
+        .alias("n_flagged_rep3"),
+        F.sum(
+            (
+                (F.col("dup2_ppm") > REP2_MAX_PPM)
+                | (F.col("dup3_ppm") > REP3_MAX_PPM)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_flagged_any"),
+        F.sum("dup2_ppm").cast("long").alias("sum_dup2_ppm"),
+        F.sum("dup3_ppm").cast("long").alias("sum_dup3_ppm"),
+        F.max("top2_ppm").cast("long").alias("max_top2_ppm"),
+    )
