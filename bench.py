@@ -143,6 +143,7 @@ HEADLINE = [
     "q_domain_dedup_cascade",
     "q_dpp_join_agg",
     "q_repetition_filter",
+    "q_soft_dedup_weights",
 ]
 
 

@@ -681,3 +681,78 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("deg").cast("long").alias("max_deg"),
         F.sum("deg").cast("long").alias("sum_deg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: instead of dropping non-canonical near-dup members, give
+# every doc a training weight of 1/cluster_size (integer ppm) — the
+# downweighting alternative (SlimPajama/Dolma-style) that preserves
+# unbiased corpus statistics while suppressing duplicate
+# over-representation. Reuses the exact∪LSH cluster labeling; the
+# per-source census sums the weights (the source's EFFECTIVE dataset
+# size × 1e6). At 100 TB the extra cost over clustering is one count
+# per cluster + one weight join — both keyed on cluster_id, the
+# partitioning the labeling already produced.
+# ---------------------------------------------------------------------------
+@query(
+    "q_soft_dedup_weights",
+    sql=f"""
+    WITH RECURSIVE {LSH_PAIR_CTES},
+    {_EDGE_CTES},
+    verts AS (SELECT DISTINCT src AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS lbl FROM verts
+        UNION
+        SELECT e.dst AS doc, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    clusters AS (
+        SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cl_size
+        FROM clusters GROUP BY 1
+    ),
+    wts AS (
+        SELECT d.source,
+               CAST(COALESCE(1000000 // s.cl_size, 1000000) AS BIGINT)
+                   AS weight_ppm,
+               CAST(COALESCE(s.cl_size, 1) AS BIGINT) AS cl_size
+        FROM documents d
+        LEFT JOIN clusters c ON c.doc = d.doc_id
+        LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cl_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_downweighted,
+           CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight_ppm,
+           CAST(MAX(cl_size) AS BIGINT) AS max_cluster
+    FROM wts
+    GROUP BY 1
+    """,
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = connected_components(_dup_pairs(spark, sf_dir), algorithm="auto")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cl_size")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    wts = (
+        docs.join(clusters, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .selectExpr(
+            "source",
+            "CAST(coalesce(1000000 div cl_size, 1000000) AS BIGINT)"
+            " AS weight_ppm",
+            "CAST(coalesce(cl_size, 1) AS BIGINT) AS cl_size",
+        )
+    )
+    return wts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("cl_size") > 1).cast("int"))
+        .cast("long")
+        .alias("n_downweighted"),
+        F.sum("weight_ppm").cast("long").alias("sum_weight_ppm"),
+        F.max("cl_size").cast("long").alias("max_cluster"),
+    )
