@@ -58,42 +58,17 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # (q_ivf_topk / q_try_arithmetic / q_triangle_count /
-        # q_sequence_pack cleared: green CORRECTNESS_r08 rows landed.)
-        # r8→r9: the DECIMAL(38,0) sxx column red-rowed in r8 (Spark
-        # delivers decimal.Decimal, DuckDB float64 — values equal,
-        # dtype-class skew). r9 emits sxx as DOUBLE via one correctly-
-        # rounded Spark-side cast, VARCHAR-routed on the DuckDB side.
-        "q_trend_slope",
-        # r9 (cosine zero-norm guard, both engines): denominator floored
-        # at 1e-30 so a degenerate embedding scores 0.0 instead of
-        # aborting under ANSI — bit-identical on all real vectors, but
-        # the expression changed in every cosine-scoring query
-        "q_cosine_topk",
-        "q_embedding_neardup",
-        "q_matryoshka_recall",
-        "q_retrieval_mrr",
-        "q_quantized_retrieval_recall",
-        "q_rrf_fusion",
-        "q_kmeans_lloyd",
-        # (self-review r9: these two also score through the changed
-        # cosine expression — ivf_topk via cosine_sql/cosine, and
-        # semantic_dedup via the clustering assignment scorer)
-        "q_ivf_topk",
-        "q_semantic_dedup",
-        # (self-review r9: replay protocol unified into replay_stream_agg
-        # with bounded versioned staging + awaitTermination timeout check
-        # — results identical, machinery changed)
-        "q_stream_tumbling_replay",
-        "q_stream_sliding_replay",
-        # (self-review r9 second pass: banded-hamming machinery extracted
-        # into shared dedup.banded_hamming_pairs/-tail_sql builders used
-        # by both the text simhash and image phash tiers — results
-        # identical, plan and oracle text regenerated)
-        "q_dedup_simhash_hamming",
-        # r9: embeddings read via compute_table (single-file corpora ran
-        # the 64x posexplode on one task); results identical, plan changed
-        "q_label_centroids",
+        # (all 14 r9 REVERIFY names — the trend_slope dtype fix, the
+        # cosine zero-norm-guard tier, the unified replay protocol, the
+        # shared banded-hamming builders, and the compute_table
+        # label_centroids — re-greened in CORRECTNESS_r09: 50/50.)
+        # r10: the per-document repetition counters were rewritten from
+        # O(k^2) pairwise HOFs to an O(k log k) sorted-run aggregate
+        # (operators/textops.py + mirrored DuckDB lambdas) — results
+        # identical by construction, but the expression changed in both
+        # engines. (q_repetition_signals does NOT share the shape — its
+        # dup count is one linear array_distinct — so it stays cleared.)
+        "q_repetition_filter",
     }
 )
 

@@ -571,13 +571,27 @@ def _grams_sql(n: int) -> str:
     )
 
 
-#: positions covered by grams occurring >= 2 times in the doc (Spark)
-def _dup_positions_expr(g: str) -> str:
-    return f"size(filter({g}, x -> size(filter({g}, y -> y = x)) >= 2))"
+def _rep_metrics_expr(g: str) -> str:
+    """Spark SQL: ``struct(dup, best)`` over gram array ``g`` in one
+    O(k log k) pass — sort once, then a single ``aggregate`` fold over
+    adjacent equal runs. ``dup`` = positions covered by grams occurring
+    >= 2 times; ``best`` = the most-repeated gram's occurrence count.
 
-
-def _dup_positions_sql(g: str) -> str:
-    return f"len(list_filter({g}, x -> len(list_filter({g}, y -> y = x)) >= 2))"
+    The sorted array is the aggregate's INPUT argument, so ``array_sort``
+    evaluates exactly once per row (no per-element re-evaluation trap);
+    the fold is O(k). Replaces the r9 nested-filter form that was O(k^2)
+    in document token count — a single-task stall on megabyte documents.
+    """
+    return f"""aggregate(
+  array_sort({g}),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'dup', 0L),
+  (acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN
+      named_struct('prev', x, 'run', acc.run + 1L,
+                   'best', greatest(acc.best, acc.run + 1L),
+                   'dup', acc.dup + CASE WHEN acc.run = 1L THEN 2L ELSE 1L END)
+    ELSE named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L),
+                      'dup', acc.dup) END,
+  acc -> named_struct('dup', acc.dup, 'best', acc.best))"""
 
 
 @query(
@@ -593,20 +607,45 @@ def _dup_positions_sql(g: str) -> str:
                {_grams_sql(3)} AS g3
         FROM t
     ),
+    -- O(k log k) mirror of the Spark fold: sort once, find run starts by
+    -- index, turn consecutive starts into run lengths. dup = positions
+    -- minus single-occurrence runs; top = longest run.
+    s AS (
+        SELECT source,
+               list_sort(g2) AS s2, list_sort(g3) AS s3,
+               len(g2) AS k2, len(g3) AS k3
+        FROM g
+    ),
+    st AS (
+        SELECT source, k2, k3,
+               list_filter(range(1, k2+1),
+                           i -> i = 1 OR s2[i] != s2[i-1]) AS st2,
+               list_filter(range(1, k3+1),
+                           i -> i = 1 OR s3[i] != s3[i-1]) AS st3
+        FROM s
+    ),
+    rl AS (
+        SELECT source, k2, k3,
+               list_transform(range(1, len(st2)+1),
+                   j -> coalesce(st2[j+1], k2+1) - st2[j]) AS rl2,
+               list_transform(range(1, len(st3)+1),
+                   j -> coalesce(st3[j+1], k3+1) - st3[j]) AS rl3
+        FROM st
+    ),
     m AS (
         SELECT source,
-               CASE WHEN len(g2) > 0
-                    THEN {_dup_positions_sql('g2')} * 1000000 // len(g2)
+               CASE WHEN k2 > 0
+                    THEN (k2 - len(list_filter(rl2, L -> L = 1)))
+                         * 1000000 // k2
                     ELSE 0 END AS dup2_ppm,
-               CASE WHEN len(g3) > 0
-                    THEN {_dup_positions_sql('g3')} * 1000000 // len(g3)
+               CASE WHEN k3 > 0
+                    THEN (k3 - len(list_filter(rl3, L -> L = 1)))
+                         * 1000000 // k3
                     ELSE 0 END AS dup3_ppm,
-               CASE WHEN len(g2) > 0
-                    THEN coalesce(list_max(list_transform(list_distinct(g2),
-                         x -> len(list_filter(g2, y -> y = x)))), 0)
-                         * 1000000 // len(g2)
+               CASE WHEN k2 > 0
+                    THEN coalesce(list_max(rl2), 0) * 1000000 // k2
                     ELSE 0 END AS top2_ppm
-        FROM g
+        FROM rl
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -630,9 +669,9 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     For every document: the ppm of 2-gram / 3-gram positions covered by
     grams repeating within the document, and the most-repeated 2-gram's
     coverage; flags against REP2/REP3 thresholds; per-source counts and
-    exact ppm sums. Per-doc counting is the O(k^2) nested-HOF form —
-    bounded by document token count, embarrassingly parallel, zero
-    Python."""
+    exact ppm sums. Per-doc counting is a single sorted-run ``aggregate``
+    fold — O(k log k) in document token count (long-crawl-document-proof),
+    embarrassingly parallel, zero Python."""
     docs = compute_table(spark, sf_dir, "documents")
     g = docs.select(
         "source",
@@ -642,21 +681,20 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_grams_expr(2)).alias("g2"),
         F.expr(_grams_expr(3)).alias("g3"),
     )
-    top2 = (
-        "coalesce(array_max(transform(array_distinct(g2),"
-        " x -> size(filter(g2, y -> y = x)))), 0)"
-    )
     m = g.selectExpr(
         "source",
-        f"CAST(CASE WHEN size(g2) > 0 THEN "
-        f"CAST({_dup_positions_expr('g2')} AS BIGINT) * 1000000 div size(g2) "
-        f"ELSE 0 END AS BIGINT) AS dup2_ppm",
-        f"CAST(CASE WHEN size(g3) > 0 THEN "
-        f"CAST({_dup_positions_expr('g3')} AS BIGINT) * 1000000 div size(g3) "
-        f"ELSE 0 END AS BIGINT) AS dup3_ppm",
-        f"CAST(CASE WHEN size(g2) > 0 THEN "
-        f"CAST({top2} AS BIGINT) * 1000000 div size(g2) "
-        f"ELSE 0 END AS BIGINT) AS top2_ppm",
+        f"{_rep_metrics_expr('g2')} AS m2",
+        f"{_rep_metrics_expr('g3')} AS m3",
+        "size(g2) AS k2",
+        "size(g3) AS k3",
+    ).selectExpr(
+        "source",
+        "CAST(CASE WHEN k2 > 0 THEN m2.dup * 1000000 div k2 "
+        "ELSE 0 END AS BIGINT) AS dup2_ppm",
+        "CAST(CASE WHEN k3 > 0 THEN m3.dup * 1000000 div k3 "
+        "ELSE 0 END AS BIGINT) AS dup3_ppm",
+        "CAST(CASE WHEN k2 > 0 THEN m2.best * 1000000 div k2 "
+        "ELSE 0 END AS BIGINT) AS top2_ppm",
     )
     return m.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

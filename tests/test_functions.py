@@ -116,3 +116,38 @@ def test_spatial_grid_join_exact_pairs(spark):
     )
     assert got == want
     assert len(got) == len(set(got))  # no duplicate pairs
+
+
+def test_rep_metrics_fold_matches_brute_force_and_scales(spark):
+    """The sorted-run repetition fold (textops._rep_metrics_expr) is
+    value-identical to brute-force counting, and — the r9 verdict's scale
+    requirement — a single >=50k-token document completes in seconds
+    (the replaced nested-filter form was O(k^2): ~2.5e9 comparisons)."""
+    import random
+    import time
+    from collections import Counter
+
+    from nyc_landmarks_datalake_spark.operators.textops import _rep_metrics_expr
+
+    rng = random.Random(42)
+    rows = [
+        ([rng.choice("abcd") for _ in range(rng.randint(0, 15))],)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g: array<string>")
+    got = df.selectExpr("g", _rep_metrics_expr("g") + " AS m").collect()
+    for r in got:
+        c = Counter(r.g)
+        dup = sum(v for v in c.values() if v >= 2)
+        best = max(c.values()) if c else 0
+        assert (r.m.dup, r.m.best) == (dup, best), r.g
+
+    toks = [str(rng.randint(0, 500)) for _ in range(50_000)]
+    big = spark.createDataFrame([(toks,)], "g: array<string>")
+    t0 = time.time()
+    m = big.selectExpr(_rep_metrics_expr("g") + " AS m").collect()[0].m
+    elapsed = time.time() - t0
+    c = Counter(toks)
+    assert m.dup == sum(v for v in c.values() if v >= 2)
+    assert m.best == max(c.values())
+    assert elapsed < 30, f"50k-token doc took {elapsed:.1f}s"
