@@ -69,6 +69,17 @@ REVERIFY: frozenset[str] = frozenset(
         # engines. (q_repetition_signals does NOT share the shape — its
         # dup count is one linear array_distinct — so it stays cleared.)
         "q_repetition_filter",
+        # r10 ADVICE fixes: n_exact now compares the sketch stream length
+        # against count(value) (non-null) instead of COUNT(*) — values
+        # identical on NULL-free data, expression changed
+        "q_kll_quantile_rollup",
+        # r10 ADVICE fix: view/variable names uniquified per call
+        "q_session_variables",
+        # r10 ADVICE fix: replay snapshots eagerly materialized
+        # (localCheckpoint) so they survive staging-retention rotation
+        "q_stream_tumbling_replay",
+        "q_stream_sliding_replay",
+        "q_stream_session_replay",
     }
 )
 

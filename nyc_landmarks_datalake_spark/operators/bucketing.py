@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
+
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,7 +60,7 @@ def bucketed_pair(
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     names = (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}")
     if not all(spark.catalog.tableExists(n) for n in names):
-        base = tempfile.mkdtemp(prefix=f"bucketed_{tag}_")
+        base = scratch_dir(prefix=f"bucketed_{tag}_")
         bucketed_write(
             table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderpriority", "o_totalprice"

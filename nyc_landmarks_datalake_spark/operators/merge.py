@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
 from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
 from nyc_landmarks_datalake_spark.sources.catalog import table
 
 ORDER_COLS = [
@@ -146,7 +147,6 @@ def q_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from nyc_landmarks_datalake_spark.sources import txtable
 
@@ -156,7 +156,7 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("P"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
     )
-    path = tempfile.mkdtemp(prefix="txlog_orders_")
+    path = scratch_dir(prefix="txlog_orders_")
     txtable.commit(spark, path, base, "create", expected_version=None)
     txtable.merge_upsert_tx(spark, path, updates, ["o_orderkey"])
     merged = txtable.read_snapshot(spark, path)  # latest = v1
@@ -196,7 +196,6 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from nyc_landmarks_datalake_spark.sources import txtable
 
@@ -206,7 +205,7 @@ def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("P"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
     )
-    path = tempfile.mkdtemp(prefix="txlog_tt_")
+    path = scratch_dir(prefix="txlog_tt_")
     txtable.commit(spark, path, base, "create", expected_version=None)
     txtable.merge_upsert_tx(spark, path, updates, ["o_orderkey"])
 
@@ -259,7 +258,6 @@ def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from nyc_landmarks_datalake_spark.sources import txtable
 
@@ -274,7 +272,7 @@ def q_txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000_000)
         .withColumn("o_orderstatus", F.lit("N"))
     )
-    path = tempfile.mkdtemp(prefix="txlog_cdf_")
+    path = scratch_dir(prefix="txlog_cdf_")
     txtable.commit(spark, path, base, "create", expected_version=None)
     txtable.merge_upsert_tx(spark, path, modified.unionByName(inserted), ["o_orderkey"])
 
@@ -337,7 +335,6 @@ def q_txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from nyc_landmarks_datalake_spark.sources import txtable
 
@@ -352,7 +349,7 @@ def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000_000)
         .withColumn("o_orderstatus", F.lit("N"))
     )
-    path = tempfile.mkdtemp(prefix="txlog_mv_")
+    path = scratch_dir(prefix="txlog_mv_")
     txtable.commit(spark, path, base, "create", expected_version=None)
     txtable.merge_upsert_tx(
         spark, path, modified.unionByName(inserted), ["o_orderkey"]

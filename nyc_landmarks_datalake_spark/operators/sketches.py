@@ -399,6 +399,9 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(est), "event_type")
     ranked = j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        # the sketch agg skips NULL inputs, so its carried n must be
+        # compared against the NON-NULL value count, not COUNT(*)
+        F.count("value").alias("n_vals"),
         F.first("n_days").alias("n_days"),
         F.first("sk_n").alias("sk_n"),
         (
@@ -414,7 +417,7 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_rows",
         "n_days",
-        (F.col("sk_n") == F.col("n_rows")).alias("n_exact"),
+        (F.col("sk_n") == F.col("n_vals")).alias("n_exact"),
         (F.abs(F.col("r50") - 0.5) <= KLL_RANK_TOL).alias("p50_rank_ok"),
         (F.abs(F.col("r95") - 0.95) <= KLL_RANK_TOL).alias("p95_rank_ok"),
     )

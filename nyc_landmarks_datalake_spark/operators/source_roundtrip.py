@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,7 +45,7 @@ _AGG_SQL = """
 def _roundtrip_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tmp = os.path.join(
-        tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_"), "data"
+        scratch_dir(prefix=f"roundtrip_{fmt}_"), "data"
     )
     writer = docs.write.mode("overwrite")
     reader = spark.read
@@ -84,7 +85,7 @@ def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink → source (Spark 4 built-in XML datasource; entity
     escaping of free text is the hazard this probes)."""
     docs = table(spark, sf_dir, "documents")
-    tmp = os.path.join(tempfile.mkdtemp(prefix="roundtrip_xml_"), "data")
+    tmp = os.path.join(scratch_dir(prefix="roundtrip_xml_"), "data")
     (
         docs.write.mode("overwrite")
         .format("xml")
@@ -135,7 +136,7 @@ def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="schema_evo_")
+    base = scratch_dir(prefix="schema_evo_")
     v1_dir = os.path.join(base, "v1")
     v2_dir = os.path.join(base, "v2")
     docs.filter(F.col("doc_id") % 2 == 0).select(
@@ -207,7 +208,7 @@ def q_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     root, version = _COMPACT_ZONES.get(sf_dir) or (
-        tempfile.mkdtemp(prefix="compact_zone_"),
+        scratch_dir(prefix="compact_zone_"),
         0,
     )
     _COMPACT_ZONES[sf_dir] = (root, version + 1)

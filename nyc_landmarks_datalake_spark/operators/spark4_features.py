@@ -269,6 +269,9 @@ def q_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SV_MULT = 1.25
 
+#: per-call suffix for q_session_variables' view/variable names
+_SV_SEQ = 0
+
 
 @query(
     "q_session_variables",
@@ -292,22 +295,30 @@ def q_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Spark's BigDecimal→double cast is correctly rounded, matching the
     oracle's VARCHAR-routed cast); the parameterized statement then
     sees it as a constant, so Catalyst folds ``bal_mean * :mult`` into
-    one literal comparison pushed to the scan."""
-    table(spark, sf_dir, "customer").createOrReplaceTempView("sv_customer")
-    spark.sql("DECLARE OR REPLACE VARIABLE sv_bal_mean DOUBLE")
+    one literal comparison pushed to the scan.
+
+    The view and variable names are uniquified per call so the query is
+    self-contained: it never clobbers a caller's same-named session
+    state and concurrent invocations in one SparkSession can't race on
+    a shared variable."""
+    global _SV_SEQ
+    _SV_SEQ += 1
+    view, var = f"sv_customer_{_SV_SEQ}", f"sv_bal_mean_{_SV_SEQ}"
+    table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {var} DOUBLE")
     spark.sql(
-        "SET VAR sv_bal_mean = ("
+        f"SET VAR {var} = ("
         "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)"
-        " / COUNT(*) FROM sv_customer)"
+        f" / COUNT(*) FROM {view})"
     )
     return spark.sql(
-        """
+        f"""
         SELECT c_mktsegment,
                COUNT(*) AS n_above,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
                    AS sum_bal
-        FROM sv_customer
-        WHERE c_acctbal > sv_bal_mean * :mult
+        FROM {view}
+        WHERE c_acctbal > {var} * :mult
         GROUP BY c_mktsegment
         """,
         args={"mult": SV_MULT},

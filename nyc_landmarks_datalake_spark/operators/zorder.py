@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.functions.numeric import dsum, dsum_sql
 from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
 from nyc_landmarks_datalake_spark.sources.catalog import table
 
 #: bits per dimension (dims are masked to this width before interleave)
@@ -152,12 +153,11 @@ PRUNE_DAY = "2024-01-15"
     """,
 )
 def q_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     ev = table(spark, sf_dir, "events").withColumn(
         "event_day", F.to_date("ts")
     )
-    path = tempfile.mkdtemp(prefix="events_by_day_") + "/data"
+    path = scratch_dir(prefix="events_by_day_") + "/data"
     ev.write.mode("overwrite").partitionBy("event_day").parquet(path)
     pruned = spark.read.parquet(path).filter(
         F.col("event_day") == F.lit(PRUNE_DAY).cast("date")
@@ -201,9 +201,8 @@ def _events_by_type_zone(spark: SparkSession, sf_dir: str) -> str:
 
     path = _DPP_ZONES.get(sf_dir)
     if path is None:
-        import tempfile
 
-        path = tempfile.mkdtemp(prefix="events_by_type_") + "/data"
+        path = scratch_dir(prefix="events_by_type_") + "/data"
         _table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
             "event_type"
         ).parquet(path)

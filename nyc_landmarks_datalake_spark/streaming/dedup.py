@@ -29,6 +29,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+
 
 def replay_stream_dedup(
     spark,
@@ -42,9 +45,8 @@ def replay_stream_dedup(
     must outlive the returned lazy DataFrame (OS tmp reaper cleans it —
     never clean up inside a registered query callable)."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    base = scratch_dir(prefix="stream_dedup_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -67,7 +69,7 @@ def replay_stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finish_replay(q, timeout_s, "stream_dedup")
     return spark.read.parquet(out)
 
 
@@ -96,9 +98,8 @@ def replay_stream_dedup_watermarked(
     columns under arrival-order nondeterminism (same reasoning as
     replay_stream_dedup's key-only projection)."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="stream_dedup_wm_")
+    base = scratch_dir(prefix="stream_dedup_wm_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -122,7 +123,7 @@ def replay_stream_dedup_watermarked(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finish_replay(q, timeout_s, "stream_dedup")
     return spark.read.parquet(out)
 
 

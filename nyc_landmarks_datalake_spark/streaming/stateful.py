@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -159,12 +162,11 @@ def replay_user_profiles(
     row per user. The temp dir must outlive the returned (lazy)
     DataFrame, so it is left for the OS tmp reaper."""
     import os
-    import tempfile
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    base = tempfile.mkdtemp(prefix="stateful_profiles_")
+    base = scratch_dir(prefix="stateful_profiles_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -187,7 +189,7 @@ def replay_user_profiles(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finish_replay(q, timeout_s, "stateful_profiles")
     emitted = spark.read.parquet(out)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (

@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+
 JOIN_WINDOW_HOURS = 6
 
 
@@ -41,9 +44,8 @@ def replay_stream_interval_join(
     stream-stream interval join; return every emitted pair. Temp dirs
     must outlive the returned lazy DataFrame (OS reaper cleans them)."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="stream_join_")
+    base = scratch_dir(prefix="stream_join_")
     src_a = os.path.join(base, "clicks")
     src_b = os.path.join(base, "purchases")
     ckpt = os.path.join(base, "ckpt")
@@ -84,7 +86,7 @@ def replay_stream_interval_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finish_replay(q, timeout_s, "stream_join")
     return spark.read.parquet(out)
 
 
@@ -153,9 +155,8 @@ def replay_stream_static_join(
     regardless of arrival order, which is what makes the replay
     oracle-checkable."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="stream_static_")
+    base = scratch_dir(prefix="stream_static_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -178,7 +179,7 @@ def replay_stream_static_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finish_replay(q, timeout_s, "stream_static")
     return spark.read.parquet(out)
 
 

@@ -23,6 +23,9 @@ plain GROUP BY.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
 from pyspark.sql import types as T
 
 
@@ -125,12 +128,11 @@ def replay_user_stats(
             "(see streaming/tws.py docstring)"
         )
     import os
-    import tempfile
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    base = tempfile.mkdtemp(prefix="tws_stats_")
+    base = scratch_dir(prefix="tws_stats_")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -163,7 +165,7 @@ def replay_user_stats(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        finish_replay(q, timeout_s, "tws_stats")
     finally:
         if prev is None:
             spark.conf.unset(conf_key)

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,12 +57,14 @@ def replay_stream_agg(
     One replay protocol for every streaming-replay query (tumbling,
     sliding, session): readStream with maxFilesPerTrigger=1 so each
     staged file is its own micro-batch, complete-mode foreachBatch
-    overwrite sink, availableNow trigger. The snapshot read from ``out``
-    is lazy — the staging zone must outlive it (bounded two-version
-    retention above, never per-call cleanup).
+    overwrite sink, availableNow trigger. The returned snapshot is
+    EAGERLY materialized (``localCheckpoint``) so it stays readable no
+    matter how many later invocations rotate the two-version staging
+    retention underneath it — snapshots are tiny aggregates, so pinning
+    their blocks costs nothing next to the replay itself.
     """
     root, version = _REPLAY_ZONES.get(zone) or (
-        tempfile.mkdtemp(prefix=f"{zone}_"),
+        scratch_dir(prefix=f"{zone}_"),
         0,
     )
     _REPLAY_ZONES[zone] = (root, version + 1)
@@ -103,7 +106,7 @@ def replay_stream_agg(
             f"streaming replay ({zone}) did not finish within "
             f"{timeout_s}s; refusing to read a partial snapshot"
         )
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).localCheckpoint(eager=True)
 
 
 def replay_stream_tumbling_agg(

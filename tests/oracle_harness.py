@@ -36,9 +36,11 @@ def _decimal_cols(df: pd.DataFrame) -> set[str]:
     out: set[str] = set()
     for c in df.columns:
         s = df[c]
-        if s.dtype == object and s.dropna().size and isinstance(
-            s.dropna().iloc[0], Decimal
-        ):
+        # check EVERY non-null value, not just the first — a mixed
+        # column whose first value is not a Decimal must still flag
+        if s.dtype == object and s.dropna().map(
+            lambda v: isinstance(v, Decimal)
+        ).any():
             out.add(c)
     return out
 
