@@ -144,6 +144,9 @@ HEADLINE = [
     "q_dpp_join_agg",
     "q_repetition_filter",
     "q_soft_dedup_weights",
+    # added r10: streaming outer-join flush + ingest-loop LSH dedup
+    "q_stream_outer_join",
+    "q_stream_ingest_dedup",
 ]
 
 

@@ -84,5 +84,6 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.streaming.stateful  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.dedup  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.stream_join  # noqa: F401
+    import nyc_landmarks_datalake_spark.streaming.ingest_dedup  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.window_replay  # noqa: F401
     import nyc_landmarks_datalake_spark.sources.pyds  # noqa: F401

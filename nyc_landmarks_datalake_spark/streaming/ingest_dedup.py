@@ -1,0 +1,226 @@
+"""Streaming incremental MinHash-LSH dedup at ingest.
+
+The crawl-ingest production shape: documents arrive in micro-batches;
+each batch is checked for near-duplicates against EVERYTHING ingested
+before it (and within itself) via a persistent LSH signature store,
+then the batch's own signatures are appended to the store — one pass,
+no full-corpus re-dedup, ever.
+
+The store holds per-batch BAND-BUCKET MINIMA, not raw signatures: a
+document is a duplicate iff some band bucket of its MinHash signature
+was already claimed by a smaller doc_id (the bucket pioneer survives,
+every later bucket-mate is marked). That predicate needs only
+``min(doc_id)`` per (band_id, band_hash) — so the probe is one
+broadcast-size aggregate join per batch and the store grows by the
+batch's distinct band keys, NOT by candidate pairs. At 100 TB: the
+store is a (band_id, band_hash, bmin) relation bucketed on the band
+key in production; probing a batch co-partitions on the same key, and
+there is no quadratic pair expansion anywhere in the ingest path.
+
+Determinism (what makes a replay oracle-checkable): "duplicate" is
+"shares a band bucket with any smaller doc_id" — a GLOBAL predicate
+over the corpus, independent of how documents are split into batches,
+because every earlier doc is either in a previous batch (reachable
+through the store) or in the same batch (reachable through the
+batch-local minima). The DuckDB oracle recomputes the same predicate
+in one statement over the whole corpus.
+
+Reference scope: the reference lake ingests objects one Lambda event at
+a time (CSVIngest.java handleRequest) with no dedup tier; this is the
+engine-capability extension of that ingest loop for LLM-corpus work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.scratch import scratch_dir
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+
+
+def _band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, band_id, band_hash) — the shared MinHash-LSH
+    banding (dedup.BANDS x ROWS_PER_BAND over 3-shingles), one row per
+    band per document."""
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        BANDS,
+        _SH_SPARK,
+        _band_hash_spark,
+        _minhash_cols,
+        _with_xs,
+    )
+
+    sh = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", "source", F.expr(_SH_SPARK).alias("shingles"))
+    sig = _with_xs(sh).select("doc_id", "source", *_minhash_cols())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                _band_hash_spark(j).alias("band_hash"),
+            )
+            for j in range(BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", "source", F.explode(band_structs).alias("b")
+    ).select("doc_id", "source", F.col("b.band_id"), F.col("b.band_hash"))
+
+
+def replay_stream_ingest_dedup(
+    spark,
+    docs: DataFrame,
+    n_source_files: int = 3,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Stage ``docs`` (doc_id, source, text) and replay them micro-batch
+    by micro-batch through the ingest-dedup loop; return one row per
+    document: (doc_id, source, is_dup).
+
+    Each ``foreachBatch`` tick: band the batch, probe the persistent
+    band-minimum store for buckets claimed by smaller doc_ids, combine
+    with the batch's own band minima (within-batch dups), emit the
+    batch's decisions, append the batch's band minima to the store.
+    """
+    base = scratch_dir(prefix="stream_ingest_dedup_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    store = os.path.join(base, "store")
+    out = os.path.join(base, "out")
+    staged = docs.select("doc_id", "source", "text")
+    # ingest order MUST be ascending doc_id for the store probe to
+    # equal the global "any smaller doc_id" predicate: a smaller id
+    # arriving after a larger bucket-mate would be invisible to both.
+    # repartitionByRange puts ascending id ranges in ascending part
+    # files; stamping strictly increasing mtimes makes the file source
+    # (which orders its listing by modification time) replay them in
+    # range order.
+    staged.repartitionByRange(n_source_files, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    import time as _time
+
+    t0 = _time.time()
+    parts = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (t0 + 60 * (i + 1),) * 2)
+
+    # seed the store with its (empty) schema so every batch can read it
+    empty = spark.createDataFrame(
+        [], "band_id INT, band_hash STRING, bmin BIGINT"
+    )
+    empty.write.mode("overwrite").parquet(store)
+
+    def tick(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bands = _band_keys(batch_df).localCheckpoint(eager=True)
+        batch_mins = bands.groupBy("band_id", "band_hash").agg(
+            F.min("doc_id").alias("bmin_batch")
+        )
+        store_mins = (
+            sess.read.parquet(store)
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("bmin").alias("bmin_store"))
+        )
+        flags = (
+            bands.join(batch_mins, ["band_id", "band_hash"])
+            .join(store_mins, ["band_id", "band_hash"], "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.max(
+                    (F.col("bmin_batch") < F.col("doc_id"))
+                    | (
+                        F.coalesce(
+                            F.col("bmin_store") < F.col("doc_id"), F.lit(False)
+                        )
+                    )
+                ).alias("is_dup")
+            )
+        )
+        flags.write.mode("append").parquet(out)
+        batch_mins.select(
+            "band_id", "band_hash", F.col("bmin_batch").alias("bmin")
+        ).write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finish_replay(q, timeout_s, "stream_ingest_dedup")
+    return spark.read.parquet(out)
+
+
+def _register() -> None:
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        _SHINGLED_DUCK,
+        _band_hash_sql,
+        _minhash_sql_exprs,
+        BANDS,
+    )
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, {_band_hash_sql(j)} AS band_hash"
+        " FROM sig"
+        for j in range(BANDS)
+    )
+
+    @query(
+        "q_stream_ingest_dedup",
+        sql=f"""
+        WITH sh AS ({_SHINGLED_DUCK}),
+        sig AS (
+            SELECT doc_id, {', '.join(_minhash_sql_exprs())} FROM sh
+        ),
+        bands AS ({bands_union}),
+        mins AS (
+            SELECT band_id, band_hash, MIN(doc_id) AS bmin
+            FROM bands GROUP BY 1, 2
+        ),
+        flags AS (
+            SELECT b.doc_id,
+                   MAX(CASE WHEN m.bmin < b.doc_id THEN 1 ELSE 0 END) AS dup
+            FROM bands b
+            JOIN mins m USING (band_id, band_hash)
+            GROUP BY 1
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f.dup) AS BIGINT) AS n_dup,
+               CAST(SUM(1 - f.dup) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN f.dup = 1 THEN d.doc_id ELSE 0 END)
+                    AS BIGINT) AS sum_dup_ids
+        FROM documents d JOIN flags f USING (doc_id)
+        GROUP BY 1
+        """,
+    )
+    def q_stream_ingest_dedup(spark, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        decisions = replay_stream_ingest_dedup(spark, docs)
+        return decisions.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup"),
+            F.sum((~F.col("is_dup")).cast("int")).cast("long").alias("n_unique"),
+            F.sum(F.when(F.col("is_dup"), F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("sum_dup_ids"),
+        )
+
+
+_register()

@@ -215,3 +215,169 @@ def _register_static_join() -> None:
 
 
 _register_static_join()
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join — the semantics users actually get
+# wrong: an unmatched left row is NOT emitted when it arrives; it is
+# emitted (with right-side NULLs) only when the global watermark proves
+# no future right row can still match it. A finite replay therefore
+# needs an explicit FLUSH: a sentinel row far enough in the future on
+# BOTH feeds, staged to arrive strictly last (mtime-ordered file
+# source), pushes the watermark past every real row's join window so
+# all pending state drains before the query terminates. Without the
+# sentinel, rows near the stream end silently vanish — the exact
+# production bug this query pins down.
+#
+# Determinism: delay > the staged data's full span means no real row is
+# ever late (arrival order irrelevant); the flush makes null-emission
+# exhaustive; so emitted pairs + null rows == the batch LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+#: beyond every real ts + watermark delay + join window at any sf
+#: (events span a fixed 30-day window from 2024-01-01 at every scale)
+OUTER_FLUSH_TS = "2025-06-01 00:00:00"
+OUTER_WM_DELAY = "90 days"
+
+
+def replay_stream_outer_join(
+    spark,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    n_source_files: int = 2,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stage both feeds plus a last-arriving flush sentinel each, replay
+    through a watermarked stream-stream LEFT OUTER interval join, and
+    return every emission (matches and watermark-driven null rows),
+    sentinels excluded."""
+    import os
+    import time as _time
+
+    base = scratch_dir(prefix="stream_ojoin_")
+    src_a = os.path.join(base, "clicks")
+    src_b = os.path.join(base, "purchases")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    clicks.repartition(n_source_files).write.mode("overwrite").parquet(src_a)
+    purchases.repartition(n_source_files).write.mode("overwrite").parquet(src_b)
+
+    flush = F.to_timestamp(F.lit(OUTER_FLUSH_TS))
+    sent_a = spark.range(1).select(
+        F.lit(-1).cast("long").alias("click_id"),
+        F.lit(-1).cast("long").alias("click_user"),
+        flush.alias("click_ts"),
+    )
+    sent_b = spark.range(1).select(
+        F.lit(-1).cast("long").alias("purchase_id"),
+        F.lit(-1).cast("long").alias("purchase_user"),
+        flush.alias("purchase_ts"),
+    )
+    # the flush files must be listed AFTER the data files: the file
+    # source orders its initial listing by modification time, so bump
+    # the sentinels' mtime well past the just-written data files'
+    sent_a.coalesce(1).write.mode("append").parquet(src_a)
+    sent_b.coalesce(1).write.mode("append").parquet(src_b)
+    data_cutoff = _time.time()
+    for d in (src_a, src_b):
+        newest = max(
+            (os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (data_cutoff + 120, data_cutoff + 120))
+
+    a = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_a)
+        .withWatermark("click_ts", OUTER_WM_DELAY)
+    )
+    b = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_b)
+        .withWatermark("purchase_ts", OUTER_WM_DELAY)
+    )
+    joined = a.join(
+        b,
+        (a.click_user == b.purchase_user)
+        & (
+            F.col("click_ts").between(
+                F.col("purchase_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_HOURS} HOURS"),
+                F.col("purchase_ts"),
+            )
+        ),
+        "leftOuter",
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finish_replay(q, timeout_s, "stream_outer_join")
+    return spark.read.parquet(out).filter(F.col("click_id") != -1)
+
+
+def _register_outer_join() -> None:
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_outer_join",
+        sql=f"""
+        WITH a AS (
+            SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        b AS (
+            SELECT event_id AS purchase_id, user_id AS purchase_user,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.click_user AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(b.purchase_id) AS BIGINT) AS n_matched,
+               CAST(COUNT(*) - COUNT(b.purchase_id) AS BIGINT) AS n_unmatched,
+               CAST(SUM(a.click_id) AS BIGINT) AS sum_click_ids,
+               CAST(COALESCE(SUM(b.purchase_id), 0) AS BIGINT)
+                   AS sum_purchase_ids
+        FROM a LEFT JOIN b
+          ON a.click_user = b.purchase_user
+         AND a.click_ts BETWEEN
+             b.purchase_ts - INTERVAL {JOIN_WINDOW_HOURS} HOURS AND b.purchase_ts
+        GROUP BY 1
+        """,
+    )
+    def q_stream_outer_join(spark, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        rows = replay_stream_outer_join(spark, clicks, purchases)
+        return rows.groupBy(F.col("click_user").alias("user_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("purchase_id").cast("long").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("purchase_id"))
+            .cast("long")
+            .alias("n_unmatched"),
+            F.sum("click_id").cast("long").alias("sum_click_ids"),
+            F.coalesce(F.sum("purchase_id"), F.lit(0))
+            .cast("long")
+            .alias("sum_purchase_ids"),
+        )
+
+
+_register_outer_join()

@@ -452,3 +452,68 @@ def test_replay_sliding_window_equals_oracle_checked_twin(spark, sf_small, tmp_p
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert np.allclose(got["total_value"], want["total_value"], rtol=1e-9)
+
+
+def test_stream_outer_join_emits_watermark_driven_nulls(spark, sf_small):
+    """The LEFT OUTER stream-stream join must emit unmatched left rows
+    with right-side NULLs — which only happens when the watermark
+    passes their join window. The flush sentinel forces that before the
+    finite replay terminates; without it these rows silently vanish."""
+    from nyc_landmarks_datalake_spark.streaming.stream_join import (
+        replay_stream_outer_join,
+    )
+
+    ev = table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    rows = replay_stream_outer_join(spark, clicks, purchases).collect()
+    n_clicks = clicks.count()
+    matched = [r for r in rows if r["purchase_id"] is not None]
+    nulls = [r for r in rows if r["purchase_id"] is None]
+    assert nulls, "no watermark-driven null emissions — flush failed"
+    # every click appears: unmatched ones exactly once as a null row
+    matched_ids = {r["click_id"] for r in matched}
+    null_ids = {r["click_id"] for r in nulls}
+    assert not (matched_ids & null_ids)
+    assert len(null_ids) == len(nulls)  # one null row per unmatched click
+    assert len(matched_ids) + len(null_ids) == n_clicks
+    assert -1 not in {r["click_id"] for r in rows}  # sentinels excluded
+
+
+def test_stream_ingest_dedup_crosses_batch_boundaries(spark):
+    """A near-dup whose original arrived in an EARLIER micro-batch must
+    be flagged via the persistent band-minimum store (not within-batch
+    luck), and the bucket pioneer must never be flagged."""
+    from nyc_landmarks_datalake_spark.streaming.ingest_dedup import (
+        replay_stream_ingest_dedup,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = [
+        f"row{i} word{i}a word{i}b word{i}c word{i}d word{i}e word{i}f"
+        for i in range(8)
+    ]
+    # doc 0 is the pioneer; docs 50 and 51 are exact near-dups of it and
+    # land in later range-ordered batches (ids force the split); the
+    # rest are mutually distinct
+    rows = [(0, "s", body)]
+    rows += [(i + 1, "s", uniq[i]) for i in range(4)]
+    rows += [(50, "s", body), (51, "s", body)]
+    rows += [(100 + i, "s", uniq[4 + i]) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in replay_stream_ingest_dedup(spark, docs, n_source_files=3).collect()
+    }
+    assert len(got) == len(rows)
+    assert got[0] is False  # pioneer keeps its bucket
+    assert got[50] is True and got[51] is True  # flagged across batches
+    assert not any(got[i] for i in got if i not in (50, 51))

@@ -270,6 +270,7 @@ def main() -> int:
     query_of = {
         "clusters": "q_dup_clusters",
         "apply": "q_dedup_apply",
+        "weights": "q_soft_dedup_weights",
         "contamination": "q_contamination_check",
         "curation": "q_curation_census",
     }
@@ -320,7 +321,7 @@ def main() -> int:
         if probs:
             failures.append(name)
 
-    if checks & {"clusters", "apply"}:
+    if checks & {"clusters", "apply", "weights"}:
         labels = build_cc_labels(con)
         if "clusters" in checks:
             check(
@@ -334,6 +335,39 @@ def main() -> int:
                 "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
                 "FROM documents WHERE doc_id NOT IN "
                 f"(SELECT doc FROM {labels} WHERE doc <> lbl) GROUP BY 1",
+            )
+        if "weights" in checks:
+            # q_soft_dedup_weights' committed oracle is the recursive-CTE
+            # reachability class (intractable at sf10); derive the same
+            # census from the verified min-label components instead —
+            # the committed oracle's `clusters` relation IS this labels
+            # table (docs outside any edge are singletons via the LEFT
+            # JOIN COALESCEs, exactly as committed).
+            check(
+                "q_soft_dedup_weights",
+                f"""
+                WITH sizes AS (
+                    SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cl_size
+                    FROM {labels} GROUP BY 1
+                ),
+                wts AS (
+                    SELECT d.source,
+                           CAST(COALESCE(1000000 // s.cl_size, 1000000)
+                                AS BIGINT) AS weight_ppm,
+                           CAST(COALESCE(s.cl_size, 1) AS BIGINT) AS cl_size
+                    FROM documents d
+                    LEFT JOIN {labels} c ON c.doc = d.doc_id
+                    LEFT JOIN sizes s ON s.lbl = c.lbl
+                )
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CASE WHEN cl_size > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_downweighted,
+                       CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight_ppm,
+                       CAST(MAX(cl_size) AS BIGINT) AS max_cluster
+                FROM wts
+                GROUP BY 1
+                """,
             )
 
     if checks & {"contamination", "curation"}:
