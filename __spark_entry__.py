@@ -80,6 +80,11 @@ REVERIFY: frozenset[str] = frozenset(
         "q_stream_tumbling_replay",
         "q_stream_sliding_replay",
         "q_stream_session_replay",
+        # r10: cascade machinery extracted into shared
+        # domain_dedup_edges/domain_dedup_ctes_sql builders (consumed by
+        # the new composed pipeline) — results identical, plan and
+        # oracle text regenerated
+        "q_domain_dedup_cascade",
     }
 )
 

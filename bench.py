@@ -147,6 +147,7 @@ HEADLINE = [
     # added r10: streaming outer-join flush + ingest-loop LSH dedup
     "q_stream_outer_join",
     "q_stream_ingest_dedup",
+    "q_curation_pipeline_e2e",
 ]
 
 

@@ -1200,14 +1200,22 @@ def _domain_thr_ppm_sql(source: str) -> str:
     )
 
 
-#: bands CTE carrying source (the member struct {'source','doc_id'}
-#: survives the capped pair expansion, so each pair keeps its domain
-#: without a join back to the corpus; source is constant within every
-#: bucket, so struct comparisons degrade to plain doc_id order).
-_DOMAIN_BANDS_DUCK = f"""dsh AS (
+def domain_dedup_ctes_sql(src: str) -> str:
+    """DuckDB CTE chain ``dsh .. dver`` of the per-domain dedup cascade
+    over relation ``src`` (must expose doc_id, source, text): shingles →
+    signatures → source-keyed bands (the member struct {'source',
+    'doc_id'} survives the capped pair expansion, so each pair keeps its
+    domain without a join back to the corpus; source is constant within
+    every bucket, so struct comparisons degrade to plain doc_id order) →
+    capped candidate pairs → df-capped verified pairs at the per-domain
+    threshold. Parameterized so composed pipelines can run the cascade
+    over a FILTERED corpus stage — hot-shingle df and bucket caps are
+    then computed over that stage's survivors, exactly like the Spark
+    side."""
+    return f"""dsh AS (
         SELECT doc_id, source, {_SH_DUCK} AS shingles
         FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
-              FROM documents)
+              FROM {src})
     ),
     dsig AS (
         SELECT doc_id, source, {', '.join(_minhash_sql_exprs())}
@@ -1220,13 +1228,7 @@ _DOMAIN_BANDS_DUCK = f"""dsh AS (
             f"FROM dsig"
             for j in range(BANDS)
         )}
-    )"""
-
-
-@query(
-    "q_domain_dedup_cascade",
-    sql=f"""
-    WITH {_DOMAIN_BANDS_DUCK},
+    ),
     {capped_pair_ctes_sql('dd_', 'dbands',
                           ['source', 'band_id', 'band_hash'], 'mem')},
     dcand AS (
@@ -1256,7 +1258,85 @@ _DOMAIN_BANDS_DUCK = f"""dsh AS (
         WHERE 1000000 * len(list_intersect(s1.kept, s2.kept)) >=
               {_domain_thr_ppm_sql('c.source')} *
               (s1.n_sh + s2.n_sh - len(list_intersect(s1.kept, s2.kept)))
-    ),
+    )"""
+
+
+def domain_dedup_edges(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark side of the per-domain cascade over ``docs`` (doc_id,
+    source, text): returns ``(cand, ver)`` — the distinct LSH candidate
+    pairs and the threshold-verified near-dup pairs, both as (source,
+    doc1, doc2). Mirrors :func:`domain_dedup_ctes_sql` stage for stage;
+    candidate pairs feed two consumers downstream, so the expansion
+    boundary is checkpointed."""
+    sh = (
+        docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", "source", F.expr(_SH_SPARK).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    sig = (
+        _with_xs(sh)
+        .select(
+            F.struct(F.col("source"), F.col("doc_id")).alias("mem"),
+            "source",
+            *_minhash_cols(),
+        )
+        .localCheckpoint(eager=False)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
+            )
+            for j in range(BANDS)
+        ]
+    )
+    bands = sig.select("mem", "source", F.explode(band_structs).alias("b")).select(
+        "mem",
+        "source",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    cand = (
+        capped_bucket_pairs(
+            bands, ["source", "band_id", "band_hash"], member_col="mem"
+        )
+        .select(
+            F.col("p.a.source").alias("source"),
+            F.col("p.a.doc_id").alias("doc1"),
+            F.col("p.b.doc_id").alias("doc2"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    shk = _kept_sets(sh)
+    s1 = shk.select(
+        F.col("doc_id").alias("d1"),
+        F.col("n_sh").alias("n1"),
+        F.col("kept").alias("k1"),
+    )
+    s2 = shk.select(
+        F.col("doc_id").alias("d2"),
+        F.col("n_sh").alias("n2"),
+        F.col("kept").alias("k2"),
+    )
+    n_common = F.size(F.array_intersect(F.col("k1"), F.col("k2")))
+    ver = (
+        cand.join(s1, F.col("doc1") == F.col("d1"))
+        .join(s2, F.col("doc2") == F.col("d2"))
+        .filter(
+            F.lit(1_000_000).cast("long") * n_common
+            >= _domain_thr_ppm_spark(F.col("source"))
+            * (F.col("n1") + F.col("n2") - n_common)
+        )
+        .select("source", "doc1", "doc2")
+    )
+    return cand, ver
+
+
+@query(
+    "q_domain_dedup_cascade",
+    sql=f"""
+    WITH {domain_dedup_ctes_sql('documents')},
     dbase AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY 1
@@ -1306,71 +1386,7 @@ def q_domain_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     so "near-dup" means one thing everywhere.
     """
     docs = compute_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("toks"))
-        .select("doc_id", "source", F.expr(_SH_SPARK).alias("shingles"))
-        .localCheckpoint(eager=False)
-    )
-    sig = (
-        _with_xs(sh)
-        .select(
-            F.struct(F.col("source"), F.col("doc_id")).alias("mem"),
-            "source",
-            *_minhash_cols(),
-        )
-        .localCheckpoint(eager=False)
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"), _band_hash_spark(j).alias("band_hash")
-            )
-            for j in range(BANDS)
-        ]
-    )
-    bands = sig.select("mem", "source", F.explode(band_structs).alias("b")).select(
-        "mem",
-        "source",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_hash").alias("band_hash"),
-    )
-    # candidate pairs feed TWO consumers (the per-source census count
-    # and the verification join) — checkpoint the expansion boundary or
-    # the band windows + pair explode run once per consumer
-    cand = (
-        capped_bucket_pairs(
-            bands, ["source", "band_id", "band_hash"], member_col="mem"
-        )
-        .select(
-            F.col("p.a.source").alias("source"),
-            F.col("p.a.doc_id").alias("doc1"),
-            F.col("p.b.doc_id").alias("doc2"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    shk = _kept_sets(sh)
-    s1 = shk.select(
-        F.col("doc_id").alias("d1"),
-        F.col("n_sh").alias("n1"),
-        F.col("kept").alias("k1"),
-    )
-    s2 = shk.select(
-        F.col("doc_id").alias("d2"),
-        F.col("n_sh").alias("n2"),
-        F.col("kept").alias("k2"),
-    )
-    n_common = F.size(F.array_intersect(F.col("k1"), F.col("k2")))
-    ver = (
-        cand.join(s1, F.col("doc1") == F.col("d1"))
-        .join(s2, F.col("doc2") == F.col("d2"))
-        .filter(
-            F.lit(1_000_000).cast("long") * n_common
-            >= _domain_thr_ppm_spark(F.col("source"))
-            * (F.col("n1") + F.col("n2") - n_common)
-        )
-        .select("source", "doc1", "doc2")
-    )
+    cand, ver = domain_dedup_edges(docs)
     base = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )

@@ -594,46 +594,72 @@ def _rep_metrics_expr(g: str) -> str:
   acc -> named_struct('dup', acc.dup, 'best', acc.best))"""
 
 
-@query(
-    "q_repetition_filter",
-    sql=f"""
-    WITH t AS (
-        SELECT doc_id, source, string_split(text, ' ') AS toks
-        FROM documents
+def rep_metrics(docs: DataFrame, carry: list[str]) -> DataFrame:
+    """Per-document repetition metrics over ``docs`` (must expose
+    ``text``): dup2_ppm / dup3_ppm / top2_ppm as BIGINT, plus the
+    ``carry`` columns passed through. Pure map-side, O(k log k) per
+    document — reusable by the census query and by composed curation
+    pipelines."""
+    g = docs.select(
+        *carry, F.split(F.col("text"), " ").alias("toks")
+    ).select(
+        *carry,
+        F.expr(_grams_expr(2)).alias("g2"),
+        F.expr(_grams_expr(3)).alias("g3"),
+    )
+    return g.selectExpr(
+        *carry,
+        f"{_rep_metrics_expr('g2')} AS m2",
+        f"{_rep_metrics_expr('g3')} AS m3",
+        "size(g2) AS k2",
+        "size(g3) AS k3",
+    ).selectExpr(
+        *carry,
+        "CAST(CASE WHEN k2 > 0 THEN m2.dup * 1000000 div k2 "
+        "ELSE 0 END AS BIGINT) AS dup2_ppm",
+        "CAST(CASE WHEN k3 > 0 THEN m3.dup * 1000000 div k3 "
+        "ELSE 0 END AS BIGINT) AS dup3_ppm",
+        "CAST(CASE WHEN k2 > 0 THEN m2.best * 1000000 div k2 "
+        "ELSE 0 END AS BIGINT) AS top2_ppm",
+    )
+
+
+def rep_metrics_ctes_sql(src: str, carry: list[str]) -> str:
+    """DuckDB CTE chain ``rt..rm`` mirroring :func:`rep_metrics` over
+    relation ``src``: ``rm`` holds the ``carry`` columns plus dup2_ppm /
+    dup3_ppm / top2_ppm. Sorted-run formulation (index lambdas), the
+    O(k log k) mirror of the Spark fold."""
+    cols = ", ".join(carry)
+    return f"""rt AS (
+        SELECT {cols}, string_split(text, ' ') AS toks FROM {src}
     ),
-    g AS (
-        SELECT doc_id, source,
-               {_grams_sql(2)} AS g2,
-               {_grams_sql(3)} AS g3
-        FROM t
+    rg AS (
+        SELECT {cols}, {_grams_sql(2)} AS g2, {_grams_sql(3)} AS g3
+        FROM rt
     ),
-    -- O(k log k) mirror of the Spark fold: sort once, find run starts by
-    -- index, turn consecutive starts into run lengths. dup = positions
-    -- minus single-occurrence runs; top = longest run.
-    s AS (
-        SELECT source,
-               list_sort(g2) AS s2, list_sort(g3) AS s3,
+    rs AS (
+        SELECT {cols}, list_sort(g2) AS s2, list_sort(g3) AS s3,
                len(g2) AS k2, len(g3) AS k3
-        FROM g
+        FROM rg
     ),
-    st AS (
-        SELECT source, k2, k3,
+    rst AS (
+        SELECT {cols}, k2, k3,
                list_filter(range(1, k2+1),
                            i -> i = 1 OR s2[i] != s2[i-1]) AS st2,
                list_filter(range(1, k3+1),
                            i -> i = 1 OR s3[i] != s3[i-1]) AS st3
-        FROM s
+        FROM rs
     ),
-    rl AS (
-        SELECT source, k2, k3,
+    rrl AS (
+        SELECT {cols}, k2, k3,
                list_transform(range(1, len(st2)+1),
                    j -> coalesce(st2[j+1], k2+1) - st2[j]) AS rl2,
                list_transform(range(1, len(st3)+1),
                    j -> coalesce(st3[j+1], k3+1) - st3[j]) AS rl3
-        FROM st
+        FROM rst
     ),
-    m AS (
-        SELECT source,
+    rm AS (
+        SELECT {cols},
                CASE WHEN k2 > 0
                     THEN (k2 - len(list_filter(rl2, L -> L = 1)))
                          * 1000000 // k2
@@ -645,8 +671,14 @@ def _rep_metrics_expr(g: str) -> str:
                CASE WHEN k2 > 0
                     THEN coalesce(list_max(rl2), 0) * 1000000 // k2
                     ELSE 0 END AS top2_ppm
-        FROM rl
-    )
+        FROM rrl
+    )"""
+
+
+@query(
+    "q_repetition_filter",
+    sql=f"""
+    WITH {rep_metrics_ctes_sql('documents', ['source'])}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN dup2_ppm > {REP2_MAX_PPM} THEN 1 ELSE 0 END)
@@ -659,7 +691,7 @@ def _rep_metrics_expr(g: str) -> str:
            CAST(SUM(dup2_ppm) AS BIGINT) AS sum_dup2_ppm,
            CAST(SUM(dup3_ppm) AS BIGINT) AS sum_dup3_ppm,
            CAST(MAX(top2_ppm) AS BIGINT) AS max_top2_ppm
-    FROM m
+    FROM rm
     GROUP BY 1
     """,
 )
@@ -673,29 +705,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold — O(k log k) in document token count (long-crawl-document-proof),
     embarrassingly parallel, zero Python."""
     docs = compute_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "source",
-        F.split(F.col("text"), " ").alias("toks"),
-    ).select(
-        "source",
-        F.expr(_grams_expr(2)).alias("g2"),
-        F.expr(_grams_expr(3)).alias("g3"),
-    )
-    m = g.selectExpr(
-        "source",
-        f"{_rep_metrics_expr('g2')} AS m2",
-        f"{_rep_metrics_expr('g3')} AS m3",
-        "size(g2) AS k2",
-        "size(g3) AS k3",
-    ).selectExpr(
-        "source",
-        "CAST(CASE WHEN k2 > 0 THEN m2.dup * 1000000 div k2 "
-        "ELSE 0 END AS BIGINT) AS dup2_ppm",
-        "CAST(CASE WHEN k3 > 0 THEN m3.dup * 1000000 div k3 "
-        "ELSE 0 END AS BIGINT) AS dup3_ppm",
-        "CAST(CASE WHEN k2 > 0 THEN m2.best * 1000000 div k2 "
-        "ELSE 0 END AS BIGINT) AS top2_ppm",
-    )
+    m = rep_metrics(docs, ["source"])
     return m.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("dup2_ppm") > REP2_MAX_PPM).cast("int"))

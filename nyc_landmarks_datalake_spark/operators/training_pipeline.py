@@ -799,3 +799,252 @@ def q_loss_weight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_p.alias("sample_p"),
         (natural_p / sample_p).alias("loss_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed end-to-end curation pipeline — the shape a 100 TB run
+# actually executes, as ONE query: raw documents → quality filter
+# (C4/Gopher rules) → repetition filter (sorted-run fold) → per-domain
+# LSH dedup cascade (hard drop, keep-lowest-doc_id) → exact-dup soft
+# weights over the SURVIVORS (1e6/cluster ppm) → temperature mixture →
+# per-epoch doc targets. Every stage operates on the previous stage's
+# survivors, so stage-interaction bugs (filter-order sensitivity, hot-
+# shingle df computed on the wrong corpus, weight double-counting) are
+# exactly what the oracle recomputation catches — the per-stage pieces
+# are all green individually; this pins their composition.
+#
+# Scale notes: stages A/B are pure map-side; the cascade's one shuffle
+# is co-partitioned by (source, band) over the FILTERED corpus (smaller
+# than the raw corpus — filter order matters for cost too); the weight
+# stage shuffles once on the 128-bit digest; the mixture windows over
+# the 20-row per-source aggregate (the pinned SinglePartition-on-
+# summaries pattern). eff_chars headroom: n_chars<=5000 x ppm<=1e6 →
+# 5e9/doc, int64-safe through ~sf10000.
+# ---------------------------------------------------------------------------
+def _e2e_parts():
+    from nyc_landmarks_datalake_spark.operators.dedup import (
+        domain_dedup_ctes_sql,
+        domain_dedup_edges,
+    )
+    from nyc_landmarks_datalake_spark.operators.textops import (
+        REP2_MAX_PPM,
+        REP3_MAX_PPM,
+        rep_metrics,
+        rep_metrics_ctes_sql,
+    )
+
+    return (
+        domain_dedup_ctes_sql,
+        domain_dedup_edges,
+        REP2_MAX_PPM,
+        REP3_MAX_PPM,
+        rep_metrics,
+        rep_metrics_ctes_sql,
+    )
+
+
+def _register_e2e() -> None:
+    (
+        domain_dedup_ctes_sql,
+        domain_dedup_edges,
+        REP2_MAX_PPM,
+        REP3_MAX_PPM,
+        rep_metrics,
+        rep_metrics_ctes_sql,
+    ) = _e2e_parts()
+
+    quality_keep_sql = f"""
+        n_chars >= {MIN_CHARS} AND n_chars <= {MAX_CHARS}
+        AND mean_tok_len >= {MIN_MEAN_TOK} AND mean_tok_len <= {MAX_MEAN_TOK}
+        AND stop_ratio >= {MIN_STOPWORD_RATIO}
+        AND distinct_ratio >= {MIN_DISTINCT_RATIO}"""
+
+    @query(
+        "q_curation_pipeline_e2e",
+        sql=f"""
+        WITH docs0 AS (
+            SELECT doc_id, source, text, n_chars FROM documents
+        ),
+        qfeat AS (
+            SELECT doc_id, source, text, n_chars,
+                   (list_sum(list_transform(toks, t -> len(t))) * 1.0)
+                       / len(toks) AS mean_tok_len,
+                   (len(list_filter(toks, t -> t IN {_STOP_SET_SQL})) * 1.0)
+                       / len(toks) AS stop_ratio,
+                   (len(list_distinct(toks)) * 1.0) / len(toks)
+                       AS distinct_ratio
+            FROM (SELECT doc_id, source, text, n_chars,
+                         string_split(text, ' ') AS toks FROM docs0)
+        ),
+        qkeep AS (
+            SELECT doc_id, source, text, n_chars FROM qfeat
+            WHERE {quality_keep_sql}
+        ),
+        {rep_metrics_ctes_sql('qkeep', ['doc_id', 'source', 'text', 'n_chars'])},
+        rkeep AS (
+            SELECT doc_id, source, text, n_chars FROM rm
+            WHERE dup2_ppm <= {REP2_MAX_PPM} AND dup3_ppm <= {REP3_MAX_PPM}
+        ),
+        {domain_dedup_ctes_sql('rkeep')},
+        drops AS (SELECT DISTINCT doc2 AS doc_id FROM dver),
+        kept AS (
+            SELECT r.doc_id, r.source, r.n_chars,
+                   {md5_long_sql('r.text')} AS h
+            FROM rkeep r LEFT JOIN drops d USING (doc_id)
+            WHERE d.doc_id IS NULL
+        ),
+        cnts AS (SELECT h, COUNT(*) AS c FROM kept GROUP BY 1),
+        wts AS (
+            SELECT source, n_chars, c, 1000000 // c AS weight_ppm
+            FROM kept JOIN cnts USING (h)
+        ),
+        rawc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+                 FROM docs0 GROUP BY 1),
+        qc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+               FROM qkeep GROUP BY 1),
+        rc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rep
+               FROM rkeep GROUP BY 1),
+        ks AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_downweighted,
+                   CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight_ppm,
+                   CAST(SUM(n_chars * weight_ppm) AS BIGINT) AS eff_chars
+            FROM wts GROUP BY 1
+        ),
+        fin AS (
+            SELECT r.source, r.n_raw,
+                   CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_quality,
+                   CAST(COALESCE(c.n_rep, 0) AS BIGINT) AS n_rep,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(k.n_downweighted, 0) AS BIGINT)
+                       AS n_downweighted,
+                   CAST(COALESCE(k.sum_weight_ppm, 0) AS BIGINT)
+                       AS sum_weight_ppm,
+                   CAST(COALESCE(k.eff_chars, 0) AS BIGINT) AS eff_chars,
+                   CAST(FLOOR(SQRT(COALESCE(k.eff_chars, 0))) AS BIGINT)
+                       AS mix_weight
+            FROM rawc r
+            LEFT JOIN qc q USING (source)
+            LEFT JOIN rc c USING (source)
+            LEFT JOIN ks k USING (source)
+        )
+        SELECT source, n_raw, n_quality, n_rep, n_kept, n_downweighted,
+               sum_weight_ppm, eff_chars, mix_weight,
+               CAST(({EPOCH_BUDGET} * mix_weight)
+                    // SUM(mix_weight) OVER () AS BIGINT) AS target_docs
+        FROM fin
+        """,
+    )
+    def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = compute_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        toks = F.split(F.col("text"), " ")
+        n_toks = F.size(toks)
+        mean_tok_len = (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            * F.lit(1.0)
+            / n_toks
+        )
+        stop_ratio = (
+            F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+            * F.lit(1.0)
+            / n_toks
+        )
+        distinct_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_toks
+        qkeep = (
+            (F.col("n_chars") >= MIN_CHARS)
+            & (F.col("n_chars") <= MAX_CHARS)
+            & (mean_tok_len >= MIN_MEAN_TOK)
+            & (mean_tok_len <= MAX_MEAN_TOK)
+            & (stop_ratio >= MIN_STOPWORD_RATIO)
+            & (distinct_ratio >= MIN_DISTINCT_RATIO)
+        )
+        q = docs.filter(qkeep)
+        r = (
+            rep_metrics(q, ["doc_id", "source", "text", "n_chars"])
+            .filter(
+                (F.col("dup2_ppm") <= REP2_MAX_PPM)
+                & (F.col("dup3_ppm") <= REP3_MAX_PPM)
+            )
+            .select("doc_id", "source", "text", "n_chars")
+            .localCheckpoint(eager=False)
+        )
+        _cand, ver = domain_dedup_edges(r)
+        drops = ver.select(F.col("doc2").alias("doc_id")).distinct()
+        kept = (
+            r.join(drops, "doc_id", "left_anti")
+            .select(
+                "doc_id", "source", "n_chars", md5_long(F.col("text")).alias("h")
+            )
+            .localCheckpoint(eager=False)
+        )
+        cnts = kept.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        wts = kept.join(cnts, "h").selectExpr(
+            "source",
+            "n_chars",
+            "c",
+            "CAST(1000000 div c AS BIGINT) AS weight_ppm",
+        )
+        rawc = docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw")
+        )
+        qc = q.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_quality")
+        )
+        rc = r.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rep")
+        )
+        ks = wts.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum((F.col("c") > 1).cast("int"))
+            .cast("long")
+            .alias("n_downweighted"),
+            F.sum("weight_ppm").cast("long").alias("sum_weight_ppm"),
+            F.sum(F.col("n_chars").cast("long") * F.col("weight_ppm"))
+            .cast("long")
+            .alias("eff_chars"),
+        )
+        z = F.lit(0).cast("long")
+        fin = (
+            rawc.join(qc, "source", "left")
+            .join(rc, "source", "left")
+            .join(ks, "source", "left")
+            .select(
+                "source",
+                "n_raw",
+                F.coalesce(F.col("n_quality"), z).alias("n_quality"),
+                F.coalesce(F.col("n_rep"), z).alias("n_rep"),
+                F.coalesce(F.col("n_kept"), z).alias("n_kept"),
+                F.coalesce(F.col("n_downweighted"), z).alias("n_downweighted"),
+                F.coalesce(F.col("sum_weight_ppm"), z).alias("sum_weight_ppm"),
+                F.coalesce(F.col("eff_chars"), z).alias("eff_chars"),
+                F.floor(F.sqrt(F.coalesce(F.col("eff_chars"), z)))
+                .cast("long")
+                .alias("mix_weight"),
+            )
+        )
+        total_w = F.sum("mix_weight").over(Window.partitionBy())
+        return fin.withColumn("__total_w", total_w).select(
+            "source",
+            "n_raw",
+            "n_quality",
+            "n_rep",
+            "n_kept",
+            "n_downweighted",
+            "sum_weight_ppm",
+            "eff_chars",
+            "mix_weight",
+            F.expr(f"({EPOCH_BUDGET}L * mix_weight) div __total_w")
+            .cast("long")
+            .alias("target_docs"),
+        )
+
+
+_register_e2e()
