@@ -148,6 +148,7 @@ HEADLINE = [
     "q_stream_outer_join",
     "q_stream_ingest_dedup",
     "q_curation_pipeline_e2e",
+    "q_bpe_merges",
 ]
 
 

@@ -151,3 +151,37 @@ def test_rep_metrics_fold_matches_brute_force_and_scales(spark):
     assert m.dup == sum(v for v in c.values() if v >= 2)
     assert m.best == max(c.values())
     assert elapsed < 30, f"50k-token doc took {elapsed:.1f}s"
+
+
+def test_bpe_replace_semantics_match(spark):
+    """The BPE merge rewrite depends on Spark and DuckDB `replace`
+    sharing left-to-right non-overlapping literal semantics — fuzz the
+    two-sweep rewrite over random symbol strings in both engines."""
+    import random
+
+    import duckdb
+
+    from nyc_landmarks_datalake_spark.operators.bpe import (
+        _REWRITE,
+        _REWRITE_SQL,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(300):
+        syms = [rng.choice("ab") for _ in range(rng.randint(1, 10))]
+        pair = f"{rng.choice('ab')}|{rng.choice('ab')}"
+        rows.append(("|" + "|".join(syms) + "|", pair))
+    sdf = spark.createDataFrame(rows, "enc STRING, pair STRING")
+    got_spark = [
+        r["r"] for r in sdf.select(F.expr(_REWRITE).alias("r")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_REWRITE_SQL} FROM (SELECT ? AS enc, ? AS pair)",
+            [enc, pair],
+        ).fetchone()[0]
+        for enc, pair in rows
+    ]
+    assert got_spark == got_duck
