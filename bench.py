@@ -149,6 +149,7 @@ HEADLINE = [
     "q_stream_ingest_dedup",
     "q_curation_pipeline_e2e",
     "q_bpe_merges",
+    "q_recursive_cte_hierarchy",
 ]
 
 

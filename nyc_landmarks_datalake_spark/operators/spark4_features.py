@@ -323,3 +323,158 @@ def q_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"mult": SV_MULT},
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk to the root
+# over the deterministic decimal-digit forest parent(c) = c div 10 —
+# every customer walks O(log10 n) steps, so the recursion depth grows
+# with the LOG of the scale factor (7 levels at sf100), and each
+# iteration is one hash-join-free map step over the frontier. The
+# per-depth census aggregates root ids and decimal-exact balances.
+# ---------------------------------------------------------------------------
+_RSEQ = 0
+
+
+@query(
+    "q_recursive_cte_hierarchy",
+    sql=f"""
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS orig, c_custkey AS cur, 0 AS depth
+        FROM customer
+        UNION ALL
+        SELECT orig, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+    ),
+    fin AS (
+        SELECT w.orig, w.cur AS root, w.depth, c.c_acctbal
+        FROM walk w JOIN customer c ON c.c_custkey = w.orig
+        WHERE w.cur < 10
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(root) AS BIGINT) AS sum_roots,
+           {dsum_sql('c_acctbal')} AS sum_bal
+    FROM fin GROUP BY 1
+    """,
+)
+def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _RSEQ
+    _RSEQ += 1
+    view = f"rcte_customer_{_RSEQ}"
+    table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey AS orig, c_custkey AS cur, 0 AS depth
+            FROM {view}
+            UNION ALL
+            SELECT orig, cur div 10, depth + 1 FROM walk WHERE cur >= 10
+        ),
+        fin AS (
+            SELECT w.orig, w.cur AS root, w.depth, c.c_acctbal
+            FROM walk w JOIN {view} c ON c.c_custkey = w.orig
+            WHERE w.cur < 10
+        )
+        SELECT depth,
+               COUNT(*) AS n_customers,
+               CAST(SUM(root) AS BIGINT) AS sum_roots,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                   AS sum_bal
+        FROM fin GROUP BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4 BEGIN..END compound statements): an iterated
+# data-derived threshold — three rounds of "mean of balances above the
+# previous threshold" held in script variables across statements, the
+# session-scripting workflow with NO driver-side value round-trip.
+# Each mean is the decimal-exact sum / count (correctly-rounded double
+# in both engines), so the iterated thresholds — and the final census —
+# are bit-identical; the oracle unrolls the loop as three CTE stages.
+# ---------------------------------------------------------------------------
+def _thr_stage_sql(prev: str) -> str:
+    return (
+        f"SELECT {dsum_sql('c_acctbal')} / COUNT(c_acctbal) AS t "
+        f"FROM customer WHERE c_acctbal > {prev}"
+    )
+
+
+@query(
+    "q_sql_scripting_loop",
+    sql=f"""
+    WITH s1 AS ({_thr_stage_sql('0.0')}),
+    s2 AS ({_thr_stage_sql('(SELECT t FROM s1)')}),
+    s3 AS ({_thr_stage_sql('(SELECT t FROM s2)')})
+    SELECT (SELECT t FROM s1) AS thr1,
+           (SELECT t FROM s2) AS thr2,
+           (SELECT t FROM s3) AS thr3,
+           CAST(COUNT(*) AS BIGINT) AS n_above_final
+    FROM customer WHERE c_acctbal > (SELECT t FROM s3)
+    """,
+)
+def q_sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _RSEQ
+    _RSEQ += 1
+    view = f"script_customer_{_RSEQ}"
+    table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    mean_above = (
+        "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / COUNT(c_acctbal) FROM {view} WHERE c_acctbal > "
+    )
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE thr1 DOUBLE DEFAULT 0.0;
+          DECLARE thr2 DOUBLE DEFAULT 0.0;
+          DECLARE thr3 DOUBLE DEFAULT 0.0;
+          SET thr1 = ({mean_above} 0.0);
+          SET thr2 = ({mean_above} thr1);
+          SET thr3 = ({mean_above} thr2);
+          SELECT thr1, thr2, thr3, COUNT(*) AS n_above_final
+          FROM {view} WHERE c_acctbal > thr3;
+        END
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): the wide→long reshape every metrics pipeline ends
+# with. One hash-agg builds the wide per-lang row; unpivot is pure
+# map-side row expansion (no shuffle) — the oracle mirrors it with the
+# portable UNION ALL form.
+# ---------------------------------------------------------------------------
+@query(
+    "q_unpivot_lang_metrics",
+    sql="""
+    WITH wide AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_tokens
+        FROM documents GROUP BY 1
+    )
+    SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+    UNION ALL
+    SELECT lang, 'total_chars', total_chars FROM wide
+    UNION ALL
+    SELECT lang, 'total_tokens', total_tokens FROM wide
+    """,
+)
+def q_unpivot_lang_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_landmarks_datalake_spark.sources.catalog import compute_table
+
+    docs = compute_table(spark, sf_dir, "documents")
+    wide = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    return wide.unpivot(
+        "lang", ["n_docs", "total_chars", "total_tokens"], "metric", "value"
+    )
