@@ -535,3 +535,67 @@ def test_domain_dedup_cascade_partitions_by_source(spark, sf_oracle):
     assert "hashpartitioning(source#" in plan, plan[:2000]
     assert not a.has_python_eval
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_e2e_plan(spark, sf_oracle):
+    # the composed cascade must stay entirely JVM-side: quality +
+    # repetition are map stages, the LSH cascade and digest stages are
+    # hash shuffles — zero Python anywhere
+    a = audit(registry.QUERIES["q_curation_pipeline_e2e"](spark, sf_oracle))
+    assert not a.has_python_eval
+
+
+def test_bpe_merges_plan(spark, sf_oracle):
+    # the final result is a union of eagerly-checkpointed one-row
+    # results (each iteration EXECUTES at its checkpoint); the plan
+    # properties that matter live in the per-iteration rewrite join —
+    # rebuild iteration 1 without checkpoints and pin it: the winning
+    # pair attaches as a one-row BROADCAST (never a vocab shuffle) and
+    # nothing in the loop is Python
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.bpe import (
+        _PAIRS_EXPR,
+        _REWRITE,
+    )
+    from nyc_landmarks_datalake_spark.sources.catalog import compute_table
+
+    docs = compute_table(spark, sf_oracle, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .selectExpr(
+            "concat('|', concat_ws('|', transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))), '|') AS enc",
+            "cnt",
+        )
+    )
+    best = (
+        vocab.selectExpr(
+            "filter(split(enc, '[|]'), t -> t != '') AS syms", "cnt"
+        )
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(1)
+        .select("pair")
+    )
+    rewrite = vocab.crossJoin(F.broadcast(best)).selectExpr(
+        f"{_REWRITE} AS enc", "cnt"
+    )
+    a = audit(rewrite)
+    assert not a.has_python_eval
+    assert a.broadcast_exchanges >= 1, a
+    # the full registered query stays Python-free end to end
+    full = audit(registry.QUERIES["q_bpe_merges"](spark, sf_oracle))
+    assert not full.has_python_eval
+
+
+def test_unpivot_plan_single_shuffle(spark, sf_oracle):
+    # wide agg = one hash shuffle; the melt itself is map-side Expand
+    a = audit(registry.QUERIES["q_unpivot_lang_metrics"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.exchanges <= 1, a
