@@ -967,15 +967,16 @@ def _register_e2e() -> None:
             & (distinct_ratio >= MIN_DISTINCT_RATIO)
         )
         q = docs.filter(qkeep)
-        r = (
-            rep_metrics(q, ["doc_id", "source", "text", "n_chars"])
-            .filter(
-                (F.col("dup2_ppm") <= REP2_MAX_PPM)
-                & (F.col("dup3_ppm") <= REP3_MAX_PPM)
-            )
-            .select("doc_id", "source", "text", "n_chars")
-            .localCheckpoint(eager=False)
-        )
+        # checkpoint the per-doc repetition metrics ONCE: the quality
+        # census (n_quality == m's row count) and the repetition
+        # survivors both derive from it, so the quality HOF pass runs a
+        # single time over the corpus
+        m = rep_metrics(q, ["doc_id", "source", "text", "n_chars"])
+        m = m.localCheckpoint(eager=False)
+        r = m.filter(
+            (F.col("dup2_ppm") <= REP2_MAX_PPM)
+            & (F.col("dup3_ppm") <= REP3_MAX_PPM)
+        ).select("doc_id", "source", "text", "n_chars")
         _cand, ver = domain_dedup_edges(r)
         drops = ver.select(F.col("doc2").alias("doc_id")).distinct()
         kept = (
@@ -995,7 +996,7 @@ def _register_e2e() -> None:
         rawc = docs.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_raw")
         )
-        qc = q.groupBy("source").agg(
+        qc = m.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_quality")
         )
         rc = r.groupBy("source").agg(

@@ -474,7 +474,9 @@ def test_stream_outer_join_emits_watermark_driven_nulls(spark, sf_small):
         F.col("user_id").alias("purchase_user"),
         F.col("ts").alias("purchase_ts"),
     )
-    rows = replay_stream_outer_join(spark, clicks, purchases).collect()
+    rows = replay_stream_outer_join(
+        spark, clicks, purchases, n_source_files=2
+    ).collect()
     n_clicks = clicks.count()
     matched = [r for r in rows if r["purchase_id"] is not None]
     nulls = [r for r in rows if r["purchase_id"] is None]
