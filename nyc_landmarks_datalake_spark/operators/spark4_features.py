@@ -362,6 +362,13 @@ def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _RSEQ += 1
     view = f"rcte_customer_{_RSEQ}"
     table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    # Spark guards recursive CTEs with a TOTAL-row runaway limit
+    # (spark.sql.cteRecursionRowLimit, default 1e6) — the anchor alone
+    # exceeds it at sf10 (1.5M customers; found by the native-sf10
+    # sweep). This recursion provably terminates at depth
+    # ceil(log10(max key)), so lift the guard to int-max; the LEVEL
+    # limit (default 100) stays as the real runaway backstop.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     return spark.sql(
         f"""
         WITH RECURSIVE walk AS (

@@ -85,6 +85,12 @@ def replay_stream_ingest_dedup(
     band-minimum store for buckets claimed by smaller doc_ids, combine
     with the batch's own band minima (within-batch dups), emit the
     batch's decisions, append the batch's band minima to the store.
+
+    Production caveat (standard foreachBatch exactly-once): a retried
+    micro-batch would append its decisions and minima twice. The minima
+    are idempotent under re-aggregation (MIN absorbs duplicates), but a
+    production sink would key the decision write by batch_id (overwrite
+    a per-batch subdir) to make the whole tick idempotent.
     """
     base = scratch_dir(prefix="stream_ingest_dedup_")
     src = os.path.join(base, "src")
