@@ -150,6 +150,7 @@ HEADLINE = [
     "q_curation_pipeline_e2e",
     "q_bpe_merges",
     "q_recursive_cte_hierarchy",
+    "q_bpe_apply",
 ]
 
 

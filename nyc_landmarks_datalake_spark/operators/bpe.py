@@ -75,7 +75,8 @@ def _oracle_sql() -> str:
         GROUP BY 1
     ),
     v0 AS (
-        SELECT '|' || array_to_string(
+        SELECT word,
+               '|' || array_to_string(
                    list_transform(range(1, len(word)+1), i -> word[i]), '|')
                || '|' AS enc,
                cnt
@@ -98,7 +99,7 @@ def _oracle_sql() -> str:
         FROM p{k} ORDER BY c DESC, pair LIMIT 1
     ),
     v{k} AS (
-        SELECT {_REWRITE_SQL} AS enc, cnt
+        SELECT word, {_REWRITE_SQL} AS enc, cnt
         FROM v{k - 1} CROSS JOIN b{k}
     )""")
         # (vN is built but unused for the last k — DuckDB prunes it)
@@ -109,11 +110,12 @@ def _oracle_sql() -> str:
     return "WITH " + ",\n    ".join(stages) + "\n    " + unions
 
 
-@query("q_bpe_merges", sql=_oracle_sql())
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First N_MERGES BPE merge rules learned from the corpus: per
-    iteration the winning adjacent-symbol pair, its folded symbol, and
-    its frequency-weighted count."""
+def bpe_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the N_MERGES training chain; return (one-row merge DFs, the
+    FINAL re-encoded vocabulary (word, enc, cnt)) — shared by the
+    merge-rule query and the apply/compression census."""
     docs = compute_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -122,6 +124,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     vocab = words.select(
+        "word",
         F.expr(
             "concat('|', concat_ws('|', transform(sequence(1, length(word)),"
             " i -> substring(word, i, 1))), '|')"
@@ -154,10 +157,78 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # one row; reused twice
         )
         merges.append(best)
-        if it < N_MERGES:
-            vocab = (
-                vocab.crossJoin(F.broadcast(best.select("pair")))
-                .select(F.expr(_REWRITE).alias("enc"), "cnt")
-                .localCheckpoint(eager=False)
-            )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("pair")))
+            .select("word", F.expr(_REWRITE).alias("enc"), "cnt")
+            .localCheckpoint(eager=False)
+        )
+    return merges, vocab
+
+
+@query("q_bpe_merges", sql=_oracle_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First N_MERGES BPE merge rules learned from the corpus: per
+    iteration the winning adjacent-symbol pair, its folded symbol, and
+    its frequency-weighted count."""
+    merges, _vocab = bpe_chain(spark, sf_dir)
     return reduce(DataFrame.unionByName, merges)
+
+
+def _apply_oracle_sql() -> str:
+    # the training chain's CTEs, then the compression census off the
+    # FINAL vocabulary v{N_MERGES}
+    chain = _oracle_sql()
+    with_block = chain[: chain.rindex(")") + 1]  # drop the merges union
+    return f"""{with_block},
+    fin AS (
+        SELECT CAST(len(word) AS BIGINT) AS word_len,
+               cnt,
+               CAST(len(word) AS BIGINT) AS syms_before,
+               CAST(len(list_filter(string_split(enc, '|'), t -> t != ''))
+                    AS BIGINT) AS syms_after
+        FROM v{N_MERGES}
+    )
+    SELECT word_len,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           CAST(SUM(cnt * syms_before) AS BIGINT) AS total_syms_before,
+           CAST(SUM(cnt * syms_after) AS BIGINT) AS total_syms_after,
+           CAST(SUM(cnt * syms_after) * 1000000
+                // SUM(cnt * syms_before) AS BIGINT) AS ratio_ppm
+    FROM fin
+    GROUP BY 1
+    """
+
+
+@query("q_bpe_apply", sql=_apply_oracle_sql())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned merges and census the
+    compression: per original word length, how many symbols the
+    N_MERGES-rule tokenizer emits vs the character baseline
+    (frequency-weighted, integer-exact ppm). The apply step is the same
+    map-side re-encode the training loop uses — at 100 TB the learned
+    merge table broadcasts and tokenization is a zero-shuffle map over
+    the corpus (here over the word-frequency relation, which carries
+    the full weight information)."""
+    _merges, vocab = bpe_chain(spark, sf_dir)
+    fin = vocab.selectExpr(
+        "CAST(length(word) AS BIGINT) AS word_len",
+        "cnt",
+        "CAST(length(word) AS BIGINT) AS syms_before",
+        "CAST(size(filter(split(enc, '[|]'), t -> t != '')) AS BIGINT)"
+        " AS syms_after",
+    )
+    return fin.groupBy("word_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("cnt").cast("long").alias("n_occurrences"),
+        F.sum(F.col("cnt") * F.col("syms_before"))
+        .cast("long")
+        .alias("total_syms_before"),
+        F.sum(F.col("cnt") * F.col("syms_after"))
+        .cast("long")
+        .alias("total_syms_after"),
+        F.expr(
+            "CAST(SUM(cnt * syms_after) * 1000000"
+            " div SUM(cnt * syms_before) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
