@@ -152,6 +152,7 @@ HEADLINE = [
     "q_recursive_cte_hierarchy",
     "q_bpe_apply",
     "q_video_decode_stats",
+    "q_exact_quantiles_bucketed",
 ]
 
 

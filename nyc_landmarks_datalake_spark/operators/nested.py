@@ -348,3 +348,146 @@ def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN per_month ON per_month.m = months.m
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT order statistics WITHOUT buffering a group's values: the
+# two-pass bucketed quantile. Spark's `percentile` aggregate (used by
+# q_percentiles for deterministic interpolation) buffers every value of
+# a group in executor memory — fine for many small groups, fatal for
+# one 100 TB group. The scale pattern instead: pass A histograms each
+# group into B buckets (one map-side-combined hash agg) and walks the
+# tiny cumulative histogram to find, for each requested quantile, the
+# bucket holding the k-th smallest element (k = ceil(n*q), the
+# percentile_disc rank — integer-exact in ppm) and the residual rank
+# within it; pass B re-scans ONLY the target buckets (a broadcast
+# semi-join; ~n/B rows per group) and picks the exact element by
+# row_number. No group ever materializes; both passes are ordinary
+# shuffles. The quantiles are actual data values, so parity with
+# DuckDB's quantile_disc is bit-exact.
+# ---------------------------------------------------------------------------
+_EQ_B = 1024  # histogram buckets per group
+_EQ_QS = (250_000, 500_000, 900_000)  # quantiles in ppm
+
+
+@query(
+    "q_exact_quantiles_bucketed",
+    sql=f"""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n_rows,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_exact_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nyc_landmarks_datalake_spark.sources.catalog import table as _table
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    # bucket width; a constant-valued group degenerates to bucket 0
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "value",
+        F.least(
+            F.lit(_EQ_B - 1),
+            F.when(
+                F.col("vmax") > F.col("vmin"),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * _EQ_B
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    hist = binned.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type", "bucket", "bn", F.sum("bn").over(w).alias("cum")
+    ).join(F.broadcast(stats.select("event_type", "n")), "event_type")
+    # one spec row per (group, quantile): target bucket + residual rank
+    specs = None
+    for q_ppm in _EQ_QS:
+        k = F.expr(f"CAST((n * {q_ppm} + 999999) div 1000000 AS BIGINT)")
+        s = (
+            cum.withColumn("k", k)
+            .filter(F.col("cum") >= F.col("k"))
+            .groupBy("event_type")
+            .agg(
+                F.min("bucket").alias("tbucket"),
+                F.first(F.col("k")).alias("k"),
+            )
+            .join(
+                cum.select(
+                    "event_type",
+                    F.col("bucket").alias("tbucket"),
+                    (F.col("cum") - F.col("bn")).alias("cum_before"),
+                ),
+                ["event_type", "tbucket"],
+            )
+            .select(
+                "event_type",
+                F.lit(q_ppm).alias("q_ppm"),
+                "tbucket",
+                (F.col("k") - F.col("cum_before")).alias("offset"),
+            )
+        )
+        specs = s if specs is None else specs.unionByName(s)
+    # pass B: only the target buckets' rows survive the broadcast join
+    # (spec columns renamed — specs derives from binned, so shared names
+    # would be an ambiguous self-join)
+    spec_cols = specs.select(
+        F.col("event_type").alias("s_et"),
+        F.col("tbucket").alias("s_bucket"),
+        "q_ppm",
+        "offset",
+    )
+    hit = binned.join(
+        F.broadcast(spec_cols),
+        (F.col("event_type") == F.col("s_et"))
+        & (F.col("bucket") == F.col("s_bucket")),
+    ).select("event_type", "value", "q_ppm", "offset")
+    rw = Window.partitionBy("event_type", "q_ppm").orderBy("value")
+    picked = (
+        hit.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == F.col("offset"))
+        .select("event_type", "q_ppm", "value")
+    )
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("q_ppm") == 250_000, F.col("value"))).alias(
+                "p25"
+            ),
+            F.max(F.when(F.col("q_ppm") == 500_000, F.col("value"))).alias(
+                "p50"
+            ),
+            F.max(F.when(F.col("q_ppm") == 900_000, F.col("value"))).alias(
+                "p90"
+            ),
+        )
+        .join(F.broadcast(stats.select("event_type", F.col("n").alias("n_rows"))), "event_type")
+        .select("event_type", F.col("n_rows").cast("long"), "p25", "p50", "p90")
+    )

@@ -185,3 +185,58 @@ def test_bpe_replace_semantics_match(spark):
         for enc, pair in rows
     ]
     assert got_spark == got_duck
+
+
+def test_exact_quantiles_bucketed_fuzz(spark, tmp_path):
+    """The two-pass bucketed quantile must equal brute-force
+    percentile_disc (k = ceil(n*q)) on adversarial inputs: heavy ties,
+    constant groups, single-row groups."""
+    import math
+    import random
+
+    from nyc_landmarks_datalake_spark import registry
+
+    registry.load_all()
+    rng = random.Random(5)
+    rows = []
+    for g, shape in enumerate(["ties", "const", "single", "mixed"]):
+        if shape == "ties":
+            vals = [float(rng.choice([1, 2, 2, 2, 3])) for _ in range(57)]
+        elif shape == "const":
+            vals = [42.0] * 31
+        elif shape == "single":
+            vals = [7.5]
+        else:
+            vals = [rng.uniform(0, 100) for _ in range(83)]
+        rows += [(1000 + g, f"type{g}", 0, v) for v in vals]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    # the fixture dir only needs events for this query
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q_exact_quantiles_bucketed"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    byg: dict[str, list[float]] = {}
+    for _eid, g, _u, v in rows:
+        byg.setdefault(g, []).append(v)
+    for g, vals in byg.items():
+        vals.sort()
+        n = len(vals)
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            want = vals[math.ceil(n * q) - 1]
+            assert got[g][col] == want, (g, col, got[g][col], want)
+        assert got[g]["n_rows"] == n
