@@ -30,6 +30,7 @@ PYTHON_ALLOWED = {
     "q_udtf_top_bigrams",  # r7: Python UDTF surface (lateral table function)
     "q_grouped_map_rank",  # r7: applyInPandas grouped-map surface
     "q_arrow_map_counts",  # r7: mapInArrow surface (Arrow compute kernels)
+    "q_video_decode_stats",  # r10: real MJPEG-AVI container+frame decode
 }
 # q_stateful_user_profiles is Python-path too (applyInPandasWithState),
 # but its Python stage runs inside the eager streaming replay; the
