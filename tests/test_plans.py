@@ -599,3 +599,4 @@ def test_unpivot_plan_single_shuffle(spark, sf_oracle):
     a = audit(registry.QUERIES["q_unpivot_lang_metrics"](spark, sf_oracle))
     assert not a.has_python_eval
     assert a.exchanges <= 1, a
+
