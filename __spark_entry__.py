@@ -85,6 +85,15 @@ REVERIFY: frozenset[str] = frozenset(
         # the new composed pipeline) — results identical, plan and
         # oracle text regenerated
         "q_domain_dedup_cascade",
+        # r10 (late): _kept_sets rewritten from per-row array_except
+        # against the broadcast hot-shingle array (O(rows x H); H grows
+        # with corpus — 28x wall at 10x data) to a linear anti-join +
+        # collect_set — set semantics identical (array_except dedups
+        # too); every LSH-verified consumer re-verified at
+        # sf0.01/sf1/sf10
+        "q_dedup_minhash_lsh",
+        "q_lsh_recall_census",
+        "q_minhash_calibration",
     }
 )
 

@@ -641,22 +641,42 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 def _kept_sets(sh: DataFrame) -> DataFrame:
     """Per-doc df-capped shingle sets: doc_id, n_sh (FULL shingle
-    count), kept (shingles with df <= MAX_SHINGLE_DF). Hot shingles ride
-    as ONE array on a 1-row frame, broadcast onto the per-doc sets — the
-    same ride-along-array shape as q_ivf_topk's centroids. The hot set
-    is tiny by construction (boilerplate only) and the corpus never
-    reshuffles for it."""
-    hot_arr = (
-        sh.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
+    count), kept (the DISTINCT shingles with df <= MAX_SHINGLE_DF —
+    array_except set semantics, matching the oracle's list_intersect
+    counting).
+
+    Scale shape (rewritten r10 after the sf0.1→sf10 scaling series
+    measured 28x on 10x data): the hot set is NOT bounded — an absolute
+    df threshold means 10x corpus → ~10x more shingles cross it (738 at
+    native sf1, 50,653 at sf10) — and the old broadcast
+    ``array_except(shingles, hot_array)`` rebuilt an H-element hash set
+    PER ROW, O(rows x H). The join form is linear at every scale: one
+    anti-join of exploded shingle instances against the hot relation
+    (broadcast while small, ordinary shuffle when not), then a per-doc
+    collect_set. Docs whose shingles are ALL hot (or empty) keep a row
+    with kept = [] via the left join, exactly like array_except."""
+    inst = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        inst.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > MAX_SHINGLE_DF)
-        .agg(F.collect_list("shingle").alias("hot_shingles"))
+        .select("shingle")
     )
-    return sh.crossJoin(F.broadcast(hot_arr)).select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.array_except("shingles", "hot_shingles").alias("kept"),
+    kept = (
+        inst.join(hot, "shingle", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("kept"))
+    )
+    return (
+        sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(
+                F.col("kept"), F.array().cast("array<string>")
+            ).alias("kept"),
+        )
     )
 
 
