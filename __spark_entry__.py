@@ -58,42 +58,12 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # (all 14 r9 REVERIFY names — the trend_slope dtype fix, the
-        # cosine zero-norm-guard tier, the unified replay protocol, the
-        # shared banded-hamming builders, and the compute_table
-        # label_centroids — re-greened in CORRECTNESS_r09: 50/50.)
-        # r10: the per-document repetition counters were rewritten from
-        # O(k^2) pairwise HOFs to an O(k log k) sorted-run aggregate
-        # (operators/textops.py + mirrored DuckDB lambdas) — results
-        # identical by construction, but the expression changed in both
-        # engines. (q_repetition_signals does NOT share the shape — its
-        # dup count is one linear array_distinct — so it stays cleared.)
-        "q_repetition_filter",
-        # r10 ADVICE fixes: n_exact now compares the sketch stream length
-        # against count(value) (non-null) instead of COUNT(*) — values
-        # identical on NULL-free data, expression changed
-        "q_kll_quantile_rollup",
-        # r10 ADVICE fix: view/variable names uniquified per call
-        "q_session_variables",
-        # r10 ADVICE fix: replay snapshots eagerly materialized
-        # (localCheckpoint) so they survive staging-retention rotation
-        "q_stream_tumbling_replay",
-        "q_stream_sliding_replay",
-        "q_stream_session_replay",
-        # r10: cascade machinery extracted into shared
-        # domain_dedup_edges/domain_dedup_ctes_sql builders (consumed by
-        # the new composed pipeline) — results identical, plan and
-        # oracle text regenerated
-        "q_domain_dedup_cascade",
-        # r10 (late): _kept_sets rewritten from per-row array_except
-        # against the broadcast hot-shingle array (O(rows x H); H grows
-        # with corpus — 28x wall at 10x data) to a linear anti-join +
-        # collect_set — set semantics identical (array_except dedups
-        # too); every LSH-verified consumer re-verified at
-        # sf0.01/sf1/sf10
-        "q_dedup_minhash_lsh",
-        "q_lsh_recall_census",
-        "q_minhash_calibration",
+        # (all 10 r10 REVERIFY names — the repetition-counter fold
+        # rewrite, the ADVICE expression fixes, the eager replay
+        # snapshots, the shared cascade builders, and the linear
+        # _kept_sets LSH rewrite — re-greened in CORRECTNESS_r10:
+        # 50/50. Cleared at r11 open.)
+        # r11 entries are added below as implementations change.
     }
 )
 
