@@ -63,7 +63,18 @@ REVERIFY: frozenset[str] = frozenset(
         # snapshots, the shared cascade builders, and the linear
         # _kept_sets LSH rewrite — re-greened in CORRECTNESS_r10:
         # 50/50. Cleared at r11 open.)
-        # r11 entries are added below as implementations change.
+        # r11 ADVICE fixes: per-call cloned sessions replace the
+        # module-global name counters + shared-session conf mutation
+        # (spark4_features._isolated) — same SQL text, session plumbing
+        # changed
+        "q_session_variables",
+        "q_recursive_cte_hierarchy",
+        "q_sql_scripting_loop",
+        # r11 ADVICE fixes: sentinel bumped by file-set difference
+        # instead of max-mtime (stream_join.py); store probe reads with
+        # an explicit schema (ingest_dedup.py)
+        "q_stream_outer_join",
+        "q_stream_ingest_dedup",
     }
 )
 

@@ -269,8 +269,21 @@ def q_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SV_MULT = 1.25
 
-#: per-call suffix for q_session_variables' view/variable names
-_SV_SEQ = 0
+
+def _isolated(spark: SparkSession) -> SparkSession:
+    """A cloned session for queries that must mutate session state.
+
+    ``newSession()`` shares the SparkContext (and the driver's
+    builder-time confs) but has its own SessionState: temp views,
+    DECLAREd variables, and ``spark.conf.set`` calls made on the clone
+    never leak into the caller's session — and, critically, the
+    returned lazy DataFrame carries the clone, so conf read at
+    COLLECT time (e.g. cteRecursionRowLimit, which Spark reads at
+    execution, verified empirically) still sees the lifted value. A
+    try/finally restore on the shared session would instead re-trip
+    the runaway guard when the driver collects after the function
+    returns."""
+    return spark.newSession()
 
 
 @query(
@@ -297,21 +310,20 @@ def q_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees it as a constant, so Catalyst folds ``bal_mean * :mult`` into
     one literal comparison pushed to the scan.
 
-    The view and variable names are uniquified per call so the query is
-    self-contained: it never clobbers a caller's same-named session
-    state and concurrent invocations in one SparkSession can't race on
-    a shared variable."""
-    global _SV_SEQ
-    _SV_SEQ += 1
-    view, var = f"sv_customer_{_SV_SEQ}", f"sv_bal_mean_{_SV_SEQ}"
-    table(spark, sf_dir, "customer").createOrReplaceTempView(view)
-    spark.sql(f"DECLARE OR REPLACE VARIABLE {var} DOUBLE")
-    spark.sql(
+    The whole statement sequence runs in a per-call cloned session
+    (``_isolated``), so it never clobbers a caller's same-named view or
+    variable and concurrent invocations cannot race on shared session
+    state — no name-uniquifying counter needed."""
+    sess = _isolated(spark)
+    view, var = "sv_customer", "sv_bal_mean"
+    table(sess, sf_dir, "customer").createOrReplaceTempView(view)
+    sess.sql(f"DECLARE OR REPLACE VARIABLE {var} DOUBLE")
+    sess.sql(
         f"SET VAR {var} = ("
         "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)"
         f" / COUNT(*) FROM {view})"
     )
-    return spark.sql(
+    return sess.sql(
         f"""
         SELECT c_mktsegment,
                COUNT(*) AS n_above,
@@ -333,9 +345,6 @@ def q_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration is one hash-join-free map step over the frontier. The
 # per-depth census aggregates root ids and decimal-exact balances.
 # ---------------------------------------------------------------------------
-_RSEQ = 0
-
-
 @query(
     "q_recursive_cte_hierarchy",
     sql=f"""
@@ -358,18 +367,20 @@ _RSEQ = 0
     """,
 )
 def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    global _RSEQ
-    _RSEQ += 1
-    view = f"rcte_customer_{_RSEQ}"
-    table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    sess = _isolated(spark)
+    view = "rcte_customer"
+    table(sess, sf_dir, "customer").createOrReplaceTempView(view)
     # Spark guards recursive CTEs with a TOTAL-row runaway limit
     # (spark.sql.cteRecursionRowLimit, default 1e6) — the anchor alone
     # exceeds it at sf10 (1.5M customers; found by the native-sf10
     # sweep). This recursion provably terminates at depth
     # ceil(log10(max key)), so lift the guard to int-max; the LEVEL
-    # limit (default 100) stays as the real runaway backstop.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    return spark.sql(
+    # limit (default 100) stays as the real runaway backstop. The lift
+    # lives on the per-call clone only (see _isolated: conf is read at
+    # collect time, so restoring it on a shared session would re-trip
+    # the guard when the driver collects).
+    sess.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    return sess.sql(
         f"""
         WITH RECURSIVE walk AS (
             SELECT c_custkey AS orig, c_custkey AS cur, 0 AS depth
@@ -422,16 +433,15 @@ def _thr_stage_sql(prev: str) -> str:
     """,
 )
 def q_sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    global _RSEQ
-    _RSEQ += 1
-    view = f"script_customer_{_RSEQ}"
-    table(spark, sf_dir, "customer").createOrReplaceTempView(view)
-    spark.conf.set("spark.sql.scripting.enabled", "true")
+    sess = _isolated(spark)
+    view = "script_customer"
+    table(sess, sf_dir, "customer").createOrReplaceTempView(view)
+    sess.conf.set("spark.sql.scripting.enabled", "true")
     mean_above = (
         "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)"
         f" / COUNT(c_acctbal) FROM {view} WHERE c_acctbal > "
     )
-    return spark.sql(
+    return sess.sql(
         f"""
         BEGIN
           DECLARE thr1 DOUBLE DEFAULT 0.0;

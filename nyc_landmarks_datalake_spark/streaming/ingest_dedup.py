@@ -130,7 +130,11 @@ def replay_stream_ingest_dedup(
             F.min("doc_id").alias("bmin_batch")
         )
         store_mins = (
-            sess.read.parquet(store)
+            # explicit schema: an empty seeded store may hold only
+            # _SUCCESS on committers that skip schema-bearing empty
+            # parts, and schema inference would then fail the probe
+            sess.read.schema("band_id INT, band_hash STRING, bmin BIGINT")
+            .parquet(store)
             .groupBy("band_id", "band_hash")
             .agg(F.min("bmin").alias("bmin_store"))
         )

@@ -282,17 +282,28 @@ def replay_stream_outer_join(
         flush.alias("purchase_ts"),
     )
     # the flush files must be listed AFTER the data files: the file
-    # source orders its initial listing by modification time, so bump
-    # the sentinels' mtime well past the just-written data files'
+    # source orders its initial listing by modification time. A
+    # max-mtime pick can tie with a data part on coarse-granularity
+    # filesystems, so snapshot the file set BEFORE the sentinel write
+    # and bump exactly the new files (set difference).
+    pre = {
+        d: {f for f in os.listdir(d) if f.endswith(".parquet")}
+        for d in (src_a, src_b)
+    }
     sent_a.coalesce(1).write.mode("append").parquet(src_a)
     sent_b.coalesce(1).write.mode("append").parquet(src_b)
     data_cutoff = _time.time()
     for d in (src_a, src_b):
-        newest = max(
-            (os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")),
-            key=os.path.getmtime,
-        )
-        os.utime(newest, (data_cutoff + 120, data_cutoff + 120))
+        new = [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and f not in pre[d]
+        ]
+        assert new, f"sentinel write produced no new part file in {d}"
+        for f in new:
+            os.utime(
+                os.path.join(d, f), (data_cutoff + 120, data_cutoff + 120)
+            )
 
     a = (
         spark.readStream.schema(clicks.schema)
