@@ -153,6 +153,9 @@ HEADLINE = [
     "q_bpe_apply",
     "q_video_decode_stats",
     "q_exact_quantiles_bucketed",
+    # added r11: hashed-n-gram quality-classifier training + scorer
+    "q_quality_clf_train",
+    "q_quality_clf_apply",
 ]
 
 

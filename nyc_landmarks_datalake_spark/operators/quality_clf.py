@@ -1,0 +1,296 @@
+"""Distributed quality-classifier training over hashed n-gram features.
+
+The CCNet/fastText-shaped filter every LLM curation stack trains: a
+LINEAR text-quality classifier over hashed word n-gram counts, learned
+with batch-gradient iterations phrased as relational passes — the same
+iterate-on-a-relation discipline as :mod:`bpe` (the corpus text is
+touched exactly ONCE; every training iteration runs on the compact
+(doc, bucket, count) feature relation and a K-row broadcast weight
+vector).
+
+Model: batch perceptron with unit learning rate — gradient descent on
+the perceptron loss. Every quantity is an INTEGER (feature counts,
+labels in {+1,-1}, weights, scores, gradients), so the trajectory is
+bit-identical across engines with zero float drift:
+
+  1. features: grams = word unigrams + bigrams, hashed to K buckets
+     via the repo-wide md5-derived bucket hash; ONE hash-agg produces
+     (doc_id, y, bucket, count) — the only pass over the 100 TB text;
+  2. labels: the deterministic stopword-density + type-token-ratio
+     heuristic, integer cross-multiplied (no ratio floats) — the
+     "wikipedia-vs-crawl" proxy CCNet trains against;
+  3. each iteration: score = Σ count·w (feature relation ⋈ broadcast
+     weight vector, one hash-agg per doc); misclassified = y·score≤0;
+     gradient g_b = Σ_misclassified y·count; w ← w + g. The weight
+     vector stays a K-row relation end to end — never a driver
+     collect.
+
+Apply is a ZERO-SHUFFLE map-side scorer: the learned vector folds to a
+one-row bucket→weight map (broadcast scalar attach), and each document
+scores itself with one ``aggregate`` fold over its gram array.
+
+Oracle: the DuckDB twin unrolls the same N_ITERS iterations as CTE
+stages over the same feature relation — integer-exact at every stage.
+
+At 100 TB: the text pass is embarrassingly parallel; the feature
+relation is ≤ docs×K rows; iteration joins broadcast the K-row vector;
+the misclassified-set semi-join co-partitions on doc_id with the score
+agg. Nothing in the loop rescans text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.operators.textops import STOPWORDS
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table
+
+#: hashed feature buckets (the fastText "hashing trick" dimension)
+K_BUCKETS = 64
+#: batch-gradient iterations (unrolled in the oracle)
+N_ITERS = 3
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: Spark bucket hash over a gram string column ``g`` (md5-derived —
+#: the repo-wide cross-engine hash; value is 60-bit positive so plain
+#: ``%`` is already non-negative)
+_BUCKET = (
+    "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"
+    f" % {K_BUCKETS}"
+)
+#: DuckDB twin
+_BUCKET_SQL = f"(('0x' || substr(md5(g), 1, 15))::BIGINT) % {K_BUCKETS}"
+
+#: grams = unigrams ++ bigrams over the non-empty token array ``toks``
+_GRAMS = (
+    "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(0, size(toks)-2),"
+    " i -> concat(toks[i], ' ', toks[i+1])) "
+    "ELSE array() END)"
+)
+_GRAMS_SQL = (
+    "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END)"
+)
+
+#: the integer label rule: good ⇔ stopword density ≥ 1/12 AND
+#: type-token ratio ≥ 1/2 — cross-multiplied so no float ever exists
+_LABEL = (
+    f"CASE WHEN size(filter(toks, w -> w IN ({_STOP_IN}))) * 12"
+    " >= size(toks)"
+    " AND size(array_distinct(toks)) * 2 >= size(toks)"
+    " THEN 1 ELSE -1 END"
+)
+_LABEL_SQL = (
+    f"CASE WHEN len(list_filter(toks, w -> w IN ({_STOP_IN}))) * 12"
+    " >= len(toks)"
+    " AND len(list_distinct(toks)) * 2 >= len(toks)"
+    " THEN 1 ELSE -1 END"
+)
+
+
+def _lab_feat(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(labels+grams, hashed feature counts) — the single text pass.
+
+    ``lab`` carries (doc_id, lang, y, grams); ``feat`` is the compact
+    (doc_id, y, b, x) relation every iteration reuses. Both are
+    lazily checkpointed: lab because ``feat`` explodes its computed
+    array (GenerateExec re-evaluates its child — the repo-wide trap),
+    feat because six plan references would otherwise recompute the
+    corpus pass.
+    """
+    docs = compute_table(spark, sf_dir, "documents")
+    lab = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr("filter(split(text, ' '), w -> w != '')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(_LABEL).cast("long").alias("y"),
+            F.expr(_GRAMS).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    feat = (
+        lab.select("doc_id", "y", F.explode("grams").alias("g"))
+        .select("doc_id", "y", F.expr(_BUCKET).alias("b"))
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    return lab, feat
+
+
+def clf_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the N_ITERS training chain; return (lab, feat, weights).
+
+    weights is the K-row (b, w) relation after the last iteration —
+    eagerly checkpointed per step (K rows) so each iteration's plan
+    stays flat, exactly like bpe.py's one-row broadcast argmax.
+    """
+    lab, feat = _lab_feat(spark, sf_dir)
+    w = spark.range(K_BUCKETS).select(
+        F.col("id").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    for _ in range(N_ITERS):
+        scores = (
+            feat.join(F.broadcast(w), "b")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("x") * F.col("w")).cast("long").alias("score"))
+        )
+        mis = scores.filter(F.col("y") * F.col("score") <= 0).select("doc_id")
+        grad = (
+            feat.join(mis, "doc_id", "left_semi")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("g"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .select(
+                "b",
+                (F.col("w") + F.coalesce(F.col("g"), F.lit(0)))
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab, feat, w
+
+
+def _chain_ctes() -> str:
+    """The shared unrolled-training CTE block (through w{N_ITERS})."""
+    stages = [
+        f"""base AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w != '') AS toks
+        FROM documents
+    ),
+    lab AS (
+        SELECT doc_id, lang,
+               CAST({_LABEL_SQL} AS BIGINT) AS y,
+               {_GRAMS_SQL} AS grams
+        FROM base
+    ),
+    feat AS (
+        SELECT doc_id, y, {_BUCKET_SQL} AS b,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM (SELECT doc_id, y, unnest(grams) AS g FROM lab)
+        GROUP BY 1, 2, 3
+    ),
+    w0 AS (
+        SELECT CAST(b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+        FROM range(0, {K_BUCKETS}) t(b)
+    )"""
+    ]
+    for k in range(1, N_ITERS + 1):
+        p = k - 1
+        stages.append(f"""s{k} AS (
+        SELECT f.doc_id, f.y, CAST(SUM(f.x * w.w) AS BIGINT) AS score
+        FROM feat f JOIN w{p} w USING (b)
+        GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT doc_id FROM s{k} WHERE y * score <= 0),
+    g{k} AS (
+        SELECT b, CAST(SUM(y * x) AS BIGINT) AS g
+        FROM feat
+        WHERE doc_id IN (SELECT doc_id FROM m{k})
+        GROUP BY 1
+    ),
+    w{k} AS (
+        SELECT w{p}.b, CAST(w{p}.w + COALESCE(g{k}.g, 0) AS BIGINT) AS w
+        FROM w{p} LEFT JOIN g{k} USING (b)
+    )""")
+    return "WITH " + ",\n    ".join(stages)
+
+
+def _train_oracle_sql() -> str:
+    return (
+        _chain_ctes()
+        + f"\n    SELECT b AS bucket, w AS weight FROM w{N_ITERS}"
+    )
+
+
+@query("q_quality_clf_train", sql=_train_oracle_sql())
+def q_quality_clf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned weight vector after N_ITERS batch-perceptron
+    iterations over hashed unigram+bigram counts — K rows, every value
+    a BIGINT reached by integer-only arithmetic, so any divergence in
+    any iteration's scores/misclassified-set/gradient shows up here."""
+    _lab, _feat, w = clf_chain(spark, sf_dir)
+    return w.select(F.col("b").alias("bucket"), F.col("w").alias("weight"))
+
+
+def _apply_oracle_sql() -> str:
+    return (
+        _chain_ctes()
+        + f""",
+    inst AS (
+        SELECT doc_id, {_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, unnest(grams) AS g FROM lab)
+    ),
+    sc AS (
+        SELECT i.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+        FROM inst i JOIN w{N_ITERS} w USING (b)
+        GROUP BY 1
+    ),
+    fin AS (
+        SELECT l.lang, l.y, COALESCE(sc.score, 0) AS score
+        FROM lab l LEFT JOIN sc USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_label_good,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_good,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM fin GROUP BY 1"""
+    )
+
+
+@query("q_quality_clf_apply", sql=_apply_oracle_sql())
+def q_quality_clf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the corpus with the learned vector and census per lang:
+    docs, heuristic-good, classifier-good, summed integer scores.
+
+    The scorer is map-side and zero-shuffle: the K-row vector folds to
+    a one-row bucket→weight map (broadcast scalar attach, the repo's
+    crossJoin(broadcast(<tiny aggregate>)) pattern) and each document
+    scores itself with one ``aggregate`` fold over its gram array —
+    per-instance weight sum ≡ Σ_b w_b·count_b. Only the final per-lang
+    census shuffles (5 groups)."""
+    lab, _feat, w = clf_chain(spark, sf_dir)
+    wmap = w.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("w")))
+        ).alias("wmap")
+    )
+    scored = lab.crossJoin(F.broadcast(wmap)).select(
+        "lang",
+        "y",
+        F.expr(
+            f"aggregate(grams, 0L, (acc, g) -> acc + coalesce(wmap[{_BUCKET}], 0L))"
+        ).alias("score"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_label_good"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred_good"),
+        F.sum("score").cast("long").alias("sum_score"),
+    )
