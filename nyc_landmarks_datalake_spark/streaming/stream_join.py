@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.scratch import scratch_dir
-from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+from nyc_landmarks_datalake_spark.streaming.guard import (
+    finish_replay,
+    replay_session,
+)
 
 JOIN_WINDOW_HOURS = 6
 
@@ -305,14 +308,19 @@ def replay_stream_outer_join(
                 os.path.join(d, f), (data_cutoff + 120, data_cutoff + 120)
             )
 
+    # run the stateful replay in a dedicated low-partition session:
+    # two state stores x 32 partitions of store-provider overhead was
+    # ~9% of the whole sf0.1 bench for a few thousand rows; the staged
+    # parquet handoff keeps the caller's session untouched
+    sess = replay_session(spark)
     a = (
-        spark.readStream.schema(clicks.schema)
+        sess.readStream.schema(clicks.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_a)
         .withWatermark("click_ts", OUTER_WM_DELAY)
     )
     b = (
-        spark.readStream.schema(purchases.schema)
+        sess.readStream.schema(purchases.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_b)
         .withWatermark("purchase_ts", OUTER_WM_DELAY)
