@@ -153,9 +153,11 @@ HEADLINE = [
     "q_bpe_apply",
     "q_video_decode_stats",
     "q_exact_quantiles_bucketed",
-    # added r11: hashed-n-gram quality-classifier training + scorer
+    # added r11: hashed-n-gram quality-classifier training + scorer,
+    # chained stateful operators (stream-stream join -> windowed agg)
     "q_quality_clf_train",
     "q_quality_clf_apply",
+    "q_stream_join_windowed",
 ]
 
 

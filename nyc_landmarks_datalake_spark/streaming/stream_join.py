@@ -243,6 +243,75 @@ OUTER_FLUSH_TS = "2025-06-01 00:00:00"
 OUTER_WM_DELAY = "90 days"
 
 
+def _stage_feeds_with_flush(
+    spark,
+    base: str,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    n_source_files: int,
+    n_flush_files: int = 1,
+) -> tuple[str, str]:
+    """Stage both feeds as parquet plus ``n_flush_files`` far-future
+    flush sentinels each, mtime-ordered so sentinels replay strictly
+    LAST (and strictly in order among themselves).
+
+    Shared by the outer-join replay (null emission is watermark-driven)
+    and the chained join→window replay (window finalization is
+    watermark-driven): both terminate cleanly only if a last-arriving
+    sentinel on EVERY feed pushes the global watermark past all real
+    event time. A single-stateful-operator query needs one sentinel; a
+    CHAIN of stateful operators needs one per level, because each
+    downstream operator evaluates against the watermark as of the
+    PREVIOUS micro-batch — the k-th sentinel batch propagates the
+    advance one level further down. Sentinel k sits at flush + k days
+    so each batch strictly advances the watermark.
+
+    Sentinel files are identified by set difference against a pre-write
+    snapshot — a max-mtime pick can tie with a data part on
+    coarse-granularity filesystems and bump the wrong file.
+    """
+    import os
+    import time as _time
+
+    src_a = os.path.join(base, "clicks")
+    src_b = os.path.join(base, "purchases")
+    clicks.repartition(n_source_files).write.mode("overwrite").parquet(src_a)
+    purchases.repartition(n_source_files).write.mode("overwrite").parquet(src_b)
+
+    data_cutoff = _time.time()
+    for k in range(n_flush_files):
+        flush = F.to_timestamp(F.lit(OUTER_FLUSH_TS)) + F.expr(
+            f"INTERVAL {k} DAYS"
+        )
+        sent_a = spark.range(1).select(
+            F.lit(-1).cast("long").alias("click_id"),
+            F.lit(-1).cast("long").alias("click_user"),
+            flush.alias("click_ts"),
+        )
+        sent_b = spark.range(1).select(
+            F.lit(-1).cast("long").alias("purchase_id"),
+            F.lit(-1).cast("long").alias("purchase_user"),
+            flush.alias("purchase_ts"),
+        )
+        pre = {
+            d: {f for f in os.listdir(d) if f.endswith(".parquet")}
+            for d in (src_a, src_b)
+        }
+        sent_a.coalesce(1).write.mode("append").parquet(src_a)
+        sent_b.coalesce(1).write.mode("append").parquet(src_b)
+        stamp = data_cutoff + 120 + 60 * k
+        for d in (src_a, src_b):
+            new = [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and f not in pre[d]
+            ]
+            assert new, f"sentinel write produced no new part file in {d}"
+            for f in new:
+                os.utime(os.path.join(d, f), (stamp, stamp))
+    return src_a, src_b
+
+
 def replay_stream_outer_join(
     spark,
     clicks: DataFrame,
@@ -263,50 +332,13 @@ def replay_stream_outer_join(
     cross-batch MATCH path is already exercised by the inner interval
     join's two-file staging."""
     import os
-    import time as _time
 
     base = scratch_dir(prefix="stream_ojoin_")
-    src_a = os.path.join(base, "clicks")
-    src_b = os.path.join(base, "purchases")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
-    clicks.repartition(n_source_files).write.mode("overwrite").parquet(src_a)
-    purchases.repartition(n_source_files).write.mode("overwrite").parquet(src_b)
-
-    flush = F.to_timestamp(F.lit(OUTER_FLUSH_TS))
-    sent_a = spark.range(1).select(
-        F.lit(-1).cast("long").alias("click_id"),
-        F.lit(-1).cast("long").alias("click_user"),
-        flush.alias("click_ts"),
+    src_a, src_b = _stage_feeds_with_flush(
+        spark, base, clicks, purchases, n_source_files
     )
-    sent_b = spark.range(1).select(
-        F.lit(-1).cast("long").alias("purchase_id"),
-        F.lit(-1).cast("long").alias("purchase_user"),
-        flush.alias("purchase_ts"),
-    )
-    # the flush files must be listed AFTER the data files: the file
-    # source orders its initial listing by modification time. A
-    # max-mtime pick can tie with a data part on coarse-granularity
-    # filesystems, so snapshot the file set BEFORE the sentinel write
-    # and bump exactly the new files (set difference).
-    pre = {
-        d: {f for f in os.listdir(d) if f.endswith(".parquet")}
-        for d in (src_a, src_b)
-    }
-    sent_a.coalesce(1).write.mode("append").parquet(src_a)
-    sent_b.coalesce(1).write.mode("append").parquet(src_b)
-    data_cutoff = _time.time()
-    for d in (src_a, src_b):
-        new = [
-            f
-            for f in os.listdir(d)
-            if f.endswith(".parquet") and f not in pre[d]
-        ]
-        assert new, f"sentinel write produced no new part file in {d}"
-        for f in new:
-            os.utime(
-                os.path.join(d, f), (data_cutoff + 120, data_cutoff + 120)
-            )
 
     # run the stateful replay in a dedicated low-partition session:
     # two state stores x 32 partitions of store-provider overhead was
@@ -408,3 +440,156 @@ def _register_outer_join() -> None:
 
 
 _register_outer_join()
+
+
+# ---------------------------------------------------------------------------
+# CHAINED stateful operators in ONE streaming query (Spark 4 multiple-
+# stateful-operator support): stream-stream inner interval join →
+# tumbling event-time window aggregation downstream, one checkpoint.
+# This is the production shape users get wrong after joins: the window
+# operator finalizes a bucket only when the watermark — the MIN of both
+# feeds' watermarks, propagated THROUGH the join — passes the window
+# end, so a finite replay needs the same both-feed flush sentinel as
+# the outer join or the trailing windows silently never emit.
+#
+# Determinism: the inner-join match set is arrival-order independent
+# (delay > data span, no late drops), window assignment is a pure
+# function of purchase_ts, and the flush closes every real window —
+# so the emission set equals the batch join+GROUP BY oracle exactly.
+# ---------------------------------------------------------------------------
+
+
+def replay_stream_join_windowed(
+    spark,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    n_source_files: int = 1,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Replay both feeds through join→window-agg (two state stores in
+    one query) and return every finalized window row.
+
+    The sentinel pair (-1 matches -1 at the flush instant) needs NO
+    explicit filter: it lands in a far-future window whose end never
+    passes the watermark, so append mode never emits it. Filtering it
+    in-stream (``filter(click_id != -1)`` between join and window)
+    would actually BREAK the flush — Catalyst pushes the deterministic
+    predicate below the clicks-side EventTimeWatermark node, that
+    feed's watermark stats never see the sentinels, and the global
+    min-watermark freezes at the data-derived value, silently
+    withholding every trailing window (found empirically; the
+    single-operator outer-join replay is immune because it filters
+    sentinels AFTER the replay)."""
+    import os
+
+    base = scratch_dir(prefix="stream_jwin_")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    # two flush sentinels per feed: the first drains the JOIN's state,
+    # the second batch carries the advanced watermark down to the
+    # WINDOW operator (each stateful level sees the watermark as of
+    # the previous micro-batch)
+    src_a, src_b = _stage_feeds_with_flush(
+        spark, base, clicks, purchases, n_source_files, n_flush_files=2
+    )
+
+    sess = replay_session(spark)
+    a = (
+        sess.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_a)
+        .withWatermark("click_ts", OUTER_WM_DELAY)
+    )
+    b = (
+        sess.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_b)
+        .withWatermark("purchase_ts", OUTER_WM_DELAY)
+    )
+    agged = (
+        a.join(
+            b,
+            (a.click_user == b.purchase_user)
+            & (
+                F.col("click_ts").between(
+                    F.col("purchase_ts")
+                    - F.expr(f"INTERVAL {JOIN_WINDOW_HOURS} HOURS"),
+                    F.col("purchase_ts"),
+                )
+            ),
+        )
+        .groupBy(F.window("purchase_ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("click_id").cast("long").alias("sum_click_ids"),
+            F.sum("purchase_id").cast("long").alias("sum_purchase_ids"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        agged.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finish_replay(q, timeout_s, "stream_join_windowed")
+    return spark.read.parquet(out)
+
+
+def _register_join_windowed() -> None:
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_join_windowed",
+        sql=f"""
+        WITH a AS (
+            SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        b AS (
+            SELECT event_id AS purchase_id, user_id AS purchase_user,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT a.click_id, b.purchase_id, b.purchase_ts
+            FROM a JOIN b
+              ON a.click_user = b.purchase_user
+             AND a.click_ts BETWEEN
+                 b.purchase_ts - INTERVAL {JOIN_WINDOW_HOURS} HOURS
+                 AND b.purchase_ts
+        )
+        SELECT time_bucket(INTERVAL '1 day', purchase_ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(click_id) AS BIGINT) AS sum_click_ids,
+               CAST(SUM(purchase_id) AS BIGINT) AS sum_purchase_ids
+        FROM j GROUP BY 1
+        """,
+    )
+    def q_stream_join_windowed(spark, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        rows = replay_stream_join_windowed(spark, clicks, purchases)
+        return rows.select(
+            F.col("w.start").alias("window_start"),
+            "n_pairs",
+            "sum_click_ids",
+            "sum_purchase_ids",
+        )
+
+
+_register_join_windowed()

@@ -519,3 +519,54 @@ def test_stream_ingest_dedup_crosses_batch_boundaries(spark):
     assert got[0] is False  # pioneer keeps its bucket
     assert got[50] is True and got[51] is True  # flagged across batches
     assert not any(got[i] for i in got if i not in (50, 51))
+
+
+def test_stream_join_windowed_chains_two_stateful_ops(spark, sf_small):
+    """Join→window in ONE streaming query: the chained replay must
+    reproduce the batch join+GROUP BY across micro-batch boundaries
+    (n_source_files=2 forces pairs whose sides arrive in different
+    batches through recovered join state into the window operator),
+    and the flush sentinels must close every real window WITHOUT
+    leaking their own far-future window into the output."""
+    from nyc_landmarks_datalake_spark.streaming.stream_join import (
+        JOIN_WINDOW_HOURS,
+        replay_stream_join_windowed,
+    )
+
+    ev = table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    got = {
+        str(r["w"]["start"]): (r["n_pairs"], r["sum_click_ids"])
+        for r in replay_stream_join_windowed(
+            spark, clicks, purchases, n_source_files=2
+        ).collect()
+    }
+    want = {
+        str(r["ws"]): (r["n"], r["s"])
+        for r in clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & F.col("click_ts").between(
+                F.col("purchase_ts")
+                - F.expr(f"INTERVAL {JOIN_WINDOW_HOURS} HOURS"),
+                F.col("purchase_ts"),
+            ),
+        )
+        .groupBy(F.window("purchase_ts", "1 day").start.alias("ws"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("click_id").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert all(ws < "2025" for ws in got)  # sentinel window withheld
