@@ -83,6 +83,7 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.pandas_api  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.bpe  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.quality_clf  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.unigram_lm  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.video  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.stateful  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.dedup  # noqa: F401
