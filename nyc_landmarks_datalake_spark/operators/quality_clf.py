@@ -130,16 +130,36 @@ def _lab_feat(
     return lab, feat
 
 
+#: deterministic cross-engine holdout: doc is TEST iff its md5-derived
+#: id hash falls in fold 0 of N_FOLDS
+N_FOLDS = 5
+_IS_TEST = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+    f" as bigint) % {N_FOLDS} = 0"
+)
+_IS_TEST_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    f" % {N_FOLDS} = 0"
+)
+
+
 def clf_chain(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, train_only: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the N_ITERS training chain; return (lab, feat, weights).
 
     weights is the K-row (b, w) relation after the last iteration —
     eagerly checkpointed per step (K rows) so each iteration's plan
     stays flat, exactly like bpe.py's one-row broadcast argmax.
+
+    ``train_only=True`` restricts every gradient pass to the
+    deterministic md5 train fold (the eval query's holdout protocol);
+    the feature build itself is unchanged — the split is a filter on
+    the compact feature relation, never a second text pass.
     """
     lab, feat = _lab_feat(spark, sf_dir)
+    if train_only:
+        feat = feat.filter(F.expr(f"NOT ({_IS_TEST})"))
     w = spark.range(K_BUCKETS).select(
         F.col("id").cast("long").alias("b"),
         F.lit(0).cast("long").alias("w"),
@@ -169,8 +189,12 @@ def clf_chain(
     return lab, feat, w
 
 
-def _chain_ctes() -> str:
-    """The shared unrolled-training CTE block (through w{N_ITERS})."""
+def _chain_ctes(train_where: str = "TRUE") -> str:
+    """The shared unrolled-training CTE block (through w{N_ITERS}).
+
+    ``train_where`` filters the feature relation the gradient passes
+    see (the eval query's holdout split); the default keeps the full
+    corpus."""
     stages = [
         f"""base AS (
         SELECT doc_id, lang,
@@ -189,6 +213,7 @@ def _chain_ctes() -> str:
         FROM (SELECT doc_id, y, unnest(grams) AS g FROM lab)
         GROUP BY 1, 2, 3
     ),
+    tfeat AS (SELECT * FROM feat WHERE {train_where}),
     w0 AS (
         SELECT CAST(b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
         FROM range(0, {K_BUCKETS}) t(b)
@@ -198,13 +223,13 @@ def _chain_ctes() -> str:
         p = k - 1
         stages.append(f"""s{k} AS (
         SELECT f.doc_id, f.y, CAST(SUM(f.x * w.w) AS BIGINT) AS score
-        FROM feat f JOIN w{p} w USING (b)
+        FROM tfeat f JOIN w{p} w USING (b)
         GROUP BY 1, 2
     ),
     m{k} AS (SELECT doc_id FROM s{k} WHERE y * score <= 0),
     g{k} AS (
         SELECT b, CAST(SUM(y * x) AS BIGINT) AS g
-        FROM feat
+        FROM tfeat
         WHERE doc_id IN (SELECT doc_id FROM m{k})
         GROUP BY 1
     ),
@@ -293,4 +318,83 @@ def q_quality_clf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pred_good"),
         F.sum("score").cast("long").alias("sum_score"),
+    )
+
+
+def _eval_oracle_sql() -> str:
+    return (
+        _chain_ctes(train_where=f"NOT ({_IS_TEST_SQL})")
+        + f""",
+    inst AS (
+        SELECT doc_id, {_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, unnest(grams) AS g FROM lab
+              WHERE {_IS_TEST_SQL})
+    ),
+    sc AS (
+        SELECT i.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+        FROM inst i JOIN w{N_ITERS} w USING (b)
+        GROUP BY 1
+    ),
+    fin AS (
+        SELECT l.lang, l.y, COALESCE(sc.score, 0) AS score
+        FROM lab l LEFT JOIN sc USING (doc_id)
+        WHERE {_IS_TEST_SQL}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = -1 AND score > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = -1 AND score <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN y = 1 AND score <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN (y = 1) = (score > 0) THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM fin GROUP BY 1"""
+    )
+
+
+@query("q_quality_clf_eval", sql=_eval_oracle_sql())
+def q_quality_clf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout evaluation of the classifier — the ML-pipeline step the
+    train/apply pair doesn't cover: train on the md5-derived 4/5 train
+    fold ONLY, score the held-out 1/5, and census the per-lang
+    confusion matrix with integer accuracy ppm.
+
+    The split is a filter on the compact feature relation (one
+    deterministic hash of doc_id, identical in both engines), so the
+    holdout protocol adds zero corpus passes; scoring reuses the
+    zero-shuffle broadcast-map fold."""
+    lab, _feat, w = clf_chain(spark, sf_dir, train_only=True)
+    wmap = w.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("w")))
+        ).alias("wmap")
+    )
+    scored = (
+        lab.filter(F.expr(_IS_TEST))
+        .crossJoin(F.broadcast(wmap))
+        .select(
+            "lang",
+            "y",
+            F.expr(
+                f"aggregate(grams, 0L,"
+                f" (acc, g) -> acc + coalesce(wmap[{_BUCKET}], 0L))"
+            ).alias("score"),
+        )
+    )
+    good = F.col("y") == 1
+    pred = F.col("score") > 0
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((good & pred).cast("long")).cast("long").alias("tp"),
+        F.sum(((~good) & pred).cast("long")).cast("long").alias("fp"),
+        F.sum(((~good) & (~pred)).cast("long")).cast("long").alias("tn"),
+        F.sum((good & (~pred)).cast("long")).cast("long").alias("fn"),
+        F.expr(
+            "CAST(SUM(CASE WHEN (y = 1) = (score > 0) THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
     )

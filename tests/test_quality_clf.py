@@ -140,3 +140,68 @@ def test_apply_scorer_is_map_side(spark, sf_oracle):
     assert not a.has_python_eval
     assert a.broadcast_exchanges >= 1, a
     assert a.exchanges <= 3, a
+
+
+def test_eval_matches_pure_python_reference(spark, sf_small):
+    # third implementation of the holdout protocol: train on the md5
+    # 4/5 fold with plain-integer perceptron steps, confusion-census
+    # the held-out 1/5
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    stop = set(STOPWORDS)
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % K_BUCKETS
+
+    def is_test(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:15]
+        return int(h, 16) % 5 == 0
+
+    docs = []
+    for doc_id, lang, text in rows:
+        toks = [w for w in text.split(" ") if w != ""]
+        good = (
+            sum(1 for w in toks if w in stop) * 12 >= len(toks)
+            and len(set(toks)) * 2 >= len(toks)
+        )
+        grams = toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        docs.append(
+            (doc_id, lang, 1 if good else -1, Counter(map(bucket, grams)))
+        )
+
+    train = [d for d in docs if not is_test(d[0])]
+    w = dict.fromkeys(range(K_BUCKETS), 0)
+    for _ in range(N_ITERS):
+        grad: Counter[int] = Counter()
+        for _id, _lang, y, feats in train:
+            if feats and y * sum(w[b] * x for b, x in feats.items()) <= 0:
+                for b, x in feats.items():
+                    grad[b] += y * x
+        for b, g in grad.items():
+            w[b] += g
+
+    exp: dict[str, list] = {}
+    for doc_id, lang, y, feats in docs:
+        if not is_test(doc_id):
+            continue
+        pred = sum(w[b] * x for b, x in feats.items()) > 0
+        c = exp.setdefault(lang, [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += y == 1 and pred
+        c[2] += y == -1 and pred
+        c[3] += y == -1 and not pred
+        c[4] += y == 1 and not pred
+    expected = {
+        k: (n, tp, fp, tn, fn, (tp + tn) * 1_000_000 // n)
+        for k, (n, tp, fp, tn, fn) in exp.items()
+    }
+    got = {
+        r.lang: (r.n_test, r.tp, r.fp, r.tn, r.fn, r.accuracy_ppm)
+        for r in registry.QUERIES["q_quality_clf_eval"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == expected
