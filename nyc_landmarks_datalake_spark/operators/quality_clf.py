@@ -189,12 +189,12 @@ def clf_chain(
     return lab, feat, w
 
 
-def _chain_ctes(train_where: str = "TRUE") -> str:
-    """The shared unrolled-training CTE block (through w{N_ITERS}).
+def _chain_ctes(train_where: str = "TRUE", n_iters: int = N_ITERS) -> str:
+    """The shared unrolled-training CTE block (through w{n_iters}).
 
     ``train_where`` filters the feature relation the gradient passes
     see (the eval query's holdout split); the default keeps the full
-    corpus."""
+    corpus. ``n_iters`` unrolls more epochs (model selection)."""
     stages = [
         f"""base AS (
         SELECT doc_id, lang,
@@ -219,7 +219,7 @@ def _chain_ctes(train_where: str = "TRUE") -> str:
         FROM range(0, {K_BUCKETS}) t(b)
     )"""
     ]
-    for k in range(1, N_ITERS + 1):
+    for k in range(1, n_iters + 1):
         p = k - 1
         stages.append(f"""s{k} AS (
         SELECT f.doc_id, f.y, CAST(SUM(f.x * w.w) AS BIGINT) AS score
@@ -397,4 +397,158 @@ def q_quality_clf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CASE WHEN (y = 1) = (score > 0) THEN 1 ELSE 0 END)"
             " * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("accuracy_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model selection: train E epochs on the train fold, score EVERY
+# epoch's weight vector on the holdout, select the best by (accuracy
+# desc, epoch asc) — the early-stopping/model-selection step a real
+# training pipeline runs after q_quality_clf_train. The selection
+# argmax stays IN-PLAN (broadcast one-row max, the bpe.py discipline);
+# all arithmetic is integer counts and ppm divisions.
+# ---------------------------------------------------------------------------
+N_EPOCHS = 4
+
+
+def clf_epoch_weights(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(lab, [w_1 .. w_N_EPOCHS]) trained on the md5 train fold."""
+    lab, feat = _lab_feat(spark, sf_dir)
+    tfeat = feat.filter(F.expr(f"NOT ({_IS_TEST})"))
+    w = spark.range(K_BUCKETS).select(
+        F.col("id").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    ws: list[DataFrame] = []
+    for _ in range(N_EPOCHS):
+        scores = (
+            tfeat.join(F.broadcast(w), "b")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("x") * F.col("w")).cast("long").alias("score"))
+        )
+        mis = scores.filter(F.col("y") * F.col("score") <= 0).select("doc_id")
+        grad = (
+            tfeat.join(mis, "doc_id", "left_semi")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("g"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .select(
+                "b",
+                (F.col("w") + F.coalesce(F.col("g"), F.lit(0)))
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ws.append(w)
+    return lab, ws
+
+
+def _model_select_oracle_sql() -> str:
+    ctes = _chain_ctes(
+        train_where=f"NOT ({_IS_TEST_SQL})", n_iters=N_EPOCHS
+    )
+    evals = []
+    for e in range(1, N_EPOCHS + 1):
+        evals.append(f"""inst{e} AS (
+        SELECT doc_id, {_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, unnest(grams) AS g FROM lab
+              WHERE {_IS_TEST_SQL})
+    ),
+    sc{e} AS (
+        SELECT i.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+        FROM inst{e} i JOIN w{e} w USING (b)
+        GROUP BY 1
+    ),
+    acc{e} AS (
+        SELECT CAST({e} AS BIGINT) AS epoch,
+               CAST(SUM(CASE WHEN (l.y = 1) = (COALESCE(sc.score, 0) > 0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(COUNT(*) AS BIGINT) AS n_test
+        FROM lab l LEFT JOIN sc{e} sc USING (doc_id)
+        WHERE {_IS_TEST_SQL}
+    )""")
+        # (instN is identical each epoch — DuckDB dedups via CSE; kept
+        # per-epoch so the text parallels the Spark loop exactly)
+    union = " UNION ALL ".join(
+        f"SELECT epoch, n_correct, n_test FROM acc{e}"
+        for e in range(1, N_EPOCHS + 1)
+    )
+    evals_sql = ",\n    ".join(evals)
+    return f"""{ctes},
+    {evals_sql},
+    allacc AS ({union}),
+    best AS (
+        SELECT epoch AS best_epoch FROM allacc
+        ORDER BY n_correct DESC, epoch ASC LIMIT 1
+    )
+    SELECT a.epoch, a.n_correct, a.n_test,
+           CAST(a.n_correct * 1000000 // a.n_test AS BIGINT)
+               AS accuracy_ppm,
+           a.epoch = b.best_epoch AS selected
+    FROM allacc a, best b"""
+
+
+@query("q_quality_clf_model_select", sql=_model_select_oracle_sql())
+def q_quality_clf_model_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-epoch holdout accuracy for E=4 perceptron epochs plus the
+    selected model (accuracy desc, epoch asc — deterministic total
+    order). The selection argmax attaches as a one-row broadcast —
+    never a driver-side comparison; every value is an integer count
+    or an integer-division ppm."""
+    from functools import reduce
+
+    lab, ws = clf_epoch_weights(spark, sf_dir)
+    test = lab.filter(F.expr(_IS_TEST)).localCheckpoint(eager=False)
+    per_epoch = []
+    for e, w in enumerate(ws, start=1):
+        wmap = w.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), F.col("w")))
+            ).alias("wmap")
+        )
+        acc = (
+            test.crossJoin(F.broadcast(wmap))
+            .select(
+                "y",
+                F.expr(
+                    f"aggregate(grams, 0L,"
+                    f" (acc, g) -> acc + coalesce(wmap[{_BUCKET}], 0L))"
+                ).alias("score"),
+            )
+            .agg(
+                F.lit(e).cast("long").alias("epoch"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (y = 1) = (score > 0) THEN 1 ELSE 0 END"
+                    )
+                )
+                .cast("long")
+                .alias("n_correct"),
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+            )
+        )
+        per_epoch.append(acc)
+    allacc = reduce(DataFrame.unionByName, per_epoch).localCheckpoint(
+        eager=True
+    )
+    best = (
+        allacc.orderBy(F.desc("n_correct"), F.asc("epoch"))
+        .limit(1)
+        .select(F.col("epoch").alias("best_epoch"))
+    )
+    return allacc.crossJoin(F.broadcast(best)).select(
+        "epoch",
+        "n_correct",
+        "n_test",
+        F.expr("CAST(n_correct * 1000000 div n_test AS BIGINT)").alias(
+            "accuracy_ppm"
+        ),
+        (F.col("epoch") == F.col("best_epoch")).alias("selected"),
     )

@@ -205,3 +205,65 @@ def test_eval_matches_pure_python_reference(spark, sf_small):
         ).collect()
     }
     assert got == expected
+
+
+def test_model_select_matches_pure_python_reference(spark, sf_small):
+    # third implementation of multi-epoch training + holdout selection
+    from nyc_landmarks_datalake_spark.operators.quality_clf import N_EPOCHS
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    stop = set(STOPWORDS)
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % K_BUCKETS
+
+    def is_test(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:15]
+        return int(h, 16) % 5 == 0
+
+    docs = []
+    for doc_id, lang, text in rows:
+        toks = [w for w in text.split(" ") if w != ""]
+        good = (
+            sum(1 for w in toks if w in stop) * 12 >= len(toks)
+            and len(set(toks)) * 2 >= len(toks)
+        )
+        grams = toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        docs.append(
+            (doc_id, 1 if good else -1, Counter(map(bucket, grams)))
+        )
+    train = [d for d in docs if not is_test(d[0])]
+    test = [d for d in docs if is_test(d[0])]
+
+    w = dict.fromkeys(range(K_BUCKETS), 0)
+    expected = {}
+    for e in range(1, N_EPOCHS + 1):
+        grad: Counter[int] = Counter()
+        for _id, y, feats in train:
+            if feats and y * sum(w[b] * x for b, x in feats.items()) <= 0:
+                for b, x in feats.items():
+                    grad[b] += y * x
+        for b, g in grad.items():
+            w[b] += g
+        n_correct = sum(
+            1
+            for _id, y, feats in test
+            if (y == 1) == (sum(w[b] * x for b, x in feats.items()) > 0)
+        )
+        expected[e] = (n_correct, len(test), n_correct * 1_000_000 // len(test))
+    best = max(expected, key=lambda e: (expected[e][0], -e))
+
+    got = {
+        r.epoch: (r.n_correct, r.n_test, r.accuracy_ppm, r.selected)
+        for r in registry.QUERIES["q_quality_clf_model_select"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == {
+        e: (*v, e == best) for e, v in expected.items()
+    }
+    assert sum(1 for v in got.values() if v[3]) == 1  # exactly one winner
