@@ -159,6 +159,7 @@ HEADLINE = [
     "q_quality_clf_apply",
     "q_stream_join_windowed",
     "q_unigram_lm_train",
+    "q_dsir_importance",
 ]
 
 
