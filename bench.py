@@ -160,6 +160,11 @@ HEADLINE = [
     "q_stream_join_windowed",
     "q_unigram_lm_train",
     "q_dsir_importance",
+    # added late-r11: WordPiece completes the tokenizer-trainer triad;
+    # the deletion-neighborhood fuzzy join is a new (blocking-join)
+    # shuffle shape worth a tracked number
+    "q_wordpiece_merges",
+    "q_fuzzy_join_names",
 ]
 
 
