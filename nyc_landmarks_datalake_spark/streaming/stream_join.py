@@ -318,6 +318,7 @@ def replay_stream_outer_join(
     purchases: DataFrame,
     n_source_files: int = 1,
     timeout_s: int = 300,
+    how: str = "leftOuter",
 ) -> DataFrame:
     """Stage both feeds plus a last-arriving flush sentinel each, replay
     through a watermarked stream-stream LEFT OUTER interval join, and
@@ -330,7 +331,15 @@ def replay_stream_outer_join(
     state recovery + null emission); each extra stateful micro-batch
     costs ~2x store I/O for no extra semantic coverage here, and the
     cross-batch MATCH path is already exercised by the inner interval
-    join's two-file staging."""
+    join's two-file staging.
+
+    ``how`` is ``leftOuter`` (default) or ``fullOuter`` — the latter
+    additionally emits unmatched RIGHT rows with left-side NULLs once
+    the left watermark passes their join window; the same single flush
+    sentinel pair drives both (one stateful level). The two flush
+    sentinels share user -1 and an identical timestamp, so they match
+    EACH OTHER and never surface as null rows; the sentinel filter
+    drops matched and null-side sentinel rows alike."""
     import os
 
     base = scratch_dir(prefix="stream_ojoin_")
@@ -366,7 +375,7 @@ def replay_stream_outer_join(
                 F.col("purchase_ts"),
             )
         ),
-        "leftOuter",
+        how,
     )
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -380,7 +389,13 @@ def replay_stream_outer_join(
         .start()
     )
     finish_replay(q, timeout_s, "stream_outer_join")
-    return spark.read.parquet(out).filter(F.col("click_id") != -1)
+    rows = spark.read.parquet(out)
+    if how == "fullOuter":
+        return rows.filter(
+            (F.col("click_id").isNull() | (F.col("click_id") != -1))
+            & (F.col("purchase_id").isNull() | (F.col("purchase_id") != -1))
+        )
+    return rows.filter(F.col("click_id") != -1)
 
 
 def _register_outer_join() -> None:
@@ -440,6 +455,97 @@ def _register_outer_join() -> None:
 
 
 _register_outer_join()
+
+
+def _register_full_outer_join() -> None:
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_full_outer_join",
+        sql=f"""
+        WITH a AS (
+            SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        b AS (
+            SELECT event_id AS purchase_id, user_id AS purchase_user,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT COALESCE(a.click_user, b.purchase_user) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN a.click_id IS NOT NULL
+                                AND b.purchase_id IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_matched,
+               CAST(COUNT(CASE WHEN b.purchase_id IS NULL THEN 1 END)
+                    AS BIGINT) AS n_left_only,
+               CAST(COUNT(CASE WHEN a.click_id IS NULL THEN 1 END)
+                    AS BIGINT) AS n_right_only,
+               CAST(COALESCE(SUM(a.click_id), 0) AS BIGINT) AS sum_click_ids,
+               CAST(COALESCE(SUM(b.purchase_id), 0) AS BIGINT)
+                   AS sum_purchase_ids
+        FROM a FULL JOIN b
+          ON a.click_user = b.purchase_user
+         AND a.click_ts BETWEEN
+             b.purchase_ts - INTERVAL {JOIN_WINDOW_HOURS} HOURS
+             AND b.purchase_ts
+        GROUP BY 1
+        """,
+    )
+    def q_stream_full_outer_join(spark, sf_dir: str) -> DataFrame:
+        """FULL OUTER stream-stream interval join: both sides' unmatched
+        rows are emitted with opposite-side NULLs as the respective
+        watermark passes their join window — the symmetric completion of
+        `q_stream_outer_join`, sharing its replay machinery, flush
+        sentinel, and dedicated low-partition session. The emission set
+        of the finite replay equals the batch FULL JOIN exactly (delay >
+        data span, so nothing drops late)."""
+        ev = table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        rows = replay_stream_outer_join(
+            spark, clicks, purchases, how="fullOuter"
+        )
+        return rows.groupBy(
+            F.coalesce(F.col("click_user"), F.col("purchase_user")).alias(
+                "user_id"
+            )
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(
+                F.when(
+                    F.col("click_id").isNotNull()
+                    & F.col("purchase_id").isNotNull(),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_matched"),
+            F.count(F.when(F.col("purchase_id").isNull(), 1))
+            .cast("long")
+            .alias("n_left_only"),
+            F.count(F.when(F.col("click_id").isNull(), 1))
+            .cast("long")
+            .alias("n_right_only"),
+            F.coalesce(F.sum("click_id"), F.lit(0))
+            .cast("long")
+            .alias("sum_click_ids"),
+            F.coalesce(F.sum("purchase_id"), F.lit(0))
+            .cast("long")
+            .alias("sum_purchase_ids"),
+        )
+
+
+_register_full_outer_join()
 
 
 # ---------------------------------------------------------------------------

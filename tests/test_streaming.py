@@ -490,6 +490,48 @@ def test_stream_outer_join_emits_watermark_driven_nulls(spark, sf_small):
     assert -1 not in {r["click_id"] for r in rows}  # sentinels excluded
 
 
+def test_stream_full_outer_join_emits_both_null_sides(spark, sf_small):
+    """fullOuter must ALSO emit unmatched right rows with left-side
+    NULLs (the path leftOuter never exercises), across micro-batch
+    boundaries, with sentinels excluded on both sides."""
+    from nyc_landmarks_datalake_spark.streaming.stream_join import (
+        replay_stream_outer_join,
+    )
+
+    ev = table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    rows = replay_stream_outer_join(
+        spark, clicks, purchases, n_source_files=2, how="fullOuter"
+    ).collect()
+    left_nulls = [r for r in rows if r["purchase_id"] is None]
+    right_nulls = [r for r in rows if r["click_id"] is None]
+    matched = [
+        r
+        for r in rows
+        if r["click_id"] is not None and r["purchase_id"] is not None
+    ]
+    assert left_nulls and right_nulls, (len(left_nulls), len(right_nulls))
+    # every click and every purchase appears exactly once per join row
+    assert len(matched) + len(left_nulls) + len(right_nulls) == len(rows)
+    assert {r["click_id"] for r in matched} | {
+        r["click_id"] for r in left_nulls
+    } == {r["click_id"] for r in clicks.collect()}
+    assert {r["purchase_id"] for r in matched} | {
+        r["purchase_id"] for r in right_nulls
+    } == {r["purchase_id"] for r in purchases.collect()}
+    ids = {r["click_id"] for r in rows} | {r["purchase_id"] for r in rows}
+    assert -1 not in ids  # sentinels excluded on BOTH sides
+
+
 def test_stream_ingest_dedup_crosses_batch_boundaries(spark):
     """A near-dup whose original arrived in an EARLIER micro-batch must
     be flagged via the persistent band-minimum store (not within-batch
