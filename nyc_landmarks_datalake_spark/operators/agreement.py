@@ -1,0 +1,218 @@
+"""Evaluation statistics: inter-rater agreement (Cohen's kappa) and
+exact Spearman rank correlation — the two classic "are these two
+signals telling me the same thing" measures a curation pipeline runs
+before trusting a filter.
+
+Both are integer-exact end to end: the 2x2 agreement table and the
+rank vectors are integer counts, and the final coefficients are ppm
+integers computed with one wide (DECIMAL(38,0) Spark / HUGEINT DuckDB)
+division — truncation toward zero, verified identical across engines,
+including for negative coefficients.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_landmarks_datalake_spark.operators.textops import STOPWORDS
+from nyc_landmarks_datalake_spark.registry import query
+from nyc_landmarks_datalake_spark.sources.catalog import compute_table, table
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: rater A: stopword density >= 1/12 (cross-multiplied, no float)
+_RATER_A = (
+    f"size(filter(toks, w -> w IN ({_STOP_IN}))) * 12 >= size(toks)"
+)
+_RATER_A_SQL = (
+    f"len(list_filter(toks, w -> w IN ({_STOP_IN}))) * 12 >= len(toks)"
+)
+#: rater B: type-token ratio >= 1/2
+_RATER_B = "size(array_distinct(toks)) * 2 >= size(toks)"
+_RATER_B_SQL = "len(list_distinct(toks)) * 2 >= len(toks)"
+
+#: kappa over (n, bg, oa, ob, nt) BIGINT columns — both-good, only-A,
+#: only-B, neither; po = (bg+nt)/n, pe from the marginals; ppm with a
+#: guarded wide division (pe = 1 -> kappa defined as 0)
+_KAPPA = """
+CASE WHEN CAST(n AS DECIMAL(38,0)) * n
+          - (CAST(bg + oa AS DECIMAL(38,0)) * (bg + ob)
+             + CAST(nt + ob AS DECIMAL(38,0)) * (nt + oa)) = 0
+     THEN CAST(0 AS BIGINT)
+     ELSE CAST(
+       (CAST(n AS DECIMAL(38,0)) * (bg + nt)
+        - (CAST(bg + oa AS DECIMAL(38,0)) * (bg + ob)
+           + CAST(nt + ob AS DECIMAL(38,0)) * (nt + oa))) * 1000000
+       div (CAST(n AS DECIMAL(38,0)) * n
+            - (CAST(bg + oa AS DECIMAL(38,0)) * (bg + ob)
+               + CAST(nt + ob AS DECIMAL(38,0)) * (nt + oa)))
+       AS BIGINT)
+END
+"""
+_KAPPA_SQL = """
+CASE WHEN CAST(n AS HUGEINT) * n
+          - (CAST(bg + oa AS HUGEINT) * (bg + ob)
+             + CAST(nt + ob AS HUGEINT) * (nt + oa)) = 0
+     THEN CAST(0 AS BIGINT)
+     ELSE CAST(
+       (CAST(n AS HUGEINT) * (bg + nt)
+        - (CAST(bg + oa AS HUGEINT) * (bg + ob)
+           + CAST(nt + ob AS HUGEINT) * (nt + oa))) * 1000000
+       // (CAST(n AS HUGEINT) * n
+           - (CAST(bg + oa AS HUGEINT) * (bg + ob)
+              + CAST(nt + ob AS HUGEINT) * (nt + oa)))
+       AS BIGINT)
+END
+"""
+
+_KAPPA_ORACLE = f"""
+WITH rated AS (
+    SELECT lang,
+           {_RATER_A_SQL} AS ra,
+           {_RATER_B_SQL} AS rb
+    FROM (
+        SELECT lang,
+               list_filter(string_split(text, ' '), w -> w != '') AS toks
+        FROM documents
+    )
+),
+cm AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS bg,
+           CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS oa,
+           CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS ob,
+           CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+                AS BIGINT) AS nt
+    FROM rated GROUP BY 1
+)
+SELECT lang, n AS n_docs, bg AS both_good, oa AS only_a, ob AS only_b,
+       nt AS neither, {_KAPPA_SQL} AS kappa_ppm
+FROM cm
+"""
+
+
+@query("q_rater_agreement_kappa", sql=_KAPPA_ORACLE)
+def q_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per language between two independent quality
+    raters (stopword density vs type-token ratio) — the chance-
+    corrected agreement a pipeline checks before composing filters.
+    One corpus pass, a 2x2 census per lang, one wide ppm division."""
+    docs = compute_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        "lang",
+        F.expr("filter(split(text, ' '), w -> w != '')").alias("toks"),
+    ).select(
+        "lang",
+        F.expr(_RATER_A).alias("ra"),
+        F.expr(_RATER_B).alias("rb"),
+    )
+    cm = rated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("ra") & F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("bg"),
+        F.sum((F.col("ra") & ~F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("oa"),
+        F.sum((~F.col("ra") & F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("ob"),
+        F.sum((~F.col("ra") & ~F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("nt"),
+    )
+    return cm.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("bg").alias("both_good"),
+        F.col("oa").alias("only_a"),
+        F.col("ob").alias("only_b"),
+        F.col("nt").alias("neither"),
+        F.expr(_KAPPA).alias("kappa_ppm"),
+    )
+
+
+_SPEARMAN_ORACLE = """
+WITH spend AS (
+    SELECT c.c_custkey, c.c_acctbal,
+           COALESCE(SUM(o.o_totalprice), 0) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS r_bal,
+           ROW_NUMBER() OVER (ORDER BY total_spend, c_custkey) AS r_spend
+    FROM spend
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(r_bal - r_spend AS HUGEINT)
+                * (r_bal - r_spend)) AS BIGINT) AS sum_d2,
+       CAST(CASE WHEN COUNT(*) < 2 THEN 0 ELSE
+         (CAST(COUNT(*) AS HUGEINT)
+          * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1)
+          - 6 * SUM(CAST(r_bal - r_spend AS HUGEINT) * (r_bal - r_spend)))
+         * 1000000
+         // (CAST(COUNT(*) AS HUGEINT)
+             * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1))
+       END AS BIGINT) AS rho_ppm
+FROM ranked
+"""
+
+
+@query("q_spearman_corr", sql=_SPEARMAN_ORACLE)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between customer account balance
+    and lifetime order spend: rho = 1 - 6*sum(d^2)/(n(n^2-1)) as an
+    integer ppm (ties broken deterministically by custkey, identical in
+    both engines; spend summed in exact DECIMAL).
+
+    Scale posture: ranks come from the repo's distributed two-pass
+    global row_number (range partition + P-row offset broadcast —
+    never a SinglePartition window over the data); the d^2 sum is one
+    hash agg."""
+    from nyc_landmarks_datalake_spark.operators.windows import (
+        distributed_row_number,
+    )
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum("o_totalprice"), F.lit(0).cast("decimal(12,2)")
+            ).alias("total_spend")
+        )
+        .localCheckpoint(eager=False)  # two rank passes share it
+    )
+    r1 = distributed_row_number(
+        spend, ["c_acctbal", "c_custkey"], rn_col="r_bal"
+    ).select("c_custkey", "r_bal")
+    r2 = distributed_row_number(
+        spend, ["total_spend", "c_custkey"], rn_col="r_spend"
+    ).select("c_custkey", "r_spend")
+    ranked = r1.join(r2, "c_custkey")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr(
+            "CAST(SUM(CAST(r_bal - r_spend AS DECIMAL(38,0))"
+            " * (r_bal - r_spend)) AS BIGINT)"
+        ).alias("sum_d2"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(*) < 2 THEN 0 ELSE"
+            " (CAST(COUNT(*) AS DECIMAL(38,0))"
+            "  * (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*) - 1)"
+            "  - 6 * SUM(CAST(r_bal - r_spend AS DECIMAL(38,0))"
+            "        * (r_bal - r_spend))) * 1000000"
+            " div (CAST(COUNT(*) AS DECIMAL(38,0))"
+            "      * (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*) - 1))"
+            " END AS BIGINT)"
+        ).alias("rho_ppm"),
+    )

@@ -160,11 +160,19 @@ def clf_chain(
     lab, feat = _lab_feat(spark, sf_dir)
     if train_only:
         feat = feat.filter(F.expr(f"NOT ({_IS_TEST})"))
+    return lab, feat, _train_iters(spark, feat)
+
+
+def _train_iters(
+    spark: SparkSession, feat: DataFrame, n_iters: int = N_ITERS
+) -> DataFrame:
+    """The batch-perceptron iteration loop over a (doc_id, y, b, x)
+    feature relation; returns the K-row (b, w) weight vector."""
     w = spark.range(K_BUCKETS).select(
         F.col("id").cast("long").alias("b"),
         F.lit(0).cast("long").alias("w"),
     )
-    for _ in range(N_ITERS):
+    for _ in range(n_iters):
         scores = (
             feat.join(F.broadcast(w), "b")
             .groupBy("doc_id", "y")
@@ -186,7 +194,7 @@ def clf_chain(
             )
             .localCheckpoint(eager=True)
         )
-    return lab, feat, w
+    return w
 
 
 def _chain_ctes(train_where: str = "TRUE", n_iters: int = N_ITERS) -> str:
@@ -552,3 +560,162 @@ def q_quality_clf_model_select(
         ),
         (F.col("epoch") == F.col("best_epoch")).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation: the robustness protocol a single holdout
+# (q_quality_clf_eval) can't give. Each of the N_FOLDS md5-derived
+# folds takes a turn as the holdout; the other four train a fresh
+# N_ITERS perceptron; the per-fold confusion matrix + integer accuracy
+# ppm land in one result. One text pass builds the feature relation —
+# every fold's train/test split is a FILTER on the compact (doc, y,
+# b, x) relation, never a corpus rescan, so at 100 TB this costs one
+# scan plus N_FOLDS * N_ITERS vocabulary-relation joins.
+# ---------------------------------------------------------------------------
+_FOLD = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+    f" as bigint) % {N_FOLDS}"
+)
+_FOLD_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    f" % {N_FOLDS}"
+)
+
+
+def _cv_oracle_sql() -> str:
+    # Own header (vs _chain_ctes) because every fold references feat:
+    # AS MATERIALIZED stops DuckDB re-inlining the corpus pass
+    # N_FOLDS * (2 * N_ITERS) times (the wordpiece.py lesson).
+    stages = [
+        f"""base AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w != '') AS toks
+        FROM documents
+    ),
+    lab AS MATERIALIZED (
+        SELECT doc_id, lang,
+               CAST({_LABEL_SQL} AS BIGINT) AS y,
+               {_GRAMS_SQL} AS grams
+        FROM base
+    ),
+    feat AS MATERIALIZED (
+        SELECT doc_id, y, {_BUCKET_SQL} AS b,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM (SELECT doc_id, y, unnest(grams) AS g FROM lab)
+        GROUP BY 1, 2, 3
+    )"""
+    ]
+    fins = []
+    for j in range(N_FOLDS):
+        stages.append(f"""tf{j} AS MATERIALIZED (
+        SELECT * FROM feat WHERE {_FOLD_SQL} != {j}
+    ),
+    w{j}x0 AS (
+        SELECT CAST(b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+        FROM range(0, {K_BUCKETS}) t(b)
+    )""")
+        for k in range(1, N_ITERS + 1):
+            p = k - 1
+            stages.append(f"""s{j}x{k} AS (
+        SELECT f.doc_id, f.y, CAST(SUM(f.x * w.w) AS BIGINT) AS score
+        FROM tf{j} f JOIN w{j}x{p} w USING (b)
+        GROUP BY 1, 2
+    ),
+    m{j}x{k} AS (SELECT doc_id FROM s{j}x{k} WHERE y * score <= 0),
+    g{j}x{k} AS (
+        SELECT b, CAST(SUM(y * x) AS BIGINT) AS g
+        FROM tf{j}
+        WHERE doc_id IN (SELECT doc_id FROM m{j}x{k})
+        GROUP BY 1
+    ),
+    w{j}x{k} AS (
+        SELECT w{j}x{p}.b, CAST(w{j}x{p}.w + COALESCE(g{j}x{k}.g, 0)
+               AS BIGINT) AS w
+        FROM w{j}x{p} LEFT JOIN g{j}x{k} USING (b)
+    )""")
+        stages.append(f"""inst{j} AS (
+        SELECT doc_id, {_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, unnest(grams) AS g FROM lab
+              WHERE {_FOLD_SQL} = {j})
+    ),
+    sc{j} AS (
+        SELECT i.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+        FROM inst{j} i JOIN w{j}x{N_ITERS} w USING (b)
+        GROUP BY 1
+    ),
+    fin{j} AS (
+        SELECT CAST({j} AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN y = -1 AND score > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN y = -1 AND score <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn,
+               CAST(SUM(CASE WHEN y = 1 AND score <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN (y = 1) = (score > 0) THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+        FROM (
+            SELECT l.y, COALESCE(sc.score, 0) AS score
+            FROM lab l LEFT JOIN sc{j} sc USING (doc_id)
+            WHERE {_FOLD_SQL} = {j}
+        )
+    )""")
+        fins.append(f"SELECT * FROM fin{j}")
+    return (
+        "WITH "
+        + ",\n    ".join(stages)
+        + "\n    "
+        + " UNION ALL ".join(fins)
+    )
+
+
+@query("q_quality_clf_cv", sql=_cv_oracle_sql())
+def q_quality_clf_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_FOLDS-fold cross-validation of the quality classifier: each
+    fold's confusion matrix and integer accuracy ppm under a fresh
+    N_ITERS training run on the other folds — every value integer-only,
+    the fold split a deterministic md5 hash identical in both
+    engines."""
+    from functools import reduce
+
+    lab, feat = _lab_feat(spark, sf_dir)
+    per_fold = []
+    for j in range(N_FOLDS):
+        w = _train_iters(spark, feat.filter(F.expr(f"({_FOLD}) != {j}")))
+        wmap = w.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), F.col("w")))
+            ).alias("wmap")
+        )
+        scored = (
+            lab.filter(F.expr(f"({_FOLD}) = {j}"))
+            .crossJoin(F.broadcast(wmap))
+            .select(
+                "y",
+                F.expr(
+                    f"aggregate(grams, 0L,"
+                    f" (acc, g) -> acc + coalesce(wmap[{_BUCKET}], 0L))"
+                ).alias("score"),
+            )
+        )
+        good = F.col("y") == 1
+        pred = F.col("score") > 0
+        per_fold.append(
+            scored.agg(
+                F.lit(j).cast("long").alias("fold"),
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.sum((good & pred).cast("long")).cast("long").alias("tp"),
+                F.sum(((~good) & pred).cast("long")).cast("long").alias("fp"),
+                F.sum(((~good) & (~pred)).cast("long"))
+                .cast("long")
+                .alias("tn"),
+                F.sum((good & (~pred)).cast("long")).cast("long").alias("fn"),
+                F.expr(
+                    "CAST(SUM(CASE WHEN (y = 1) = (score > 0)"
+                    " THEN 1 ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+                ).alias("accuracy_ppm"),
+            )
+        )
+    return reduce(DataFrame.unionByName, per_fold)

@@ -81,6 +81,7 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.wordpiece  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.fuzzyjoin  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.unigram_soft  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.agreement  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.spandedup  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.ts_stats  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.pandas_api  # noqa: F401
