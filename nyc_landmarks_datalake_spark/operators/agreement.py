@@ -139,7 +139,8 @@ def q_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEARMAN_ORACLE = """
 WITH spend AS (
     SELECT c.c_custkey, c.c_acctbal,
-           COALESCE(SUM(o.o_totalprice), 0) AS total_spend
+           COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))), 0)
+               AS total_spend
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
 ),
@@ -186,8 +187,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey", "c_acctbal")
         .agg(
+            # DECIMAL-internal sum (the repo-wide float strategy): the
+            # rank ORDER must be exact — a double sum is association-
+            # order dependent and flips near-tie ranks across engines
+            # (observed at native sf1). Never emitted, ordering only.
             F.coalesce(
-                F.sum("o_totalprice"), F.lit(0).cast("decimal(12,2)")
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)")),
+                F.lit(0).cast("decimal(30,6)"),
             ).alias("total_spend")
         )
         .localCheckpoint(eager=False)  # two rank passes share it

@@ -68,7 +68,8 @@ def test_spearman_matches_pure_python_reference(spark, sf_small):
         r[0]: (r[1], r[2])
         for r in duckdb.sql(f"""
             SELECT c.c_custkey, c.c_acctbal,
-                   COALESCE(SUM(o.o_totalprice), 0) AS s
+                   COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))), 0)
+                       AS s
             FROM '{sf_small}/customer.parquet' c
             LEFT JOIN '{sf_small}/orders.parquet' o
               ON o.o_custkey = c.c_custkey
