@@ -75,6 +75,9 @@ REVERIFY: frozenset[str] = frozenset(
         # an explicit schema (ingest_dedup.py)
         "q_stream_outer_join",
         "q_stream_ingest_dedup",
+        # late-r11: _lm_scores shared-builder refactor (same logic,
+        # now feeds q_perplexity_buckets too)
+        "q_ngram_lm_score",
     }
 )
 

@@ -442,6 +442,12 @@ LM_SCALE = 1_000_000
     """,
 )
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lm_scores(spark, sf_dir)
+
+
+def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_bigrams, lm_avg_score) — shared by the score
+    query and the CCNet-style perplexity bucketing."""
     docs = compute_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
@@ -468,6 +474,108 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("CAST(sum(term) div count(1) AS BIGINT)").alias("lm_avg_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: per language, rank documents by LM
+# score (high score = low perplexity = "head") with a deterministic
+# doc_id tie-break and cut the ranking into exact tertiles —
+# bucket = 3*(rank-1) // n. The classic head/middle/tail split CCNet
+# trains per-language quality tiers on.
+#
+# Scale: the per-lang rank is NOT a per-lang window partition (5 langs
+# would mean 5 giant skewed partitions at 100 TB). Instead one GLOBAL
+# two-pass distributed row_number over (lang, -score, doc_id) plus a
+# broadcast per-lang offset subtraction — per-lang rank = global rank
+# minus the count of docs in earlier langs. Docs with no bigrams have
+# no LM score and are excluded (documented, same in the oracle).
+# ---------------------------------------------------------------------------
+_PPLX_BUCKETS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM t
+),
+c1 AS (
+    SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t)
+    GROUP BY 1
+),
+c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY 1),
+terms AS (
+    SELECT bi.doc_id, {LM_SCALE} * c2.c // c1.c AS term
+    FROM bi
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.w = string_split(bi.bg, ' ')[1]
+),
+scores AS (
+    SELECT doc_id, CAST(SUM(term) // COUNT(*) AS BIGINT) AS lm_avg_score
+    FROM terms GROUP BY 1
+),
+ranked AS (
+    SELECT d.lang, s.lm_avg_score,
+           ROW_NUMBER() OVER (PARTITION BY d.lang
+                              ORDER BY s.lm_avg_score DESC, s.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY d.lang) AS n
+    FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(3 * (rn - 1) // n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(lm_avg_score) AS BIGINT) AS min_score,
+       CAST(MAX(lm_avg_score) AS BIGINT) AS max_score
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@query("q_perplexity_buckets", sql=_PPLX_BUCKETS_SQL)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail LM-score tertiles per language (CCNet's
+    quality-tier split), censused with exact min/max scores per
+    bucket."""
+    from nyc_landmarks_datalake_spark.operators.windows import (
+        distributed_row_number,
+    )
+
+    docs = compute_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        _lm_scores(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select(
+            "lang",
+            "doc_id",
+            "lm_avg_score",
+            (-F.col("lm_avg_score")).cast("long").alias("neg_score"),
+        )
+        .localCheckpoint(eager=False)  # rank pass + offsets share it
+    )
+    ranked = distributed_row_number(
+        scored, ["lang", "neg_score", "doc_id"], rn_col="grn"
+    )
+    # per-lang offsets: docs in strictly-earlier langs (tiny relation)
+    counts = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            F.col("b.lang") < F.col("a.lang"),
+            "left",
+        )
+        .groupBy(F.col("a.lang").alias("lang"), F.col("a.n").alias("n"))
+        .agg(F.coalesce(F.sum("b.n"), F.lit(0)).cast("long").alias("off"))
+    )
+    per_lang = ranked.join(F.broadcast(offsets), "lang").select(
+        "lang",
+        "lm_avg_score",
+        F.expr("CAST(3 * (grn - off - 1) div n AS BIGINT)").alias("bucket"),
+    )
+    return per_lang.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("lm_avg_score").cast("long").alias("min_score"),
+        F.max("lm_avg_score").cast("long").alias("max_score"),
     )
 
 

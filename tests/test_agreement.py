@@ -153,6 +153,34 @@ def test_cv_matches_pure_python_reference(spark, sf_small):
     assert got == exp
 
 
+def test_perplexity_buckets_are_exact_tertiles(spark, sf_small):
+    # per lang: buckets 0/1/2, sizes differ by <= 1, head scores >=
+    # tail scores, and sizes sum to the scored-doc count
+    rows = registry.QUERIES["q_perplexity_buckets"](
+        spark, sf_small
+    ).collect()
+    # scored docs = >=1 bigram over the RAW space-split (the LM scorer
+    # does not filter empty tokens — mirrored here)
+    n_scored = duckdb.sql(f"""
+        SELECT COUNT(*) FROM '{sf_small}/documents.parquet'
+        WHERE len(string_split(text, ' ')) >= 2
+    """).fetchone()[0]
+    by_lang: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = (
+            r.n_docs,
+            r.min_score,
+            r.max_score,
+        )
+    assert sum(r.n_docs for r in rows) == n_scored
+    for _lang, bks in by_lang.items():
+        assert set(bks) == {0, 1, 2}
+        sizes = [bks[b][0] for b in (0, 1, 2)]
+        assert max(sizes) - min(sizes) <= 1
+        assert bks[0][1] >= bks[1][2]  # head min >= middle max
+        assert bks[1][1] >= bks[2][2]  # middle min >= tail max
+
+
 def test_cv_folds_partition_the_corpus(spark, sf_small):
     n_docs = duckdb.sql(
         f"SELECT COUNT(*) FROM '{sf_small}/documents.parquet'"
