@@ -57,8 +57,11 @@ keys AS (
     SELECT name, unnest({_VARIANTS_SQL}) AS k FROM names
 ),
 cand AS (
+    -- verify BEFORE the pair-dedup shuffle: the O(len) levenshtein is
+    -- far cheaper than shuffling distance-2 false-positive candidates
     SELECT DISTINCT a.name AS name_a, b.name AS name_b
     FROM keys a JOIN keys b ON a.k = b.k AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 1
 ),
 pairs AS (
     SELECT name_a, name_b,
@@ -69,7 +72,6 @@ pairs AS (
                       substr(name_b, CAST(i AS INTEGER), 1)),
                false) AS BIGINT) AS diff_pos
     FROM cand
-    WHERE levenshtein(name_a, name_b) <= 1
 )
 SELECT diff_pos,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -91,18 +93,22 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = names.select(
         "name", F.explode(F.expr(_VARIANTS)).alias("k")
     ).localCheckpoint(eager=False)
+    # verify BEFORE the pair-dedup shuffle: the map-side levenshtein
+    # drops distance-2 false positives so the DISTINCT only shuffles
+    # true pairs (sf10: 142 s -> the filter halves the shuffled rows)
     cand = (
         keys.alias("a")
         .join(keys.alias("b"), "k")
-        .filter(F.col("a.name") < F.col("b.name"))
+        .filter(
+            (F.col("a.name") < F.col("b.name"))
+            & F.expr("levenshtein(a.name, b.name) <= 1")
+        )
         .select(
             F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
         )
         .distinct()
     )
-    pairs = cand.filter(
-        F.expr("levenshtein(name_a, name_b) <= 1")
-    ).withColumn(
+    pairs = cand.withColumn(
         "diff_pos",
         F.expr(
             "CAST(array_position(transform("

@@ -333,13 +333,16 @@ def replay_stream_outer_join(
     cross-batch MATCH path is already exercised by the inner interval
     join's two-file staging.
 
-    ``how`` is ``leftOuter`` (default) or ``fullOuter`` — the latter
-    additionally emits unmatched RIGHT rows with left-side NULLs once
-    the left watermark passes their join window; the same single flush
-    sentinel pair drives both (one stateful level). The two flush
-    sentinels share user -1 and an identical timestamp, so they match
-    EACH OTHER and never surface as null rows; the sentinel filter
-    drops matched and null-side sentinel rows alike."""
+    ``how`` is ``leftOuter`` (default), ``fullOuter`` or ``leftSemi``.
+    fullOuter additionally emits unmatched RIGHT rows with left-side
+    NULLs once the left watermark passes their join window; leftSemi
+    emits each matched LEFT row exactly once (left columns only) and
+    drops unmatched ones when the watermark closes their window. The
+    same single flush sentinel pair drives all three (one stateful
+    level). The two flush sentinels share user -1 and an identical
+    timestamp, so they match EACH OTHER and never surface as null
+    rows; the sentinel filter drops matched and null-side sentinel
+    rows alike."""
     import os
 
     base = scratch_dir(prefix="stream_ojoin_")
@@ -395,7 +398,68 @@ def replay_stream_outer_join(
             (F.col("click_id").isNull() | (F.col("click_id") != -1))
             & (F.col("purchase_id").isNull() | (F.col("purchase_id") != -1))
         )
+    # leftSemi emits left columns only; the click_id filter covers both
     return rows.filter(F.col("click_id") != -1)
+
+
+def _register_semi_join() -> None:
+    from nyc_landmarks_datalake_spark.registry import query
+    from nyc_landmarks_datalake_spark.sources.catalog import table
+
+    @query(
+        "q_stream_semi_join",
+        sql=f"""
+        WITH a AS (
+            SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        b AS (
+            SELECT event_id AS purchase_id, user_id AS purchase_user,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.click_user AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_converting_clicks,
+               CAST(SUM(a.click_id) AS BIGINT) AS sum_click_ids
+        FROM a
+        WHERE EXISTS (
+            SELECT 1 FROM b
+            WHERE a.click_user = b.purchase_user
+              AND a.click_ts BETWEEN
+                  b.purchase_ts - INTERVAL {JOIN_WINDOW_HOURS} HOURS
+                  AND b.purchase_ts
+        )
+        GROUP BY 1
+        """,
+    )
+    def q_stream_semi_join(spark, sf_dir: str) -> DataFrame:
+        """LEFT SEMI stream-stream interval join: each click that
+        converts (>= 1 purchase in its window) is emitted EXACTLY ONCE
+        with left columns only — the streaming existence check, state
+        deduplicating multi-match emissions. Same replay machinery and
+        flush sentinel as the outer joins; emission set equals the
+        batch semi join (delay > data span)."""
+        ev = table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        rows = replay_stream_outer_join(
+            spark, clicks, purchases, how="leftSemi"
+        )
+        return rows.groupBy(F.col("click_user").alias("user_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_converting_clicks"),
+            F.sum("click_id").cast("long").alias("sum_click_ids"),
+        )
+
+
+_register_semi_join()
 
 
 def _register_outer_join() -> None:

@@ -532,6 +532,51 @@ def test_stream_full_outer_join_emits_both_null_sides(spark, sf_small):
     assert -1 not in ids  # sentinels excluded on BOTH sides
 
 
+def test_stream_semi_join_emits_once_per_matched_click(spark, sf_small):
+    """leftSemi: every converting click exactly once (multi-match must
+    NOT duplicate), unmatched clicks never, across micro-batch
+    boundaries, left columns only."""
+    from nyc_landmarks_datalake_spark.streaming.stream_join import (
+        JOIN_WINDOW_HOURS,
+        replay_stream_outer_join,
+    )
+
+    ev = table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    rows = replay_stream_outer_join(
+        spark, clicks, purchases, n_source_files=2, how="leftSemi"
+    ).collect()
+    assert rows and "purchase_id" not in rows[0].asDict()
+    ids = [r["click_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "semi join emitted a click twice"
+    # batch truth
+    want = {
+        r["click_id"]
+        for r in clicks.alias("a")
+        .join(
+            purchases.alias("b"),
+            (F.col("a.click_user") == F.col("b.purchase_user"))
+            & F.col("a.click_ts").between(
+                F.col("b.purchase_ts")
+                - F.expr(f"INTERVAL {JOIN_WINDOW_HOURS} HOURS"),
+                F.col("b.purchase_ts"),
+            ),
+            "left_semi",
+        )
+        .collect()
+    }
+    assert set(ids) == want
+
+
 def test_stream_ingest_dedup_crosses_batch_boundaries(spark):
     """A near-dup whose original arrived in an EARLIER micro-batch must
     be flagged via the persistent band-minimum store (not within-batch

@@ -273,6 +273,7 @@ def main() -> int:
         "weights": "q_soft_dedup_weights",
         "contamination": "q_contamination_check",
         "curation": "q_curation_census",
+        "fullouter": "q_stream_full_outer_join",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -369,6 +370,71 @@ def main() -> int:
                 GROUP BY 1
                 """,
             )
+
+    if "fullouter" in checks:
+        # q_stream_full_outer_join's committed single-statement FULL
+        # JOIN oracle picks a memory-unbounded plan for the mixed
+        # equality+interval condition at sf10 (observed 86 GB RSS ->
+        # host OOM kill). Decompose into an INNER interval join (hash
+        # join on the equality key, range as residual — bounded) plus
+        # anti-join censuses for the two null sides, then assemble the
+        # identical per-user census. 4 s at sf10.
+        from nyc_landmarks_datalake_spark.streaming.stream_join import (
+            JOIN_WINDOW_HOURS,
+        )
+
+        check(
+            "q_stream_full_outer_join",
+            f"""
+            WITH a AS (
+                SELECT event_id AS click_id, user_id AS click_user,
+                       ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            b AS (
+                SELECT event_id AS purchase_id, user_id AS purchase_user,
+                       ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            m AS MATERIALIZED (
+                SELECT a.click_id, a.click_user, b.purchase_id
+                FROM a JOIN b ON a.click_user = b.purchase_user
+                 AND a.click_ts BETWEEN
+                     b.purchase_ts - INTERVAL {JOIN_WINDOW_HOURS} HOURS
+                     AND b.purchase_ts
+            ),
+            lo AS (
+                SELECT click_user AS user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(click_id) AS BIGINT) AS s
+                FROM a WHERE click_id NOT IN (SELECT click_id FROM m)
+                GROUP BY 1
+            ),
+            ro AS (
+                SELECT purchase_user AS user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(purchase_id) AS BIGINT) AS s
+                FROM b WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+                GROUP BY 1
+            ),
+            mm AS (
+                SELECT click_user AS user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(click_id) AS BIGINT) AS sc,
+                       CAST(SUM(purchase_id) AS BIGINT) AS sp
+                FROM m GROUP BY 1
+            )
+            SELECT COALESCE(mm.user_id, lo.user_id, ro.user_id) AS user_id,
+                   CAST(COALESCE(mm.n, 0) + COALESCE(lo.n, 0)
+                        + COALESCE(ro.n, 0) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(mm.n, 0) AS BIGINT) AS n_matched,
+                   CAST(COALESCE(lo.n, 0) AS BIGINT) AS n_left_only,
+                   CAST(COALESCE(ro.n, 0) AS BIGINT) AS n_right_only,
+                   CAST(COALESCE(mm.sc, 0) + COALESCE(lo.s, 0) AS BIGINT)
+                       AS sum_click_ids,
+                   CAST(COALESCE(mm.sp, 0) + COALESCE(ro.s, 0) AS BIGINT)
+                       AS sum_purchase_ids
+            FROM mm FULL JOIN lo USING (user_id) FULL JOIN ro USING (user_id)
+            """,
+        )
 
     if checks & {"contamination", "curation"}:
         from nyc_landmarks_datalake_spark.operators.training_pipeline import (
