@@ -582,6 +582,44 @@ _FOLD_SQL = (
 )
 
 
+def cv_fold_oracle_sql(j: int) -> str:
+    """Single-fold CV oracle (fold j's row only) — the bounded-footprint
+    decomposition verify_sf10_tail runs at sf10, where the 5-fold
+    single statement exceeds DuckDB's memory cap. Same text shapes as
+    :func:`_cv_oracle_sql`, one fold."""
+    return (
+        _chain_ctes(train_where=f"{_FOLD_SQL} != {j}")
+        + f""",
+    inst AS (
+        SELECT doc_id, {_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, unnest(grams) AS g FROM lab
+              WHERE {_FOLD_SQL} = {j})
+    ),
+    sc AS (
+        SELECT i.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+        FROM inst i JOIN w{N_ITERS} w USING (b)
+        GROUP BY 1
+    )
+    SELECT CAST({j} AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = -1 AND score > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = -1 AND score <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN y = 1 AND score <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN (y = 1) = (score > 0) THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM (
+        SELECT l.y, COALESCE(sc.score, 0) AS score
+        FROM lab l LEFT JOIN sc USING (doc_id)
+        WHERE {_FOLD_SQL} = {j}
+    )"""
+    )
+
+
 def _cv_oracle_sql() -> str:
     # Own header (vs _chain_ctes) because every fold references feat:
     # AS MATERIALIZED stops DuckDB re-inlining the corpus pass

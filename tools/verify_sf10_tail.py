@@ -274,6 +274,7 @@ def main() -> int:
         "contamination": "q_contamination_check",
         "curation": "q_curation_census",
         "fullouter": "q_stream_full_outer_join",
+        "cv": "q_quality_clf_cv",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -435,6 +436,32 @@ def main() -> int:
             FROM mm FULL JOIN lo USING (user_id) FULL JOIN ro USING (user_id)
             """,
         )
+
+    if "cv" in checks:
+        # q_quality_clf_cv's committed 5-fold single statement exceeds
+        # a 40 GB DuckDB cap at sf10 (5 materialized train-fold
+        # relations + 15 unrolled gradient joins in one plan). Verify
+        # fold-by-fold: each single-fold statement is the same shape as
+        # q_quality_clf_eval's committed oracle, which runs at sf10.
+        import pandas as pd
+
+        from nyc_landmarks_datalake_spark.operators.quality_clf import (
+            N_FOLDS,
+            cv_fold_oracle_sql,
+        )
+
+        fold_rows = []
+        for j in range(N_FOLDS):
+            t0 = time.time()
+            fold_rows.append(con.execute(cv_fold_oracle_sql(j)).fetchdf())
+            log(f"cv fold {j}: oracle done in {time.time() - t0:.0f}s")
+        sdf = spark_results["q_quality_clf_cv"]
+        odf = pd.concat(fold_rows, ignore_index=True)
+        probs = compare(sdf, odf, "q_quality_clf_cv")
+        status = "ok" if not probs else "FAIL"
+        log(f"q_quality_clf_cv: {status} ({len(sdf)} rows) {probs[:2]}")
+        if probs:
+            failures.append("q_quality_clf_cv")
 
     if checks & {"contamination", "curation"}:
         from nyc_landmarks_datalake_spark.operators.training_pipeline import (
