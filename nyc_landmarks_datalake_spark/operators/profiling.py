@@ -470,6 +470,62 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# l-diversity — k-anonymity's standard companion: a quasi-identifier
+# class is safe only if its SENSITIVE attribute takes at least L
+# distinct values (a k-anonymous class where everyone shares the same
+# sensitive value still leaks it). QI = (nation, balance bucket),
+# sensitive = market segment. Two hash aggs, integer-only.
+# ---------------------------------------------------------------------------
+L_DIVERSITY_THRESHOLD = 3
+
+
+@query(
+    "q_l_diversity",
+    sql=f"""
+    WITH classes AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < {L_DIVERSITY_THRESHOLD} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_low_diversity,
+           CAST(SUM(CASE WHEN l < {L_DIVERSITY_THRESHOLD} THEN k ELSE 0 END)
+               AS BIGINT) AS rows_at_risk,
+           CAST(SUM(k) AS BIGINT) AS n_rows
+    FROM classes
+    GROUP BY c_nationkey
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation l-diversity report: distinct sensitive values
+    (market segment) per quasi-identifier class."""
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l"),
+    )
+    low = F.col("l") < L_DIVERSITY_THRESHOLD
+    return classes.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("long").alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Selection-parity audit (the four-fifths rule): per language group,
 # the rate at which a deterministic curation filter selects documents,
 # and each group's parity ratio vs the most-selected group. A ratio
