@@ -582,6 +582,97 @@ _FOLD_SQL = (
 )
 
 
+def _calibration_oracle_sql() -> str:
+    return (
+        _chain_ctes()
+        + f""",
+    inst AS (
+        SELECT doc_id, {_BUCKET_SQL} AS b
+        FROM (SELECT doc_id, unnest(grams) AS g FROM lab)
+    ),
+    sc AS (
+        SELECT i.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+        FROM inst i JOIN w{N_ITERS} w USING (b)
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT l.doc_id, l.y, COALESCE(sc.score, 0) AS score
+        FROM lab l LEFT JOIN sc USING (doc_id)
+    ),
+    ranked AS (
+        SELECT y, score,
+               ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM scored
+    )
+    SELECT CAST(10 * (rn - 1) // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_label_good,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM ranked GROUP BY 1"""
+    )
+
+
+@query("q_clf_calibration", sql=_calibration_oracle_sql())
+def q_clf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained classifier: exact global
+    score deciles (deterministic (score, doc_id) order via the
+    distributed two-pass row_number — never a SinglePartition sort over
+    the corpus) with the observed heuristic-good rate per decile in
+    integer ppm. A calibrated scorer shows the rate rising with the
+    decile; the min/max score columns give the bin edges."""
+    from nyc_landmarks_datalake_spark.operators.windows import (
+        distributed_row_number,
+    )
+
+    lab, _feat, w = clf_chain(spark, sf_dir)
+    wmap = w.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("w")))
+        ).alias("wmap")
+    )
+    scored = (
+        lab.crossJoin(F.broadcast(wmap))
+        .select(
+            "doc_id",
+            "y",
+            F.expr(
+                f"aggregate(grams, 0L,"
+                f" (acc, g) -> acc + coalesce(wmap[{_BUCKET}], 0L))"
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=False)  # rank pass + count share it
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = distributed_row_number(
+        scored, ["score", "doc_id"], rn_col="rn"
+    ).crossJoin(F.broadcast(n))
+    return (
+        ranked.select(
+            "y",
+            "score",
+            F.expr("CAST(10 * (rn - 1) div n AS BIGINT)").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_label_good"),
+            F.expr(
+                "CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+    )
+
+
 def cv_fold_oracle_sql(j: int) -> str:
     """Single-fold CV oracle (fold j's row only) — the bounded-footprint
     decomposition verify_sf10_tail runs at sf10, where the 5-fold

@@ -181,6 +181,25 @@ def test_perplexity_buckets_are_exact_tertiles(spark, sf_small):
         assert bks[1][1] >= bks[2][2]  # middle min >= tail max
 
 
+def test_calibration_deciles_balanced_and_ordered(spark, sf_small):
+    rows = sorted(
+        registry.QUERIES["q_clf_calibration"](spark, sf_small).collect(),
+        key=lambda r: r.decile,
+    )
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_small}/documents.parquet'"
+    ).fetchone()[0]
+    assert [r.decile for r in rows] == list(range(10))
+    sizes = [r.n_docs for r in rows]
+    assert sum(sizes) == n_docs
+    assert max(sizes) - min(sizes) <= 1  # exact deciles
+    # bin edges ordered: decile d's max_score <= decile d+1's min_score
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_score <= b.min_score
+    # a sane classifier: top decile at least as positive as bottom
+    assert rows[-1].pos_rate_ppm >= rows[0].pos_rate_ppm
+
+
 def test_cv_folds_partition_the_corpus(spark, sf_small):
     n_docs = duckdb.sql(
         f"SELECT COUNT(*) FROM '{sf_small}/documents.parquet'"
