@@ -136,6 +136,107 @@ def q_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KS_ORACLE = """
+WITH vals AS (
+    SELECT o_totalprice AS v,
+           CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT)
+               AS in_a
+    FROM orders
+),
+pv AS (
+    SELECT v, CAST(SUM(in_a) AS BIGINT) AS c_a,
+           CAST(SUM(1 - in_a) AS BIGINT) AS c_b
+    FROM vals GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           SUM(c_a) OVER (ORDER BY v) AS cum_a,
+           SUM(c_b) OVER (ORDER BY v) AS cum_b,
+           SUM(c_a) OVER () AS n_a,
+           SUM(c_b) OVER () AS n_b
+    FROM pv
+),
+diffs AS (
+    SELECT v, n_a, n_b,
+           abs(CAST(cum_a AS BIGINT) * n_b - CAST(cum_b AS BIGINT) * n_a)
+               AS d_num
+    FROM cum
+),
+mx AS (SELECT MAX(d_num) AS d_max FROM diffs)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(CAST(d_max AS HUGEINT) * 1000000
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm,
+       MIN(v) AS at_value
+FROM diffs, mx
+WHERE d_num = d_max
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q_ks_two_sample", sql=_KS_ORACLE)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    order-value distributions of finished vs non-finished orders —
+    the distribution-drift test chi-square (categorical) can't give
+    for a continuous metric. D = max_v |F_a(v) - F_b(v)| computed as
+    the integer max of |cum_a*n_b - cum_b*n_a| over per-value
+    cumulative counts (one wide ppm division at the end), plus the
+    smallest value attaining it.
+
+    Scale posture: per-value counts are one hash agg; the two ECDFs
+    are the repo's distributed two-pass running sum over the global
+    value order (range partition + P-row offset broadcast — never a
+    SinglePartition data window); the argmax attaches as a one-row
+    broadcast."""
+    from nyc_landmarks_datalake_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("in_a"),
+    )
+    pv = (
+        orders.groupBy("v")
+        .agg(
+            F.sum("in_a").cast("long").alias("c_a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("c_b"),
+        )
+        .localCheckpoint(eager=False)  # two cumsum passes share it
+    )
+    cum = distributed_running_sum(pv, ["v"], "c_a", out_col="cum_a")
+    cum = distributed_running_sum(cum, ["v"], "c_b", out_col="cum_b")
+    tot = pv.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.expr("abs(cum_a * n_b - cum_b * n_a)").alias("d_num"),
+    ).localCheckpoint(eager=False)  # max pass + argmin pass share it
+    mx = diffs.agg(F.max("d_num").alias("d_max"))
+    return (
+        diffs.crossJoin(F.broadcast(mx))
+        .filter(F.col("d_num") == F.col("d_max"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(
+                "CAST(CAST(MAX(d_max) AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(MAX(n_a) AS DECIMAL(38,0)) * MAX(n_b))"
+                " AS BIGINT)"
+            ).alias("ks_ppm"),
+            F.min("v").alias("at_value"),
+        )
+        .select("n_a", "n_b", "ks_ppm", "at_value")
+    )
+
+
 _SPEARMAN_ORACLE = """
 WITH spend AS (
     SELECT c.c_custkey, c.c_acctbal,

@@ -181,6 +181,33 @@ def test_perplexity_buckets_are_exact_tertiles(spark, sf_small):
         assert bks[1][1] >= bks[2][2]  # middle min >= tail max
 
 
+def test_ks_matches_pure_python_reference(spark, sf_small):
+    rows = duckdb.sql(
+        f"SELECT o_totalprice, o_orderstatus FROM '{sf_small}/orders.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    counts: dict[float, list] = defaultdict(lambda: [0, 0])
+    for v, st in rows:
+        counts[v][0 if st == "F" else 1] += 1
+    n_a = sum(c[0] for c in counts.values())
+    n_b = sum(c[1] for c in counts.values())
+    cum_a = cum_b = 0
+    d_max, at_v = -1, None
+    for v in sorted(counts):
+        cum_a += counts[v][0]
+        cum_b += counts[v][1]
+        d = abs(cum_a * n_b - cum_b * n_a)
+        if d > d_max:
+            d_max, at_v = d, v
+        elif d == d_max and v < at_v:
+            at_v = v
+    row = registry.QUERIES["q_ks_two_sample"](spark, sf_small).collect()[0]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.ks_ppm == d_max * 1_000_000 // (n_a * n_b)
+    assert row.at_value == at_v
+
+
 def test_calibration_deciles_balanced_and_ordered(spark, sf_small):
     rows = sorted(
         registry.QUERIES["q_clf_calibration"](spark, sf_small).collect(),
