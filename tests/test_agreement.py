@@ -227,6 +227,18 @@ def test_calibration_deciles_balanced_and_ordered(spark, sf_small):
     assert rows[-1].pos_rate_ppm >= rows[0].pos_rate_ppm
 
 
+def test_fuzzy_and_ks_plan_shapes(spark, sf_oracle):
+    # fuzzy: blocking is a plain equi hash/SMJ self-join — NEVER a
+    # nested-loop/cartesian pair scan; both stay JVM-side
+    from nyc_landmarks_datalake_spark.plans.audit import audit
+
+    a = audit(registry.QUERIES["q_fuzzy_join_names"](spark, sf_oracle))
+    assert not a.has_python_eval
+    assert a.nested_loop_joins == 0, a
+    k = audit(registry.QUERIES["q_ks_two_sample"](spark, sf_oracle))
+    assert not k.has_python_eval
+
+
 def test_cv_folds_partition_the_corpus(spark, sf_small):
     n_docs = duckdb.sql(
         f"SELECT COUNT(*) FROM '{sf_small}/documents.parquet'"
