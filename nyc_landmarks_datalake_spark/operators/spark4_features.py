@@ -495,3 +495,51 @@ def q_unpivot_lang_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "lang", ["n_docs", "total_chars", "total_tokens"], "metric", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k (Spark 4.1, DataSketches frequent-items): the streaming
+# heavy-hitters aggregate. Gate strategy follows the repo's sketch
+# rule — compare an exactness REGIME bit-exactly: the corpus vocabulary
+# (distinct space-split tokens) is far below maxItemsTracked, so the
+# sketch never purges and every reported count is EXACT (frequent-items
+# guarantees error <= n/maxItemsTracked, and zero purges make it 0);
+# with k >= the vocabulary size the result is the complete exact word
+# count, so the DuckDB oracle is a plain GROUP BY. Tie order inside
+# the sketch's array is irrelevant: the result is exploded to rows and
+# the driver compares sorted row sets.
+#
+# At 100 TB: ONE map-side-combinable sketch aggregation (fixed-size
+# state per partition, merged once) — the shape that replaces a full
+# groupBy when only the heavy hitters are needed.
+# ---------------------------------------------------------------------------
+TOPK_K = 64
+TOPK_TRACKED = 1024
+
+
+@query(
+    "q_approx_top_k_terms",
+    sql="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word != ''
+    GROUP BY 1
+    """,
+)
+def q_approx_top_k_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters via Spark 4.1's approx_top_k, in its
+    provably-exact regime (vocabulary << maxItemsTracked, k >= vocab):
+    the exploded (word, cnt) rows equal the exact word count."""
+    from nyc_landmarks_datalake_spark.sources.catalog import compute_table
+
+    docs = compute_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sk = words.agg(
+        F.expr(f"approx_top_k(word, {TOPK_K}, {TOPK_TRACKED})").alias("tk")
+    )
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("word"),
+        F.col("e.count").cast("long").alias("cnt"),
+    )
