@@ -58,26 +58,11 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # (all 10 r10 REVERIFY names — the repetition-counter fold
-        # rewrite, the ADVICE expression fixes, the eager replay
-        # snapshots, the shared cascade builders, and the linear
-        # _kept_sets LSH rewrite — re-greened in CORRECTNESS_r10:
-        # 50/50. Cleared at r11 open.)
-        # r11 ADVICE fixes: per-call cloned sessions replace the
-        # module-global name counters + shared-session conf mutation
-        # (spark4_features._isolated) — same SQL text, session plumbing
-        # changed
-        "q_session_variables",
-        "q_recursive_cte_hierarchy",
-        "q_sql_scripting_loop",
-        # r11 ADVICE fixes: sentinel bumped by file-set difference
-        # instead of max-mtime (stream_join.py); store probe reads with
-        # an explicit schema (ingest_dedup.py)
-        "q_stream_outer_join",
-        "q_stream_ingest_dedup",
-        # late-r11: _lm_scores shared-builder refactor (same logic,
-        # now feeds q_perplexity_buckets too)
-        "q_ngram_lm_score",
+        # (all 6 r11 REVERIFY names — the cloned-session plumbing, the
+        # sentinel set-difference + how= replay changes, the explicit
+        # store-probe schema, and the _lm_scores shared-builder
+        # refactor — re-greened in CORRECTNESS_r11: 50/50, zero err.
+        # Cleared at r12 open; re-seed with whatever r12 touches.)
     }
 )
 
