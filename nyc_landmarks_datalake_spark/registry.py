@@ -89,6 +89,7 @@ def load_all() -> None:
     import nyc_landmarks_datalake_spark.operators.quality_clf  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.unigram_lm  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.dsir  # noqa: F401
+    import nyc_landmarks_datalake_spark.operators.linkage  # noqa: F401
     import nyc_landmarks_datalake_spark.operators.video  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.stateful  # noqa: F401
     import nyc_landmarks_datalake_spark.streaming.dedup  # noqa: F401
