@@ -165,6 +165,12 @@ HEADLINE = [
     # shuffle shape worth a tracked number
     "q_wordpiece_merges",
     "q_fuzzy_join_names",
+    # added r13: Fellegi-Sunter linkage (landed r12 untracked) + the
+    # r13 additions — iterative graph peeling and the PSI drift monitor
+    "q_record_linkage",
+    "q_linkage_weights",
+    "q_kcore_decomposition",
+    "q_psi_drift",
 ]
 
 

@@ -323,3 +323,201 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("rho_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI (Population Stability Index) drift monitor — the industry-standard
+# score-distribution drift statistic next to KS (continuous) and CUSUM
+# (sequential): PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i) over FIXED value
+# bins, reference window vs current window, with +1 Laplace smoothing so
+# empty bins stay finite. Alarm threshold 0.2 (the conventional
+# "significant shift" cut).
+#
+# Exactness: ln() is transcendental — float ln is not guaranteed
+# bit-identical across engines (the repo's BM25/TF-IDF rule). PSI here is
+# computed with a FIXED-POINT natural log evaluated by the identical
+# integer formula on both sides: per bin, the ratio r = hi/lo (ppm) is
+# range-reduced by k = floor(log2(r)) (via length(bin(x)) — both engines
+# agree on the bit length of a BIGINT), the mantissa m ∈ [1, 2) goes
+# through the atanh series ln(m) = 2(z + z³/3 + z⁵/5 + z⁷/7 + z⁹/9) with
+# z = (m-1)/(m+1) ≤ 1/3 in 1e-6 fixed point, and ln(r) = k·ln2 + ln(m).
+# Every step is BIGINT multiply + truncating integer division — the two
+# engines produce the SAME psi_e12 by construction (≈6 significant
+# digits vs the float PSI; the float value is never computed). Since
+# (p-q) and ln(p/q) always share sign, each term is |p-q|·ln(hi/lo) ≥ 0
+# and the r < 1 branch never exists.
+#
+# Scale posture: two corpus passes (one 2-value min/max agg broadcast
+# back to derive the window split, one hash agg onto (event_type, bin,
+# window) — cardinality = types × B × 2, independent of data size); the
+# entire fixed-point trajectory runs on that tiny census. The window
+# split is derived from the data (midpoint of the observed ts range) so
+# the query is scale- and replication-invariant.
+# ---------------------------------------------------------------------------
+PSI_BINS = 10
+PSI_BIN_WIDTH = 25  # events.value spans ~0..490, median ~35
+_LN2_PPM = 693_147
+#: psi_e12 > 0.2 * 1e12 → the conventional "significant drift" alarm
+PSI_ALARM_E12 = 200_000_000_000
+
+
+def _psi_trajectory(div: str, shl: str) -> list[tuple[str, str]]:
+    """The shared fixed-point (name, expression) chain from (p_ppm,
+    q_ppm) to the per-bin PSI contribution; ``div`` is the truncating
+    integer division token (Spark ``div`` / DuckDB ``//``), ``shl``
+    a format string for ``1 << k``."""
+    return [
+        ("hi", "GREATEST(p_ppm, q_ppm)"),
+        ("lo", "LEAST(p_ppm, q_ppm)"),
+        ("r_ppm", f"(hi * 1000000) {div} lo"),
+        ("k", f"length(bin(r_ppm {div} 1000000)) - 1"),
+        ("m_ppm", f"r_ppm {div} {shl.format(k='k')}"),
+        ("z", f"((m_ppm - 1000000) * 1000000) {div} (m_ppm + 1000000)"),
+        ("z2", f"(z * z) {div} 1000000"),
+        ("z3", f"(z2 * z) {div} 1000000"),
+        ("z4", f"(z2 * z2) {div} 1000000"),
+        ("z5", f"(z4 * z) {div} 1000000"),
+        ("z7", f"(z4 * z3) {div} 1000000"),
+        ("z9", f"((z4 * z4) {div} 1000000 * z) {div} 1000000"),
+        (
+            "ln_r_ppm",
+            f"k * {_LN2_PPM}"
+            f" + 2 * (z + z3 {div} 3 + z5 {div} 5 + z7 {div} 7 + z9 {div} 9)",
+        ),
+        ("contrib_e12", "(hi - lo) * ln_r_ppm"),
+    ]
+
+
+def _psi_oracle() -> str:
+    steps = _psi_trajectory("//", "(CAST(1 AS BIGINT) << {k})")
+    # one CTE per step keeps the reference factor 1 (no inlining blowup)
+    step_ctes = []
+    prev = "psi_frac"
+    for name, expr in steps:
+        step_ctes.append(f"psi_{name} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"psi_{name}"
+    joined = ",\n".join(step_ctes)
+    return f"""
+    WITH psi_span AS (
+        SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1
+        FROM events
+    ),
+    psi_binned AS (
+        SELECT event_type,
+               LEAST({PSI_BINS - 1}, GREATEST(0,
+                   CAST(FLOOR(value / {PSI_BIN_WIDTH}.0) AS INT))) AS bin,
+               CAST(epoch_us(ts) AS BIGINT) * 2 < t0 + t1 AS is_ref
+        FROM events, psi_span
+    ),
+    psi_cnt0 AS (
+        SELECT event_type, bin,
+               CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT)
+                   AS ref_c,
+               CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0)
+                    AS BIGINT) AS cur_c
+        FROM psi_binned GROUP BY 1, 2
+    ),
+    psi_spine AS (
+        SELECT event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM psi_cnt0),
+             (SELECT unnest(range({PSI_BINS})) AS bin) b
+    ),
+    psi_cnt AS (
+        SELECT s.event_type, s.bin,
+               COALESCE(c.ref_c, 0) AS ref_c, COALESCE(c.cur_c, 0) AS cur_c
+        FROM psi_spine s LEFT JOIN psi_cnt0 c
+          ON c.event_type = s.event_type AND c.bin = s.bin
+    ),
+    psi_tot AS (
+        SELECT event_type, CAST(SUM(ref_c) AS BIGINT) AS ref_n,
+               CAST(SUM(cur_c) AS BIGINT) AS cur_n
+        FROM psi_cnt GROUP BY 1
+    ),
+    psi_frac AS (
+        SELECT c.event_type, c.bin, t.ref_n, t.cur_n,
+               ((c.ref_c + 1) * 1000000) // (t.ref_n + {PSI_BINS}) AS p_ppm,
+               ((c.cur_c + 1) * 1000000) // (t.cur_n + {PSI_BINS}) AS q_ppm
+        FROM psi_cnt c JOIN psi_tot t USING (event_type)
+    ),
+    {joined}
+    SELECT event_type,
+           MAX(ref_n) AS n_ref, MAX(cur_n) AS n_cur,
+           CAST(SUM(contrib_e12) AS BIGINT) AS psi_e12,
+           CAST(SUM(contrib_e12) AS BIGINT) > {PSI_ALARM_E12} AS drift_alarm
+    FROM {prev}
+    GROUP BY event_type
+    """
+
+
+@query("q_psi_drift", sql=_psi_oracle())
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI between the first and second half of the
+    observed event window, over fixed value bins — integer-exact
+    (fixed-point ln, identical trajectory both engines)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    span = ev.agg(
+        F.expr("CAST(MIN(unix_micros(ts)) AS BIGINT)").alias("t0"),
+        F.expr("CAST(MAX(unix_micros(ts)) AS BIGINT)").alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.expr(
+            f"LEAST({PSI_BINS - 1}, GREATEST(0,"
+            f" CAST(FLOOR(value / {PSI_BIN_WIDTH}.0) AS INT)))"
+        ).alias("bin"),
+        F.expr("CAST(unix_micros(ts) AS BIGINT) * 2 < t0 + t1").alias("is_ref"),
+    )
+    cnt0 = binned.groupBy("event_type", "bin").agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT)"
+        ).alias("ref_c"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("cur_c"),
+    )
+    spine = (
+        cnt0.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(0, {PSI_BINS - 1})")).alias("bin"),
+        )
+    )
+    cnt = (
+        spine.join(cnt0, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("ref_c", F.lit(0)).alias("ref_c"),
+            F.coalesce("cur_c", F.lit(0)).alias("cur_c"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("ref_c").cast("long").alias("ref_n"),
+        F.sum("cur_c").cast("long").alias("cur_n"),
+    )
+    frac = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.expr(f"((ref_c + 1) * 1000000) div (ref_n + {PSI_BINS})").alias(
+            "p_ppm"
+        ),
+        F.expr(f"((cur_c + 1) * 1000000) div (cur_n + {PSI_BINS})").alias(
+            "q_ppm"
+        ),
+    )
+    out = frac
+    for name, expr in _psi_trajectory("div", "shiftleft(CAST(1 AS BIGINT), {k})"):
+        out = out.withColumn(name, F.expr(expr))
+    return out.groupBy("event_type").agg(
+        F.max("ref_n").alias("n_ref"),
+        F.max("cur_n").alias("n_cur"),
+        F.sum("contrib_e12").cast("long").alias("psi_e12"),
+        (F.sum("contrib_e12").cast("long") > F.lit(PSI_ALARM_E12)).alias(
+            "drift_alarm"
+        ),
+    )

@@ -756,3 +756,174 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weight_ppm").cast("long").alias("sum_weight_ppm"),
         F.max("cl_size").cast("long").alias("max_cluster"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (coreness per vertex) of the customer-supplier
+# purchase graph — the graph tier's density layer next to PageRank
+# (centrality), triangles (local clustering), BFS (reachability), and
+# CC (labeling). Coreness(v) = the largest k such that v survives in
+# the subgraph where every vertex keeps degree >= k; the standard
+# "dense-subgraph peel depth" used to pick influential/spam-core nodes.
+#
+# Algorithm: the locally-iterative H-index fixpoint (Lü et al. 2016,
+# "The H-index of a network node and its relation to degree and
+# coreness"): start core = degree, repeat core(v) <- min(core(v),
+# H(neighbor cores)) until no vertex changes; the fixpoint IS the
+# coreness. The H-index uses the distinct-value identity
+#     H(values) = max over distinct c of min(c, |{v >= c}|),
+# computed as a (node, nb_core) COUNT histogram + a running sum over
+# nb_core DESC — window partitions are bounded by the node's number of
+# DISTINCT neighbor-core values (<= max coreness), never its degree,
+# so hub vertices with 10^6 neighbors at 100 TB cost a hash agg, not a
+# giant sorted window. Per iteration: one join of the directed edge
+# list to the (node, core) relation + two bounded aggs; the purchase
+# graph converges in 1/3/5 rounds at sf0.001/0.01/0.1 (log-ish in sf).
+#
+# Oracle: the same iteration unrolled KCORE_ORACLE_ITERS times as
+# MATERIALIZED CTEs (each stage references the previous TWICE — without
+# MATERIALIZED, DuckDB's default CTE inlining plans in 2^N time, the
+# documented wordpiece trap). The fixpoint is stable, so the oracle
+# running PAST convergence changes nothing; Spark exits early and
+# RAISES if the budget is hit with labels still moving (never returns
+# silently-unconverged coreness). Value parity is therefore independent
+# of the two engines' iteration counts.
+# ---------------------------------------------------------------------------
+KCORE_MAX_ITERS = 16
+KCORE_ORACLE_ITERS = 16
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        f"""ke0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    kedges AS MATERIALIZED (
+        SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM ke0
+        UNION ALL
+        SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM ke0
+    ),
+    kc0 AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core
+        FROM kedges GROUP BY 1
+    )"""
+    ]
+    for i in range(1, KCORE_ORACLE_ITERS + 1):
+        ctes.append(f"""kc{i} AS MATERIALIZED (
+        SELECT p.node, LEAST(p.core, h.h) AS core
+        FROM kc{i - 1} p JOIN (
+            SELECT node, CAST(MAX(LEAST(nb_core, cumc)) AS BIGINT) AS h
+            FROM (
+                SELECT node, nb_core,
+                       SUM(cnt) OVER (PARTITION BY node
+                                      ORDER BY nb_core DESC) AS cumc
+                FROM (
+                    SELECT e.src AS node, c.core AS nb_core,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM kedges e JOIN kc{i - 1} c ON c.node = e.dst
+                    GROUP BY 1, 2
+                )
+            ) GROUP BY node
+        ) h ON h.node = p.node
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def coreness(
+    edges: DataFrame,
+    max_iters: int = KCORE_MAX_ITERS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edge list (both directions present) →
+    (node, core) coreness fixpoint. Raises if ``max_iters`` passes
+    with cores still moving — an unconverged decomposition is wrong
+    for every vertex downstream of a moving one, so fail loud."""
+    edges = edges.localCheckpoint(eager=False)
+    cores = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core"))
+        .localCheckpoint()
+    )
+    changed = 0
+    changed_per_round: list[int] = []
+    for _ in range(max_iters):
+        hist = (
+            edges.join(
+                cores.select(
+                    F.col("node").alias("dst"), F.col("core").alias("nb_core")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "nb_core")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        from pyspark.sql import Window
+
+        cum = hist.withColumn(
+            "cumc",
+            F.sum("cnt").over(
+                Window.partitionBy("node").orderBy(F.col("nb_core").desc())
+            ),
+        )
+        h = cum.groupBy("node").agg(
+            F.max(F.least(F.col("nb_core"), F.col("cumc")))
+            .cast("long")
+            .alias("h")
+        )
+        upd = cores.join(h, "node").select(
+            "node",
+            F.col("core").alias("__old"),
+            F.least(F.col("core"), F.col("h")).alias("core"),
+        )
+        new_cores = upd.localCheckpoint()
+        changed = new_cores.filter(F.col("core") != F.col("__old")).count()
+        changed_per_round.append(changed)
+        cores = new_cores.drop("__old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"coreness did not converge in {max_iters} iterations "
+            f"({changed} cores still decreasing); raise max_iters — an "
+            "unconverged decomposition is silently wrong everywhere"
+        )
+    if stats is not None:
+        stats["iterations"] = len(changed_per_round)
+        stats["changed"] = changed_per_round
+    return cores
+
+
+@query(
+    "q_kcore_decomposition",
+    sql=f"""
+    WITH {_kcore_sql()}
+    SELECT d.node, d.core AS degree, kc{KCORE_ORACLE_ITERS}.core AS coreness
+    FROM kc0 d JOIN kc{KCORE_ORACLE_ITERS} USING (node)
+    """,
+)
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness of every customer/supplier vertex in the purchase
+    graph (suppliers offset by PR_SUPP_OFFSET), alongside degree."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        coreness(edges)
+        .join(deg, "node")
+        .select("node", "degree", F.col("core").alias("coreness"))
+    )

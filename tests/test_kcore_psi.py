@@ -1,0 +1,182 @@
+"""Third references for the r13 additions: k-core decomposition
+(operators/graph.py::coreness) against the classical Batagelj-Zaversnik
+peeling — a genuinely different algorithm, so the test proves the
+H-index fixpoint IS coreness, not just that two copies of one formula
+agree — and the PSI drift monitor (operators/agreement.py::q_psi_drift)
+against (a) a pure-Python integer replay of the fixed-point trajectory
+and (b) the float PSI it approximates.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from nyc_landmarks_datalake_spark import registry
+from nyc_landmarks_datalake_spark.operators.agreement import (
+    PSI_BIN_WIDTH,
+    PSI_BINS,
+    _LN2_PPM,
+)
+from nyc_landmarks_datalake_spark.operators.graph import (
+    PR_SUPP_OFFSET,
+    coreness,
+)
+
+registry.load_all()
+
+
+def _purchase_edges(sf_dir: str) -> list[tuple[int, int]]:
+    return duckdb.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey, l.l_suppkey + {PR_SUPP_OFFSET}
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+
+
+def _peel_coreness(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Batagelj-Zaversnik: repeatedly remove a minimum-degree vertex;
+    its coreness is the running maximum of the min degree seen."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {u: len(ns) for u, ns in adj.items()}
+    core: dict[int, int] = {}
+    k = 0
+    # bucket queue over degrees — O(E) peel order
+    buckets: dict[int, set[int]] = defaultdict(set)
+    for u, d in deg.items():
+        buckets[d].add(u)
+    removed: set[int] = set()
+    for _ in range(len(adj)):
+        d = min(b for b in buckets if buckets[b])
+        u = buckets[d].pop()
+        k = max(k, d)
+        core[u] = k
+        removed.add(u)
+        for v in adj[u]:
+            if v in removed:
+                continue
+            buckets[deg[v]].discard(v)
+            deg[v] -= 1
+            buckets[deg[v]].add(v)
+    return core
+
+
+def test_kcore_matches_peeling_reference(spark, sf_small):
+    exp = _peel_coreness(_purchase_edges(sf_small))
+    got = {
+        r.node: r.coreness
+        for r in registry.QUERIES["q_kcore_decomposition"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_kcore_convergence_telemetry(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    rows = _purchase_edges(sf_small)
+    fwd = spark.createDataFrame(rows, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    stats: dict = {}
+    out = coreness(edges, stats=stats)
+    assert out.count() > 0
+    assert stats["changed"][-1] == 0, stats
+    assert stats["iterations"] <= 8, stats  # sf0.001 converges in 2
+
+
+def test_kcore_unconverged_raises(spark):
+    """A budget too small to reach the fixpoint must raise, never
+    return silently-wrong cores (a 6-chain needs >1 H-index round)."""
+    from pyspark.sql import functions as F
+
+    chain = [(i, i + 1) for i in range(6)]
+    fwd = spark.createDataFrame(chain, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        coreness(edges, max_iters=1)
+
+
+def _psi_python(sf_dir: str) -> dict[str, tuple[int, int, int]]:
+    """Integer replay of the committed fixed-point trajectory (all
+    quantities nonnegative, so Python // == truncating division)."""
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT)
+        FROM '{sf_dir}/events.parquet'
+        """
+    ).fetchall()
+    t0 = min(r[2] for r in rows)
+    t1 = max(r[2] for r in rows)
+    ref: dict[str, list[int]] = defaultdict(lambda: [0] * PSI_BINS)
+    cur: dict[str, list[int]] = defaultdict(lambda: [0] * PSI_BINS)
+    for et, v, us in rows:
+        b = min(PSI_BINS - 1, max(0, math.floor(v / float(PSI_BIN_WIDTH))))
+        (ref if us * 2 < t0 + t1 else cur)[et][b] += 1
+    out = {}
+    for et in set(ref) | set(cur):
+        rn, cn = sum(ref[et]), sum(cur[et])
+        psi = 0
+        for i in range(PSI_BINS):
+            p = ((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS)
+            q = ((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS)
+            hi, lo = max(p, q), min(p, q)
+            r = (hi * 10**6) // lo
+            k = (r // 10**6).bit_length() - 1
+            m = r // (1 << k)
+            z = ((m - 10**6) * 10**6) // (m + 10**6)
+            z2 = (z * z) // 10**6
+            z3 = (z2 * z) // 10**6
+            z4 = (z2 * z2) // 10**6
+            z5 = (z4 * z) // 10**6
+            z7 = (z4 * z3) // 10**6
+            z9 = ((z4 * z4) // 10**6 * z) // 10**6
+            ln_r = k * _LN2_PPM + 2 * (z + z3 // 3 + z5 // 5 + z7 // 7 + z9 // 9)
+            psi += (hi - lo) * ln_r
+        out[et] = (rn, cn, psi)
+    return out
+
+
+def test_psi_matches_pure_python_reference(spark, sf_small):
+    exp = _psi_python(sf_small)
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi_e12)
+        for r in registry.QUERIES["q_psi_drift"](spark, sf_small).collect()
+    }
+    assert got == exp
+
+
+def test_psi_fixed_point_tracks_float_psi(sf_small):
+    """The committed integer trajectory approximates the real PSI to
+    ~6 significant digits — the surrogate measures the statistic it
+    claims to, not merely itself."""
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT)
+        FROM '{sf_small}/events.parquet'
+        """
+    ).fetchall()
+    t0 = min(r[2] for r in rows)
+    t1 = max(r[2] for r in rows)
+    ref: dict[str, list[int]] = defaultdict(lambda: [0] * PSI_BINS)
+    cur: dict[str, list[int]] = defaultdict(lambda: [0] * PSI_BINS)
+    for et, v, us in rows:
+        b = min(PSI_BINS - 1, max(0, math.floor(v / float(PSI_BIN_WIDTH))))
+        (ref if us * 2 < t0 + t1 else cur)[et][b] += 1
+    fp = _psi_python(sf_small)
+    for et in fp:
+        rn, cn = sum(ref[et]), sum(cur[et])
+        psi = 0.0
+        for i in range(PSI_BINS):
+            p = (ref[et][i] + 1) / (rn + PSI_BINS)
+            q = (cur[et][i] + 1) / (cn + PSI_BINS)
+            psi += (p - q) * math.log(p / q)
+        assert fp[et][2] / 1e12 == pytest.approx(psi, rel=1e-4)
