@@ -539,7 +539,19 @@ def q_approx_top_k_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = words.agg(
         F.expr(f"approx_top_k(word, {TOPK_K}, {TOPK_TRACKED})").alias("tk")
     )
-    return sk.select(F.explode("tk").alias("e")).select(
+    # exactness gate (zero extra passes): the sketch returning FEWER
+    # than k items proves the vocabulary is < k <= maxItemsTracked, so
+    # the sketch never purged and every count is exact and complete. A
+    # full k-sized result is ambiguous (vocab could exceed k) — fail
+    # loud instead of returning a silently-approximate answer the plain
+    # GROUP-BY oracle would flag.
+    gated = F.expr(
+        f"CASE WHEN assert_true(size(tk) < {TOPK_K},"
+        f" 'approx_top_k exactness regime violated: sketch returned a"
+        f" full k={TOPK_K} items, vocabulary may exceed k') IS NULL"
+        " THEN tk END"
+    )
+    return sk.select(F.explode(gated).alias("e")).select(
         F.col("e.item").alias("word"),
         F.col("e.count").cast("long").alias("cnt"),
     )

@@ -32,8 +32,9 @@ Apply (`q_wordpiece_apply`) is greedy longest-match-first: the final
 vocabulary (initial alphabet + one merged symbol per iteration)
 attaches as a one-row broadcast membership map and each distinct word
 is tokenized by a single ``aggregate`` fold that jumps match-length
-positions; max match length is ``N_MERGES + 1`` chars (each merge
-grows the longest symbol by at most one constituent). The DuckDB twin
+positions; candidate matches are probed up to ``MMAX`` chars, a bound
+ASSERTED against the learned vocabulary post-training (merges of two
+multi-char pieces could exceed it in general). The DuckDB twin
 walks the same greedy jumps with a RECURSIVE CTE. At 100 TB the vocab
 broadcasts and tokenization is a zero-shuffle map over the
 word-frequency relation.
@@ -54,7 +55,14 @@ from nyc_landmarks_datalake_spark.registry import query
 from nyc_landmarks_datalake_spark.sources.catalog import compute_table
 
 N_MERGES = 6
-#: greedy-apply match-length bound: merge k's symbol spans <= k+1 chars
+#: greedy-apply match-length bound. NOT a theorem: a merge of two
+#: already-merged symbols grows the longest piece by more than one
+#: char (k merges can reach 2^k chars in the worst case), so the bound
+#: is ASSERTED against the learned vocabulary post-training
+#: (:func:`_vocab_df` raises if any merged symbol exceeds it) rather
+#: than assumed. It holds for chain-shaped merge trajectories (each
+#: winner extends a piece by one alphabet char), which is what this
+#: corpus learns — and the assert makes any future deviation loud.
 MMAX = N_MERGES + 1
 
 #: the two-sweep merge rewrite over (enc, pair) — identical to bpe.py's
@@ -273,6 +281,22 @@ def _vocab_df(
         DataFrame.unionByName,
         [m.select(F.col("new_symbol").alias("sym")) for m in merges],
     )
+    # the greedy fold probes candidate lengths 1..MMAX only — a learned
+    # piece longer than MMAX bare chars would silently never match. The
+    # bound is not a theorem (see MMAX), so verify it against the
+    # N_MERGES-row ALREADY-MATERIALIZED merge outputs (alphabet symbols
+    # are single chars and can't violate it).
+    longest = max(
+        len(r.sym[2:]) if r.sym.startswith("##") else len(r.sym)
+        for r in merged.collect()
+    )
+    if longest > MMAX:
+        raise RuntimeError(
+            f"learned WordPiece vocabulary has a {longest}-char piece; "
+            f"greedy apply only probes matches up to MMAX={MMAX} chars "
+            "and would mis-tokenize — raise MMAX (both engines) to at "
+            "least the learned maximum"
+        )
     return words, alphabet.unionByName(merged).distinct()
 
 

@@ -9,6 +9,11 @@ raises instead.
 
 from __future__ import annotations
 
+#: one cached clone per (SparkContext, partition count) — replays used
+#: to call ``newSession()`` per invocation, leaking a SessionState (and
+#: its listener/conf machinery) each time a replay query ran.
+_REPLAY_SESSIONS: dict[tuple[int, int], object] = {}
+
 
 def replay_session(spark, shuffle_partitions: int = 8):
     """A cloned session with a low shuffle-partition count for finite
@@ -28,9 +33,20 @@ def replay_session(spark, shuffle_partitions: int = 8):
     The replay's sink writes plain parquet, so the caller's session
     reads the result back with its own conf — cross-session handoff
     through the filesystem, no session-state coupling.
+
+    The clone is CACHED per (SparkContext, partition count) and reused
+    across replays: each replay runs to completion before the next
+    starts (finish_replay blocks) and leaves no state behind — sinks
+    are per-call tmp dirs and no temp views are registered — so a
+    fresh SessionState per invocation bought nothing and accumulated
+    one leaked clone per replayed query for the life of the JVM.
     """
-    sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    key = (id(spark.sparkContext), shuffle_partitions)
+    sess = _REPLAY_SESSIONS.get(key)
+    if sess is None:
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        _REPLAY_SESSIONS[key] = sess
     return sess
 
 
