@@ -58,11 +58,18 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # (all 6 r11 REVERIFY names — the cloned-session plumbing, the
-        # sentinel set-difference + how= replay changes, the explicit
-        # store-probe schema, and the _lm_scores shared-builder
-        # refactor — re-greened in CORRECTNESS_r11: 50/50, zero err.
-        # Cleared at r12 open; re-seed with whatever r12 touches.)
+        # r13 touches: the in-plan exactness gate (assert on sketch
+        # fill) changed the approx_top_k plan; the WordPiece MMAX
+        # post-training assert sits on q_wordpiece_apply's vocab path;
+        # the cached replay-session clone (streaming/guard.py) is the
+        # execution substrate of every two-feed stateful replay.
+        "q_approx_top_k_terms",
+        "q_wordpiece_apply",
+        "q_stream_semi_join",
+        "q_stream_outer_join",
+        "q_stream_full_outer_join",
+        "q_stream_join_windowed",
+        "q_stream_mv_upsert",
     }
 )
 

@@ -476,7 +476,8 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0)"
             " AS BIGINT)"
         ).alias("cur_c"),
-    )
+    ).localCheckpoint(eager=False)  # types x B census; spine + counts
+    # branch from it — without the cut the corpus scans once per branch
     spine = (
         cnt0.select("event_type")
         .distinct()

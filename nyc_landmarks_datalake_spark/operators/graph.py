@@ -836,13 +836,16 @@ def coreness(
     stats: dict | None = None,
 ) -> DataFrame:
     """Directed (src, dst) edge list (both directions present) →
-    (node, core) coreness fixpoint. Raises if ``max_iters`` passes
-    with cores still moving — an unconverged decomposition is wrong
-    for every vertex downstream of a moving one, so fail loud."""
+    (node, degree, core) coreness fixpoint; degree rides along so
+    callers never rebuild the edge relation for it. Raises if
+    ``max_iters`` passes with cores still moving — an unconverged
+    decomposition is wrong for every vertex downstream of a moving
+    one, so fail loud."""
     edges = edges.localCheckpoint(eager=False)
     cores = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core"))
+        .withColumn("degree", F.col("core"))
         .localCheckpoint()
     )
     changed = 0
@@ -873,6 +876,7 @@ def coreness(
         )
         upd = cores.join(h, "node").select(
             "node",
+            "degree",
             F.col("core").alias("__old"),
             F.least(F.col("core"), F.col("h")).alias("core"),
         )
@@ -919,11 +923,6 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
         )
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
-    )
-    return (
-        coreness(edges)
-        .join(deg, "node")
-        .select("node", "degree", F.col("core").alias("coreness"))
+    return coreness(edges).select(
+        "node", "degree", F.col("core").alias("coreness")
     )
