@@ -793,6 +793,33 @@ KCORE_MAX_ITERS = 16
 KCORE_ORACLE_ITERS = 16
 
 
+def kcore_step_sql(prev: str, edges: str = "kedges") -> str:
+    """One H-index update step in DuckDB SQL, as a SELECT from the
+    previous (node, core) relation ``prev`` and the directed edge
+    relation ``edges``. Shared verbatim between the committed unrolled
+    oracle below and tools/verify_sf10_tail.py's table-stepped variant
+    (the committed 16-CTE single statement materializes every
+    iteration at once — 74 GB of spill at sf10; the stepped driver
+    runs the SAME text one iteration per statement with the previous
+    table dropped, so the footprint is one iteration's)."""
+    return f"""
+        SELECT p.node, LEAST(p.core, h.h) AS core
+        FROM {prev} p JOIN (
+            SELECT node, CAST(MAX(LEAST(nb_core, cumc)) AS BIGINT) AS h
+            FROM (
+                SELECT node, nb_core,
+                       SUM(cnt) OVER (PARTITION BY node
+                                      ORDER BY nb_core DESC) AS cumc
+                FROM (
+                    SELECT e.src AS node, c.core AS nb_core,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM {edges} e JOIN {prev} c ON c.node = e.dst
+                    GROUP BY 1, 2
+                )
+            ) GROUP BY node
+        ) h ON h.node = p.node"""
+
+
 def _kcore_sql() -> str:
     ctes = [
         f"""ke0 AS (
@@ -810,23 +837,9 @@ def _kcore_sql() -> str:
     )"""
     ]
     for i in range(1, KCORE_ORACLE_ITERS + 1):
-        ctes.append(f"""kc{i} AS MATERIALIZED (
-        SELECT p.node, LEAST(p.core, h.h) AS core
-        FROM kc{i - 1} p JOIN (
-            SELECT node, CAST(MAX(LEAST(nb_core, cumc)) AS BIGINT) AS h
-            FROM (
-                SELECT node, nb_core,
-                       SUM(cnt) OVER (PARTITION BY node
-                                      ORDER BY nb_core DESC) AS cumc
-                FROM (
-                    SELECT e.src AS node, c.core AS nb_core,
-                           CAST(COUNT(*) AS BIGINT) AS cnt
-                    FROM kedges e JOIN kc{i - 1} c ON c.node = e.dst
-                    GROUP BY 1, 2
-                )
-            ) GROUP BY node
-        ) h ON h.node = p.node
-    )""")
+        ctes.append(
+            f"kc{i} AS MATERIALIZED ({kcore_step_sql(f'kc{i - 1}')}\n    )"
+        )
     return ",\n    ".join(ctes)
 
 

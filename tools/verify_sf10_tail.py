@@ -275,6 +275,7 @@ def main() -> int:
         "curation": "q_curation_census",
         "fullouter": "q_stream_full_outer_join",
         "cv": "q_quality_clf_cv",
+        "kcore": "q_kcore_decomposition",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -436,6 +437,79 @@ def main() -> int:
             FROM mm FULL JOIN lo USING (user_id) FULL JOIN ro USING (user_id)
             """,
         )
+
+    if "kcore" in checks:
+        # q_kcore_decomposition's committed oracle materializes ALL 16
+        # unrolled H-index iterations in one statement — 74 GB of spill
+        # at sf10 (disk exhaustion; cut). Same decomposition as
+        # build_cc_labels: run the IDENTICAL step SQL
+        # (graph.kcore_step_sql — the committed CTEs are generated from
+        # the same text) one iteration per statement, dropping the
+        # previous table, with early exit at the fixpoint — the
+        # footprint is one iteration's. Cap + spill so an overrun
+        # ERRORS instead of OOMing the host (the r11 fullouter lesson).
+        from nyc_landmarks_datalake_spark.operators.graph import (
+            KCORE_ORACLE_ITERS,
+            PR_SUPP_OFFSET,
+            kcore_step_sql,
+        )
+
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill_kcore'")
+        t0 = time.time()
+        con.execute(
+            "CREATE TEMP TABLE vt_ke0 AS "
+            "SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_kedges AS "
+            f"SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM vt_ke0 "
+            "UNION ALL "
+            f"SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM vt_ke0"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_kc0 AS "
+            "SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core "
+            "FROM vt_kedges GROUP BY 1"
+        )
+        log(
+            "kcore edges: "
+            f"{con.execute('SELECT count(*) FROM vt_kedges').fetchone()[0]}"
+            f" rows in {time.time() - t0:.0f}s"
+        )
+        prev = "vt_kc0"
+        for i in range(1, KCORE_ORACLE_ITERS + 1):
+            cur = f"vt_kc{i}"
+            con.execute(
+                f"CREATE TEMP TABLE {cur} AS "
+                + kcore_step_sql(prev, edges="vt_kedges")
+            )
+            changed = con.execute(
+                f"SELECT count(*) FROM {cur} a JOIN {prev} b "
+                "ON a.node = b.node AND a.core <> b.core"
+            ).fetchone()[0]
+            log(f"kcore H-index round {i}: {changed} changed")
+            con.execute(f"DROP TABLE {prev}")
+            prev = cur
+            if changed == 0:
+                break
+        else:
+            raise AssertionError(
+                f"kcore H-index did not reach a fixpoint in "
+                f"{KCORE_ORACLE_ITERS} rounds — raise KCORE_ORACLE_ITERS"
+                " (and the committed oracle's unroll) together"
+            )
+        # vt_kc0 (the degree relation) was dropped as the loop advanced;
+        # recompute it for the output join — one hash agg.
+        check(
+            "q_kcore_decomposition",
+            "SELECT deg.node, deg.core AS degree, fin.core AS coreness "
+            "FROM (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core "
+            f"      FROM vt_kedges GROUP BY 1) deg "
+            f"JOIN {prev} fin USING (node)",
+        )
+        log(f"kcore stepped oracle+compare took {time.time() - t0:.0f}s")
 
     if "cv" in checks:
         # q_quality_clf_cv's committed 5-fold single statement exceeds
