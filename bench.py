@@ -171,6 +171,7 @@ HEADLINE = [
     "q_linkage_weights",
     "q_kcore_decomposition",
     "q_psi_drift",
+    "q_js_drift",
 ]
 
 

@@ -522,3 +522,191 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_alarm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence drift — the bounded, symmetric companion to
+# PSI over the SAME fixed-bin census: JS(p, q) = (KL(p||m) + KL(q||m))/2
+# with m = (p+q)/2, always in [0, ln 2]. Where PSI's terms pair
+# (p-q) with ln(p/q) (always same sign), the KL terms p·ln(2p/(p+q))
+# are individually signed — so this operator generalizes the r13
+# fixed-point ln to a SIGNED ratio chain (sign from the num/den
+# comparison, magnitude via the same bit-length range reduction + atanh
+# series). Every step stays BIGINT multiply + truncating division,
+# identical text in both engines.
+#
+# Scale posture identical to q_psi_drift: the corpus contributes two
+# passes; the two ln chains and the divergence sum run on the
+# types × bins census.
+# ---------------------------------------------------------------------------
+def _lnfp_steps(
+    prefix: str, num: str, den: str, div: str, shl: str
+) -> list[tuple[str, str]]:
+    """Signed fixed-point ln(num/den) (ppm in, ppm out) as a (name,
+    expression) chain; emits ``{prefix}_ln`` = sign(num-den) ·
+    ln(max/min). Same trajectory as :func:`_psi_trajectory` with the
+    sign made explicit so callers can weight signed KL terms."""
+    p = prefix
+    return [
+        (f"{p}_hi", f"GREATEST({num}, {den})"),
+        (f"{p}_lo", f"LEAST({num}, {den})"),
+        (f"{p}_sg", f"CASE WHEN {num} >= {den} THEN 1 ELSE -1 END"),
+        (f"{p}_r", f"({p}_hi * 1000000) {div} {p}_lo"),
+        (f"{p}_k", f"length(bin({p}_r {div} 1000000)) - 1"),
+        (f"{p}_m", f"{p}_r {div} {shl.format(k=f'{p}_k')}"),
+        (f"{p}_z", f"(({p}_m - 1000000) * 1000000) {div} ({p}_m + 1000000)"),
+        (f"{p}_z2", f"({p}_z * {p}_z) {div} 1000000"),
+        (f"{p}_z3", f"({p}_z2 * {p}_z) {div} 1000000"),
+        (f"{p}_z4", f"({p}_z2 * {p}_z2) {div} 1000000"),
+        (f"{p}_z5", f"({p}_z4 * {p}_z) {div} 1000000"),
+        (f"{p}_z7", f"({p}_z4 * {p}_z3) {div} 1000000"),
+        (
+            f"{p}_z9",
+            f"(({p}_z4 * {p}_z4) {div} 1000000 * {p}_z) {div} 1000000",
+        ),
+        (
+            f"{p}_ln",
+            f"{p}_sg * ({p}_k * {_LN2_PPM}"
+            f" + 2 * ({p}_z + {p}_z3 {div} 3 + {p}_z5 {div} 5"
+            f" + {p}_z7 {div} 7 + {p}_z9 {div} 9))",
+        ),
+    ]
+
+
+def _js_trajectory(div: str, shl: str) -> list[tuple[str, str]]:
+    """(p_ppm, q_ppm) → per-bin 2·JS contribution (e12 fixed point)."""
+    steps = _lnfp_steps("jp", "2 * p_ppm", "p_ppm + q_ppm", div, shl)
+    steps += _lnfp_steps("jq", "2 * q_ppm", "p_ppm + q_ppm", div, shl)
+    steps.append(("contrib2_e12", "p_ppm * jp_ln + q_ppm * jq_ln"))
+    return steps
+
+
+def _js_oracle() -> str:
+    steps = _js_trajectory("//", "(CAST(1 AS BIGINT) << {k})")
+    step_ctes = []
+    prev = "psi_frac"
+    for name, expr in steps:
+        step_ctes.append(
+            f"js_{name} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        )
+        prev = f"js_{name}"
+    joined = ",\n".join(step_ctes)
+    return f"""
+    WITH psi_span AS (
+        SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1
+        FROM events
+    ),
+    psi_binned AS (
+        SELECT event_type,
+               LEAST({PSI_BINS - 1}, GREATEST(0,
+                   CAST(FLOOR(value / {PSI_BIN_WIDTH}.0) AS INT))) AS bin,
+               CAST(epoch_us(ts) AS BIGINT) * 2 < t0 + t1 AS is_ref
+        FROM events, psi_span
+    ),
+    psi_cnt0 AS (
+        SELECT event_type, bin,
+               CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT)
+                   AS ref_c,
+               CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0)
+                    AS BIGINT) AS cur_c
+        FROM psi_binned GROUP BY 1, 2
+    ),
+    psi_spine AS (
+        SELECT event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM psi_cnt0),
+             (SELECT unnest(range({PSI_BINS})) AS bin) b
+    ),
+    psi_cnt AS (
+        SELECT s.event_type, s.bin,
+               COALESCE(c.ref_c, 0) AS ref_c, COALESCE(c.cur_c, 0) AS cur_c
+        FROM psi_spine s LEFT JOIN psi_cnt0 c
+          ON c.event_type = s.event_type AND c.bin = s.bin
+    ),
+    psi_tot AS (
+        SELECT event_type, CAST(SUM(ref_c) AS BIGINT) AS ref_n,
+               CAST(SUM(cur_c) AS BIGINT) AS cur_n
+        FROM psi_cnt GROUP BY 1
+    ),
+    psi_frac AS (
+        SELECT c.event_type, c.bin, t.ref_n, t.cur_n,
+               ((c.ref_c + 1) * 1000000) // (t.ref_n + {PSI_BINS}) AS p_ppm,
+               ((c.cur_c + 1) * 1000000) // (t.cur_n + {PSI_BINS}) AS q_ppm
+        FROM psi_cnt c JOIN psi_tot t USING (event_type)
+    ),
+    {joined}
+    SELECT event_type,
+           MAX(ref_n) AS n_ref, MAX(cur_n) AS n_cur,
+           CAST(SUM(contrib2_e12) // 2 AS BIGINT) AS js_e12
+    FROM {prev}
+    GROUP BY event_type
+    """
+
+
+@query("q_js_drift", sql=_js_oracle())
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Jensen-Shannon divergence between the first and
+    second half of the observed event window over the same fixed-bin
+    census as q_psi_drift — signed fixed-point ln chains, integer-exact
+    cross-engine, bounded by ln 2."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    span = ev.agg(
+        F.expr("CAST(MIN(unix_micros(ts)) AS BIGINT)").alias("t0"),
+        F.expr("CAST(MAX(unix_micros(ts)) AS BIGINT)").alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.expr(
+            f"LEAST({PSI_BINS - 1}, GREATEST(0,"
+            f" CAST(FLOOR(value / {PSI_BIN_WIDTH}.0) AS INT)))"
+        ).alias("bin"),
+        F.expr("CAST(unix_micros(ts) AS BIGINT) * 2 < t0 + t1").alias("is_ref"),
+    )
+    cnt0 = binned.groupBy("event_type", "bin").agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT)"
+        ).alias("ref_c"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("cur_c"),
+    ).localCheckpoint(eager=False)  # census; spine + counts branch
+    spine = (
+        cnt0.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(0, {PSI_BINS - 1})")).alias("bin"),
+        )
+    )
+    cnt = spine.join(cnt0, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("ref_c", F.lit(0)).alias("ref_c"),
+        F.coalesce("cur_c", F.lit(0)).alias("cur_c"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("ref_c").cast("long").alias("ref_n"),
+        F.sum("cur_c").cast("long").alias("cur_n"),
+    )
+    out = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.expr(f"((ref_c + 1) * 1000000) div (ref_n + {PSI_BINS})").alias(
+            "p_ppm"
+        ),
+        F.expr(f"((cur_c + 1) * 1000000) div (cur_n + {PSI_BINS})").alias(
+            "q_ppm"
+        ),
+    )
+    for name, expr in _js_trajectory(
+        "div", "shiftleft(CAST(1 AS BIGINT), {k})"
+    ):
+        out = out.withColumn(name, F.expr(expr))
+    return out.groupBy("event_type").agg(
+        F.max("ref_n").alias("n_ref"),
+        F.max("cur_n").alias("n_cur"),
+        F.expr("CAST(SUM(contrib2_e12) div 2 AS BIGINT)").alias("js_e12"),
+    )

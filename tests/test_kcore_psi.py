@@ -180,3 +180,78 @@ def test_psi_fixed_point_tracks_float_psi(sf_small):
             q = (cur[et][i] + 1) / (cn + PSI_BINS)
             psi += (p - q) * math.log(p / q)
         assert fp[et][2] / 1e12 == pytest.approx(psi, rel=1e-4)
+
+
+def _lnfp(num: int, den: int) -> int:
+    """Signed fixed-point ln(num/den) — integer replay of _lnfp_steps."""
+    hi, lo = max(num, den), min(num, den)
+    sg = 1 if num >= den else -1
+    r = (hi * 10**6) // lo
+    k = (r // 10**6).bit_length() - 1
+    m = r // (1 << k)
+    z = ((m - 10**6) * 10**6) // (m + 10**6)
+    z2 = (z * z) // 10**6
+    z3 = (z2 * z) // 10**6
+    z4 = (z2 * z2) // 10**6
+    z5 = (z4 * z) // 10**6
+    z7 = (z4 * z3) // 10**6
+    z9 = ((z4 * z4) // 10**6 * z) // 10**6
+    return sg * (
+        k * _LN2_PPM + 2 * (z + z3 // 3 + z5 // 5 + z7 // 7 + z9 // 9)
+    )
+
+
+def _binned_counts(sf_dir: str):
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT)
+        FROM '{sf_dir}/events.parquet'
+        """
+    ).fetchall()
+    t0 = min(r[2] for r in rows)
+    t1 = max(r[2] for r in rows)
+    ref: dict[str, list[int]] = defaultdict(lambda: [0] * PSI_BINS)
+    cur: dict[str, list[int]] = defaultdict(lambda: [0] * PSI_BINS)
+    for et, v, us in rows:
+        b = min(PSI_BINS - 1, max(0, math.floor(v / float(PSI_BIN_WIDTH))))
+        (ref if us * 2 < t0 + t1 else cur)[et][b] += 1
+    return ref, cur
+
+
+def test_js_matches_pure_python_reference(spark, sf_small):
+    ref, cur = _binned_counts(sf_small)
+    exp = {}
+    for et in set(ref) | set(cur):
+        rn, cn = sum(ref[et]), sum(cur[et])
+        s = 0
+        for i in range(PSI_BINS):
+            p = ((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS)
+            q = ((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS)
+            s += p * _lnfp(2 * p, p + q) + q * _lnfp(2 * q, p + q)
+        exp[et] = (rn, cn, s // 2)
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.js_e12)
+        for r in registry.QUERIES["q_js_drift"](spark, sf_small).collect()
+    }
+    assert got == exp
+
+
+def test_js_fixed_point_tracks_float_js(sf_small):
+    """JS in [0, ln 2]; the integer trajectory approximates the float
+    statistic to ~5 significant digits on the smoothed census."""
+    ref, cur = _binned_counts(sf_small)
+    for et in ref:
+        rn, cn = sum(ref[et]), sum(cur[et])
+        s = 0
+        js = 0.0
+        for i in range(PSI_BINS):
+            pi = ((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS)
+            qi = ((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS)
+            s += pi * _lnfp(2 * pi, pi + qi) + qi * _lnfp(2 * qi, pi + qi)
+            p = (ref[et][i] + 1) / (rn + PSI_BINS)
+            q = (cur[et][i] + 1) / (cn + PSI_BINS)
+            m = (p + q) / 2
+            js += (p * math.log(p / m) + q * math.log(q / m)) / 2
+        fp = (s // 2) / 1e12
+        assert 0 <= fp <= math.log(2) + 1e-9
+        assert fp == pytest.approx(js, rel=2e-3, abs=2e-7)
