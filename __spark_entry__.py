@@ -58,13 +58,16 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # r13 touches: the in-plan exactness gate (assert on sketch
-        # fill) changed the approx_top_k plan; the WordPiece MMAX
-        # post-training assert sits on q_wordpiece_apply's vocab path;
-        # the cached replay-session clone (streaming/guard.py) is the
-        # execution substrate of every two-feed stateful replay.
-        "q_approx_top_k_terms",
-        "q_wordpiece_apply",
+        # r14 touches: PSI/JS gained the GREATEST(...,1) smoothing
+        # clamp and a wider bin grid (PSI_BINS 10→20, width 25→50) —
+        # values change by design; the coreness loop now runs a
+        # max_iters+1 confirming round (budget semantics aligned with
+        # the oracle's unconditional updates); every two-feed stateful
+        # replay runs on the revalidated guard.replay_session cache
+        # (applicationId key + liveness check).
+        "q_psi_drift",
+        "q_js_drift",
+        "q_kcore_decomposition",
         "q_stream_semi_join",
         "q_stream_outer_join",
         "q_stream_full_outer_join",

@@ -329,9 +329,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PSI (Population Stability Index) drift monitor — the industry-standard
 # score-distribution drift statistic next to KS (continuous) and CUSUM
 # (sequential): PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i) over FIXED value
-# bins, reference window vs current window, with +1 Laplace smoothing so
-# empty bins stay finite. Alarm threshold 0.2 (the conventional
-# "significant shift" cut).
+# bins, reference window vs current window, with +1 Laplace smoothing
+# AND a floor of 1 ppm on the smoothed fractions: above ~1e6 rows per
+# window the smoothed (c+1)/(n+B) truncates to 0 ppm for an empty bin,
+# which would divide by zero inside the ln chain (Spark ANSI raises,
+# DuckDB // 0 returns NULL and SUM silently drops the bin) — the
+# GREATEST(…, 1) clamp keeps both engines finite and identical. Alarm
+# threshold 0.2 (the conventional "significant shift" cut).
 #
 # Exactness: ln() is transcendental — float ln is not guaranteed
 # bit-identical across engines (the repo's BM25/TF-IDF rule). PSI here is
@@ -354,11 +358,35 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split is derived from the data (midpoint of the observed ts range) so
 # the query is scale- and replication-invariant.
 # ---------------------------------------------------------------------------
-PSI_BINS = 10
-PSI_BIN_WIDTH = 25  # events.value spans ~0..490, median ~35
+#: events.value spans ~0..560 at sf0.1 and ~0..985 at sf10 (median ~35
+#: at every scale) — 20 bins × width 50 cover 0..1000 so the monitor
+#: sees the whole value domain at native scale instead of dumping the
+#: upper three-quarters into a catch-all last bin (r13 ADVICE).
+PSI_BINS = 20
+PSI_BIN_WIDTH = 50
 _LN2_PPM = 693_147
 #: psi_e12 > 0.2 * 1e12 → the conventional "significant drift" alarm
 PSI_ALARM_E12 = 200_000_000_000
+
+
+def psi_frac_exprs(div: str) -> list[tuple[str, str]]:
+    """Laplace-smoothed window fractions in ppm, floored at 1 ppm, from
+    a census row (ref_c, cur_c, ref_n, cur_n); ``div`` is the truncating
+    integer-division token (Spark ``div`` / DuckDB ``//``). Shared by
+    the Spark plans and the DuckDB oracles of q_psi_drift / q_js_drift
+    so the clamp semantics cannot diverge. The floor matters from
+    ~1e6 rows/window upward: (0+1)·1e6 // (n+B) == 0 there, and a 0
+    fraction reaches the ln chain as a division by zero."""
+    return [
+        (
+            "p_ppm",
+            f"GREATEST(((ref_c + 1) * 1000000) {div} (ref_n + {PSI_BINS}), 1)",
+        ),
+        (
+            "q_ppm",
+            f"GREATEST(((cur_c + 1) * 1000000) {div} (cur_n + {PSI_BINS}), 1)",
+        ),
+    ]
 
 
 def _psi_trajectory(div: str, shl: str) -> list[tuple[str, str]]:
@@ -389,7 +417,9 @@ def _psi_trajectory(div: str, shl: str) -> list[tuple[str, str]]:
 
 
 def _psi_oracle() -> str:
-    steps = _psi_trajectory("//", "(CAST(1 AS BIGINT) << {k})")
+    steps = psi_frac_exprs("//") + _psi_trajectory(
+        "//", "(CAST(1 AS BIGINT) << {k})"
+    )
     # one CTE per step keeps the reference factor 1 (no inlining blowup)
     step_ctes = []
     prev = "psi_frac"
@@ -435,9 +465,7 @@ def _psi_oracle() -> str:
         FROM psi_cnt GROUP BY 1
     ),
     psi_frac AS (
-        SELECT c.event_type, c.bin, t.ref_n, t.cur_n,
-               ((c.ref_c + 1) * 1000000) // (t.ref_n + {PSI_BINS}) AS p_ppm,
-               ((c.cur_c + 1) * 1000000) // (t.cur_n + {PSI_BINS}) AS q_ppm
+        SELECT c.event_type, c.bin, c.ref_c, c.cur_c, t.ref_n, t.cur_n
         FROM psi_cnt c JOIN psi_tot t USING (event_type)
     ),
     {joined}
@@ -499,20 +527,10 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ref_c").cast("long").alias("ref_n"),
         F.sum("cur_c").cast("long").alias("cur_n"),
     )
-    frac = cnt.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "bin",
-        "ref_n",
-        "cur_n",
-        F.expr(f"((ref_c + 1) * 1000000) div (ref_n + {PSI_BINS})").alias(
-            "p_ppm"
-        ),
-        F.expr(f"((cur_c + 1) * 1000000) div (cur_n + {PSI_BINS})").alias(
-            "q_ppm"
-        ),
-    )
-    out = frac
-    for name, expr in _psi_trajectory("div", "shiftleft(CAST(1 AS BIGINT), {k})"):
+    out = cnt.join(F.broadcast(tot), "event_type")
+    for name, expr in psi_frac_exprs("div") + _psi_trajectory(
+        "div", "shiftleft(CAST(1 AS BIGINT), {k})"
+    ):
         out = out.withColumn(name, F.expr(expr))
     return out.groupBy("event_type").agg(
         F.max("ref_n").alias("n_ref"),
@@ -582,7 +600,9 @@ def _js_trajectory(div: str, shl: str) -> list[tuple[str, str]]:
 
 
 def _js_oracle() -> str:
-    steps = _js_trajectory("//", "(CAST(1 AS BIGINT) << {k})")
+    steps = psi_frac_exprs("//") + _js_trajectory(
+        "//", "(CAST(1 AS BIGINT) << {k})"
+    )
     step_ctes = []
     prev = "psi_frac"
     for name, expr in steps:
@@ -629,9 +649,7 @@ def _js_oracle() -> str:
         FROM psi_cnt GROUP BY 1
     ),
     psi_frac AS (
-        SELECT c.event_type, c.bin, t.ref_n, t.cur_n,
-               ((c.ref_c + 1) * 1000000) // (t.ref_n + {PSI_BINS}) AS p_ppm,
-               ((c.cur_c + 1) * 1000000) // (t.cur_n + {PSI_BINS}) AS q_ppm
+        SELECT c.event_type, c.bin, c.ref_c, c.cur_c, t.ref_n, t.cur_n
         FROM psi_cnt c JOIN psi_tot t USING (event_type)
     ),
     {joined}
@@ -689,19 +707,8 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ref_c").cast("long").alias("ref_n"),
         F.sum("cur_c").cast("long").alias("cur_n"),
     )
-    out = cnt.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "bin",
-        "ref_n",
-        "cur_n",
-        F.expr(f"((ref_c + 1) * 1000000) div (ref_n + {PSI_BINS})").alias(
-            "p_ppm"
-        ),
-        F.expr(f"((cur_c + 1) * 1000000) div (cur_n + {PSI_BINS})").alias(
-            "q_ppm"
-        ),
-    )
-    for name, expr in _js_trajectory(
+    out = cnt.join(F.broadcast(tot), "event_type")
+    for name, expr in psi_frac_exprs("div") + _js_trajectory(
         "div", "shiftleft(CAST(1 AS BIGINT), {k})"
     ):
         out = out.withColumn(name, F.expr(expr))

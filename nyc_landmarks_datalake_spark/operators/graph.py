@@ -863,7 +863,14 @@ def coreness(
     )
     changed = 0
     changed_per_round: list[int] = []
-    for _ in range(max_iters):
+    # max_iters + 1 rounds: ``max_iters`` budgets UPDATES, matching the
+    # oracle's KCORE_ORACLE_ITERS unconditional update steps; the +1
+    # round is the zero-change CONFIRMATION a fixpoint loop needs on
+    # top. Without it a graph converging at exactly the max_iters-th
+    # update would raise here while the oracle's kc{max_iters} is
+    # already the correct fixpoint (r13 ADVICE: the two budgets meant
+    # different numbers of updates).
+    for _ in range(max_iters + 1):
         hist = (
             edges.join(
                 cores.select(
@@ -901,9 +908,10 @@ def coreness(
             break
     else:
         raise RuntimeError(
-            f"coreness did not converge in {max_iters} iterations "
-            f"({changed} cores still decreasing); raise max_iters — an "
-            "unconverged decomposition is silently wrong everywhere"
+            f"coreness did not converge within {max_iters} updates "
+            f"(+1 confirming round; {changed} cores still decreasing); "
+            "raise max_iters — an unconverged decomposition is silently "
+            "wrong everywhere"
         )
     if stats is not None:
         stats["iterations"] = len(changed_per_round)

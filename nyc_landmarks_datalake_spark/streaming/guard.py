@@ -9,10 +9,13 @@ raises instead.
 
 from __future__ import annotations
 
-#: one cached clone per (SparkContext, partition count) — replays used
+#: one cached clone per (application, partition count) — replays used
 #: to call ``newSession()`` per invocation, leaking a SessionState (and
-#: its listener/conf machinery) each time a replay query ran.
-_REPLAY_SESSIONS: dict[tuple[int, int], object] = {}
+#: its listener/conf machinery) each time a replay query ran. Keyed on
+#: applicationId (not ``id(sparkContext)``: CPython reuses id() after
+#: GC, so a restarted context could collide with a dead clone's key)
+#: and validated for liveness before reuse.
+_REPLAY_SESSIONS: dict[tuple[str, int], object] = {}
 
 
 def replay_session(spark, shuffle_partitions: int = 8):
@@ -41,8 +44,22 @@ def replay_session(spark, shuffle_partitions: int = 8):
     fresh SessionState per invocation bought nothing and accumulated
     one leaked clone per replayed query for the life of the JVM.
     """
-    key = (id(spark.sparkContext), shuffle_partitions)
+    key = (spark.sparkContext.applicationId, shuffle_partitions)
     sess = _REPLAY_SESSIONS.get(key)
+    if sess is not None:
+        # a cached clone can outlive its context (stop() + new session
+        # in tests): hand back only a clone that shares the CALLER's
+        # live context, else rebuild.
+        try:
+            alive = (
+                sess.sparkContext is spark.sparkContext
+                and not sess.sparkContext._jsc.sc().isStopped()
+            )
+        except Exception:
+            alive = False
+        if not alive:
+            _REPLAY_SESSIONS.pop(key, None)
+            sess = None
     if sess is None:
         sess = spark.newSession()
         sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))

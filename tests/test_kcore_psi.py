@@ -126,8 +126,8 @@ def _psi_python(sf_dir: str) -> dict[str, tuple[int, int, int]]:
         rn, cn = sum(ref[et]), sum(cur[et])
         psi = 0
         for i in range(PSI_BINS):
-            p = ((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS)
-            q = ((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS)
+            p = max(((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS), 1)
+            q = max(((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS), 1)
             hi, lo = max(p, q), min(p, q)
             r = (hi * 10**6) // lo
             k = (r // 10**6).bit_length() - 1
@@ -225,8 +225,8 @@ def test_js_matches_pure_python_reference(spark, sf_small):
         rn, cn = sum(ref[et]), sum(cur[et])
         s = 0
         for i in range(PSI_BINS):
-            p = ((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS)
-            q = ((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS)
+            p = max(((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS), 1)
+            q = max(((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS), 1)
             s += p * _lnfp(2 * p, p + q) + q * _lnfp(2 * q, p + q)
         exp[et] = (rn, cn, s // 2)
     got = {
@@ -245,8 +245,8 @@ def test_js_fixed_point_tracks_float_js(sf_small):
         s = 0
         js = 0.0
         for i in range(PSI_BINS):
-            pi = ((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS)
-            qi = ((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS)
+            pi = max(((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS), 1)
+            qi = max(((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS), 1)
             s += pi * _lnfp(2 * pi, pi + qi) + qi * _lnfp(2 * qi, pi + qi)
             p = (ref[et][i] + 1) / (rn + PSI_BINS)
             q = (cur[et][i] + 1) / (cn + PSI_BINS)
@@ -255,3 +255,77 @@ def test_js_fixed_point_tracks_float_js(sf_small):
         fp = (s // 2) / 1e12
         assert 0 <= fp <= math.log(2) + 1e-9
         assert fp == pytest.approx(js, rel=2e-3, abs=2e-7)
+
+
+def test_psi_frac_clamp_empty_bin_large_window(spark):
+    """r13 ADVICE (medium): above ~1e6 rows/window the smoothed
+    (c+1)/(n+B) truncates to 0 ppm for an empty bin and the ln chain
+    divides by zero — Spark (ANSI) raises, DuckDB returns NULL and SUM
+    silently drops the largest drift term. The GREATEST(…, 1) floor in
+    psi_frac_exprs must keep both engines finite, identical, and alarmed
+    under strong drift into a previously-empty bin."""
+    from nyc_landmarks_datalake_spark.operators.agreement import (
+        PSI_ALARM_E12,
+        _psi_trajectory,
+        psi_frac_exprs,
+    )
+
+    # one empty reference bin receiving 20% of the current window,
+    # window sizes 2e6 — exactly the regime the advice describes
+    rows = [
+        (0, 0, 400_000, 2_000_000, 2_000_000),
+        (1, 2_000_000, 1_600_000, 2_000_000, 2_000_000),
+    ]
+    cols = ["bin", "ref_c", "cur_c", "ref_n", "cur_n"]
+
+    sdf = spark.createDataFrame(rows, cols)
+    from pyspark.sql import functions as F
+
+    for name, expr in psi_frac_exprs("div") + _psi_trajectory(
+        "div", "shiftleft(CAST(1 AS BIGINT), {k})"
+    ):
+        sdf = sdf.withColumn(name, F.expr(expr))
+    got_spark = {
+        r["bin"]: (r["p_ppm"], r["q_ppm"], r["contrib_e12"])
+        for r in sdf.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE census(bin INT, ref_c BIGINT, cur_c BIGINT,"
+                " ref_n BIGINT, cur_n BIGINT)")
+    con.executemany("INSERT INTO census VALUES (?,?,?,?,?)", rows)
+    sql = "SELECT * FROM census"
+    for name, expr in psi_frac_exprs("//") + _psi_trajectory(
+        "//", "(CAST(1 AS BIGINT) << {k})"
+    ):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    got_duck = {
+        r[0]: (r[5], r[6], r[-1])
+        for r in con.execute(sql).fetchall()
+    }
+    con.close()
+
+    assert got_spark == got_duck
+    # the empty bin is clamped to the 1-ppm floor, not dropped
+    assert got_spark[0][0] == 1
+    assert all(c is not None for _, _, c in got_spark.values())
+    # ...and it carries the dominant drift term: the alarm must fire
+    assert sum(c for _, _, c in got_spark.values()) > PSI_ALARM_E12
+
+
+def test_kcore_budget_counts_updates(spark):
+    """max_iters budgets UPDATES (matching KCORE_ORACLE_ITERS), with the
+    zero-change confirmation run on top: a path P7 needs exactly 3
+    H-index updates, so max_iters=3 must succeed and max_iters=2 must
+    raise (r13 ADVICE: the two engines' budgets meant different counts)."""
+    from pyspark.sql import functions as F
+
+    chain = [(i, i + 1) for i in range(6)]
+    fwd = spark.createDataFrame(chain, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    stats: dict = {}
+    out = coreness(edges, max_iters=3, stats=stats)
+    assert {r.core for r in out.collect()} == {1}
+    assert stats["changed"] == [2, 2, 1, 0], stats
+    with pytest.raises(RuntimeError, match="did not converge"):
+        coreness(edges, max_iters=2)

@@ -657,3 +657,55 @@ def test_stream_join_windowed_chains_two_stateful_ops(spark, sf_small):
     }
     assert got == want
     assert all(ws < "2025" for ws in got)  # sentinel window withheld
+
+
+def test_replay_session_cache_revalidates(monkeypatch):
+    """r13 ADVICE: the clone cache was keyed on id(sparkContext) —
+    CPython reuses id() after GC, so a restarted context could be
+    handed a dead clone. Now keyed on applicationId and validated for
+    identity + liveness before reuse."""
+    from nyc_landmarks_datalake_spark.streaming import guard
+
+    class FakeJsc:
+        def __init__(self, ctx):
+            self._ctx = ctx
+
+        def sc(self):
+            return self
+
+        def isStopped(self):
+            return self._ctx.stopped
+
+    class FakeContext:
+        def __init__(self, app):
+            self.applicationId = app
+            self.stopped = False
+
+        @property
+        def _jsc(self):
+            return FakeJsc(self)
+
+    class FakeConf:
+        def set(self, *a):
+            pass
+
+    class FakeSession:
+        def __init__(self, ctx):
+            self.sparkContext = ctx
+            self.conf = FakeConf()
+
+        def newSession(self):
+            return FakeSession(self.sparkContext)
+
+    monkeypatch.setattr(guard, "_REPLAY_SESSIONS", {})
+    ctx = FakeContext("app-1")
+    parent = FakeSession(ctx)
+    s1 = guard.replay_session(parent, 8)
+    assert guard.replay_session(parent, 8) is s1  # live clone reused
+    # same key, context restarted (the id()-reuse analogue): the dead
+    # clone must be evicted and a clone of the CALLER's context handed
+    ctx.stopped = True
+    ctx2 = FakeContext("app-1")
+    s2 = guard.replay_session(FakeSession(ctx2), 8)
+    assert s2 is not s1
+    assert s2.sparkContext is ctx2
