@@ -172,6 +172,8 @@ HEADLINE = [
     "q_kcore_decomposition",
     "q_psi_drift",
     "q_js_drift",
+    # added r14: semi-synchronous label-propagation communities
+    "q_label_propagation",
 ]
 
 

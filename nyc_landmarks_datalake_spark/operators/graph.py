@@ -947,3 +947,230 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreness(edges).select(
         "node", "degree", F.col("core").alias("coreness")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (Raghavan et al. 2007, "Near linear time
+# algorithm to detect community structures in large-scale networks") over
+# the SAME-NATION purchase graph: customer ↔ supplier edges restricted to
+# pairs sharing a nation — the domestic-trade subgraph, whose nation
+# partitions give the label competition real structure (the full
+# purchase graph is a dense random bipartite expander, on which LPA
+# correctly floods to ONE community; same-nation edges yield 46
+# communities at sf0.01 and 463 at sf0.1, none of them labeled by the
+# component's min id — observably a frequency fixpoint, not connected
+# components).
+#
+# Update rule (deterministic — classic LPA breaks ties randomly, which
+# no cross-engine oracle can check): a node adopts the label most
+# frequent among its neighbors, ties broken by SMALLEST label.
+# Scheduling is SEMI-SYNCHRONOUS by bipartite side (customers update
+# from supplier labels, then suppliers from the fresh customer labels —
+# one "superstep"), the standard LPA discipline on bipartite graphs,
+# where a fully synchronous sweep oscillates two-colorings forever.
+#
+# Hub safety: the per-node argmax over neighbor labels is TWO HASH
+# AGGREGATES, never a sorted window — (node, label) counts, then
+# MAX(cnt * LPA_PRI - lbl) whose single BIGINT encodes (max count,
+# then min label); a 10^6-degree hub costs map-side-combinable aggs.
+# Labels are node ids < LPA_PRI = 2^25 (suppliers offset by
+# PR_SUPP_OFFSET reach ~11M at sf10, ~20M at sf100) and counts stay
+# below 2^38 before overflow — int64 headroom through sf100.
+#
+# Budgets (the r13 kcore ADVICE discipline): ``max_supersteps`` counts
+# UPDATING supersteps with a zero-change confirming superstep on top,
+# and the loop RAISES on exhaustion — LPA, unlike the monotone k-core
+# update, has no convergence theorem, so an oscillating run must fail
+# loud. The committed oracle unrolls LPA_ORACLE_SUPERSTEPS supersteps
+# unconditionally: a converged state is a fixpoint of the step function,
+# so unrolling PAST convergence changes nothing, and the unroll only
+# needs to meet convergence at the scales the committed oracle runs
+# (observed: 1 / 4 / 12 / 24 supersteps at sf0.001/0.01/0.1/sf1 —
+# 32 covers the sweep tier with headroom; native sf1/sf10 verify via
+# the table-stepped driver sharing lpa_step_sql, early-exiting at the
+# fixpoint like tools/verify_sf10_tail --checks kcore).
+# ---------------------------------------------------------------------------
+LPA_MAX_SUPERSTEPS = 64
+LPA_ORACLE_SUPERSTEPS = 32
+LPA_PRI = 1 << 25
+
+
+def lpa_step_sql(prev: str, side: str, edges: str = "ledges") -> str:
+    """One semi-synchronous LPA half-step in DuckDB SQL: nodes on
+    ``side`` ('cust' = node < PR_SUPP_OFFSET, 'supp' = the rest) adopt
+    their neighbors' most frequent label (ties → smallest), everyone
+    else carries their label through. Shared verbatim between the
+    committed unrolled oracle and the native-scale stepped verifier."""
+    lo = side == "cust"
+    pe = f"e.src < {PR_SUPP_OFFSET}" if lo else f"e.src >= {PR_SUPP_OFFSET}"
+    pp = f"p.node < {PR_SUPP_OFFSET}" if lo else f"p.node >= {PR_SUPP_OFFSET}"
+    return f"""
+        SELECT p.node,
+               CASE WHEN {pp} THEN COALESCE(b.lbl, p.lbl)
+                    ELSE p.lbl END AS lbl
+        FROM {prev} p LEFT JOIN (
+            SELECT node,
+                   ((best // {LPA_PRI}) + 1) * {LPA_PRI} - best AS lbl
+            FROM (
+                SELECT node, MAX(cnt * {LPA_PRI} - lbl) AS best
+                FROM (
+                    SELECT e.src AS node, c.lbl,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM {edges} e JOIN {prev} c ON c.node = e.dst
+                    WHERE {pe}
+                    GROUP BY 1, 2
+                ) GROUP BY node
+            )
+        ) b ON b.node = p.node"""
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        f"""ll0 AS (
+        SELECT DISTINCT p.c, p.s FROM (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ) p
+        JOIN customer cu ON cu.c_custkey = p.c
+        JOIN supplier su ON su.s_suppkey = p.s
+        WHERE cu.c_nationkey = su.s_nationkey
+    ),
+    ledges AS MATERIALIZED (
+        SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM ll0
+        UNION ALL
+        SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM ll0
+    ),
+    lp0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM ledges
+    )"""
+    ]
+    for i in range(1, 2 * LPA_ORACLE_SUPERSTEPS + 1):
+        side = "cust" if i % 2 == 1 else "supp"
+        ctes.append(
+            f"lp{i} AS MATERIALIZED ({lpa_step_sql(f'lp{i - 1}', side)}\n    )"
+        )
+    return ",\n    ".join(ctes)
+
+
+def lpa_communities(
+    edges: DataFrame,
+    max_supersteps: int = LPA_MAX_SUPERSTEPS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edge list (both directions present, sides
+    split by PR_SUPP_OFFSET) → (node, lbl) semi-synchronous LPA
+    fixpoint. ``max_supersteps`` budgets UPDATING supersteps (cust
+    half-step + supp half-step each) with one confirming superstep on
+    top; raises on exhaustion — LPA has no convergence theorem, and an
+    oscillating run must never return as if it were communities."""
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node").cast("long"))
+        .localCheckpoint()
+    )
+
+    def half(lbls: DataFrame, side_lo: bool) -> DataFrame:
+        side_e = (
+            F.col("src") < PR_SUPP_OFFSET
+            if side_lo
+            else F.col("src") >= PR_SUPP_OFFSET
+        )
+        hist = (
+            edges.filter(side_e)
+            .join(
+                lbls.select(
+                    F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "nlbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        new = (
+            hist.groupBy("node")
+            .agg(F.max(F.expr(f"cnt * {LPA_PRI} - nlbl")).alias("best"))
+            .select(
+                "node",
+                F.expr(
+                    f"((best div {LPA_PRI}) + 1) * {LPA_PRI} - best"
+                ).alias("new_lbl"),
+            )
+        )
+        side_n = (
+            F.col("node") < PR_SUPP_OFFSET
+            if side_lo
+            else F.col("node") >= PR_SUPP_OFFSET
+        )
+        carry = [c for c in lbls.columns if c not in ("node", "lbl")]
+        return lbls.join(new, "node", "left").select(
+            "node",
+            *carry,
+            F.when(
+                side_n & F.col("new_lbl").isNotNull(), F.col("new_lbl")
+            )
+            .otherwise(F.col("lbl"))
+            .alias("lbl"),
+        )
+
+    changed = 0
+    changed_per_step: list[int] = []
+    for _ in range(max_supersteps + 1):
+        stepped = half(
+            half(labels.withColumn("__old", F.col("lbl")), True), False
+        ).localCheckpoint()
+        changed = stepped.filter(F.col("lbl") != F.col("__old")).count()
+        changed_per_step.append(changed)
+        labels = stepped.drop("__old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge within {max_supersteps} "
+            f"supersteps (+1 confirming; {changed} labels still moving) — "
+            "an oscillating run is not a community structure; raise "
+            "max_supersteps or inspect the graph"
+        )
+    if stats is not None:
+        stats["supersteps"] = len(changed_per_step)
+        stats["changed"] = changed_per_step
+    return labels
+
+
+@query(
+    "q_label_propagation",
+    sql=f"""
+    WITH {_lpa_sql()}
+    SELECT node, lbl AS community FROM lp{2 * LPA_ORACLE_SUPERSTEPS}
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic semi-synchronous label-propagation communities of
+    the same-nation (domestic) purchase graph — customers ↔ suppliers
+    sharing a nation, suppliers offset by PR_SUPP_OFFSET."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e0 = (
+        pairs.join(cu, pairs.c == cu.c_custkey)
+        .join(F.broadcast(su), pairs.s == su.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .select("c", "s")
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return lpa_communities(edges).select(
+        "node", F.col("lbl").alias("community")
+    )

@@ -276,6 +276,7 @@ def main() -> int:
         "fullouter": "q_stream_full_outer_join",
         "cv": "q_quality_clf_cv",
         "kcore": "q_kcore_decomposition",
+        "lpa": "q_label_propagation",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -510,6 +511,81 @@ def main() -> int:
             f"JOIN {prev} fin USING (node)",
         )
         log(f"kcore stepped oracle+compare took {time.time() - t0:.0f}s")
+
+    if "lpa" in checks:
+        # q_label_propagation, same decomposition as kcore: the committed
+        # oracle unrolls LPA_ORACLE_SUPERSTEPS supersteps in one
+        # statement (sized for the sweep tier); at native scale drive
+        # the IDENTICAL step SQL (graph.lpa_step_sql) one half-step per
+        # statement, dropping the previous table, early-exiting when a
+        # full superstep changes nothing — budget LPA_MAX_SUPERSTEPS,
+        # the Spark loop's.
+        from nyc_landmarks_datalake_spark.operators.graph import (
+            LPA_MAX_SUPERSTEPS,
+            PR_SUPP_OFFSET,
+            lpa_step_sql,
+        )
+
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill_lpa'")
+        t0 = time.time()
+        con.execute(
+            "CREATE TEMP TABLE vt_ll0 AS "
+            "SELECT DISTINCT p.c, p.s FROM ("
+            "  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s"
+            "  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+            ") p "
+            "JOIN customer cu ON cu.c_custkey = p.c "
+            "JOIN supplier su ON su.s_suppkey = p.s "
+            "WHERE cu.c_nationkey = su.s_nationkey"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_ledges AS "
+            f"SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM vt_ll0 "
+            "UNION ALL "
+            f"SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM vt_ll0"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_lp0 AS "
+            "SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl "
+            "FROM vt_ledges"
+        )
+        log(
+            "lpa edges: "
+            f"{con.execute('SELECT count(*) FROM vt_ledges').fetchone()[0]}"
+            f" rows in {time.time() - t0:.0f}s"
+        )
+        prev = "vt_lp0"
+        for ss in range(1, LPA_MAX_SUPERSTEPS + 2):
+            start = prev
+            for side in ("cust", "supp"):
+                cur = f"vt_lp{ss}_{side}"
+                con.execute(
+                    f"CREATE TEMP TABLE {cur} AS "
+                    + lpa_step_sql(prev, side, edges="vt_ledges")
+                )
+                if prev != start:
+                    con.execute(f"DROP TABLE {prev}")
+                prev = cur
+            changed = con.execute(
+                f"SELECT count(*) FROM {prev} a JOIN {start} b "
+                "ON a.node = b.node AND a.lbl <> b.lbl"
+            ).fetchone()[0]
+            log(f"lpa superstep {ss}: {changed} changed")
+            con.execute(f"DROP TABLE {start}")
+            if changed == 0:
+                break
+        else:
+            raise AssertionError(
+                f"lpa did not reach a fixpoint in {LPA_MAX_SUPERSTEPS} "
+                "supersteps — raise LPA_MAX_SUPERSTEPS (Spark raises at "
+                "the same budget)"
+            )
+        check(
+            "q_label_propagation",
+            f"SELECT node, lbl AS community FROM {prev}",
+        )
+        log(f"lpa stepped oracle+compare took {time.time() - t0:.0f}s")
 
     if "cv" in checks:
         # q_quality_clf_cv's committed 5-fold single statement exceeds
