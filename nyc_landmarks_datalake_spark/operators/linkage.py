@@ -205,7 +205,21 @@ def _r_duck(tag: str) -> str:
     return md5_long_sql(f"id::VARCHAR || ':{tag}'")
 
 
-_ORACLE_CTES = f"""
+def oracle_ctes(cand_pred: str = "") -> str:
+    """The shared DuckDB CTE chain (clean file → dirty copy → FastSS
+    candidates → gamma vectors → m/u weights). ``cand_pred`` injects an
+    optional extra predicate into the candidate join (e.g.
+    ``" AND a.id % 32 = 7"``) — the native-scale verifier chunks the
+    single 45-minute sf10 statement by ida (a pair's chunk is a
+    function of ida, so per-chunk DISTINCT is globally correct) and
+    accumulates the distributive gamma census across chunks; with the
+    default empty predicate the text is the committed oracle's,
+    byte-identical."""
+    # str.replace, not .format: the rendered chain may contain braces
+    return _ORACLE_CTES_TMPL.replace("{CAND_PRED}", cand_pred)
+
+
+_ORACLE_CTES_TMPL = f"""
 la AS (
     SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
            CAST(c_nationkey AS INTEGER) AS nat, c_acctbal AS bal
@@ -240,7 +254,7 @@ kb AS (SELECT id, name, unnest({_VARIANTS_SQL}) AS k FROM lb),
 cand AS (
     SELECT DISTINCT a.id AS ida, b.id AS idb
     FROM ka a JOIN kb b ON a.k = b.k
-    WHERE levenshtein(a.name, b.name) <= 1
+    WHERE levenshtein(a.name, b.name) <= 1{{CAND_PRED}}
 ),
 gam AS (
     SELECT c.ida, c.idb,
@@ -269,6 +283,8 @@ w AS (
     FROM gam WHERE lab = 1
 )"""
 
+_ORACLE_CTES = oracle_ctes()
+
 
 def _prod_duck(prefix: str, vals: str) -> str:
     terms = [
@@ -281,20 +297,18 @@ def _prod_duck(prefix: str, vals: str) -> str:
     )
 
 
-_LINKAGE_ORACLE = f"""
-WITH {_ORACLE_CTES},
-census AS (
-    SELECT g1, g2, g3, g4,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(m) AS BIGINT) AS n_true_pairs,
-           MIN(ida::VARCHAR || ':' || idb::VARCHAR) AS sample_pair
-    FROM gam GROUP BY 1, 2, 3, 4
-),
+def linkage_score_sql(census: str = "census", w: str = "w") -> str:
+    """The gamma-census → scored-pattern tail (<= 16 rows of wide
+    decimal arithmetic), over any relations with the census / weights
+    schemas. Shared verbatim between the committed single-statement
+    oracle (CTE names) and the native-scale chunked verifier (temp
+    tables)."""
+    return f"""
 sc AS (
     SELECT g1, g2, g3, g4, n_pairs, n_true_pairs, sample_pair,
            {_prod_duck("num", "m")},
            {_prod_duck("den", "u")}
-    FROM census, w
+    FROM {census}, {w}
 )
 SELECT concat(CASE WHEN g1 = 1 THEN 'A' ELSE 'D' END,
               CASE WHEN g2 = 1 THEN 'A' ELSE 'D' END,
@@ -309,6 +323,19 @@ SELECT concat(CASE WHEN g1 = 1 THEN 'A' ELSE 'D' END,
             ELSE 'possible' END AS cls,
        n_pairs, n_true_pairs, sample_pair
 FROM sc
+"""
+
+
+_LINKAGE_ORACLE = f"""
+WITH {_ORACLE_CTES},
+census AS (
+    SELECT g1, g2, g3, g4,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(m) AS BIGINT) AS n_true_pairs,
+           MIN(ida::VARCHAR || ':' || idb::VARCHAR) AS sample_pair
+    FROM gam GROUP BY 1, 2, 3, 4
+),
+{linkage_score_sql()}
 """
 
 
@@ -355,22 +382,30 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WEIGHTS_ORACLE = f"""
-WITH {_ORACLE_CTES},
+def weights_unpivot_sql(w: str = "w") -> str:
+    """The one-row weights relation → 4-row parameter table tail,
+    shared between the committed oracle and the chunked verifier."""
+    return f"""
 unp AS (
-    SELECT 'name'    AS field, m1 AS m_ppm, u1 AS u_ppm, n_m, n_u FROM w
+    SELECT 'name'    AS field, m1 AS m_ppm, u1 AS u_ppm, n_m, n_u FROM {w}
     UNION ALL
-    SELECT 'segment' AS field, m2, u2, n_m, n_u FROM w
+    SELECT 'segment' AS field, m2, u2, n_m, n_u FROM {w}
     UNION ALL
-    SELECT 'nation'  AS field, m3, u3, n_m, n_u FROM w
+    SELECT 'nation'  AS field, m3, u3, n_m, n_u FROM {w}
     UNION ALL
-    SELECT 'acctbal' AS field, m4, u4, n_m, n_u FROM w
+    SELECT 'acctbal' AS field, m4, u4, n_m, n_u FROM {w}
 )
 SELECT field, m_ppm, u_ppm,
        m_ppm * 1000000 // u_ppm AS agree_lr_ppm,
        (1000000 - m_ppm) * 1000000 // (1000000 - u_ppm) AS disagree_lr_ppm,
        n_m AS n_labeled_match, n_u AS n_labeled_nonmatch
 FROM unp
+"""
+
+
+_WEIGHTS_ORACLE = f"""
+WITH {_ORACLE_CTES},
+{weights_unpivot_sql()}
 """
 
 

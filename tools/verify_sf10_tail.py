@@ -277,6 +277,8 @@ def main() -> int:
         "cv": "q_quality_clf_cv",
         "kcore": "q_kcore_decomposition",
         "lpa": "q_label_propagation",
+        "linkage": "q_record_linkage",
+        "linkweights": "q_linkage_weights",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -586,6 +588,90 @@ def main() -> int:
             f"SELECT node, lbl AS community FROM {prev}",
         )
         log(f"lpa stepped oracle+compare took {time.time() - t0:.0f}s")
+
+    if checks & {"linkage", "linkweights"}:
+        # q_record_linkage's committed single-statement oracle ran 45
+        # minutes of pure compute at sf10 (~1e9 candidate-pair
+        # levenshtein verifies) and was cut in r13. Decompose by ida: a
+        # pair's chunk is a function of ida, so per-chunk DISTINCT is
+        # globally correct, and every accumulated quantity — pattern
+        # counts, truth counts, min sample pair, labeled m/u counts —
+        # is distributive over chunks. The chunk SQL is the committed
+        # CTE chain itself (linkage.oracle_ctes) with one injected
+        # predicate; the scoring/unpivot tails are the committed text
+        # over the merged census (linkage.linkage_score_sql /
+        # weights_unpivot_sql). Bounded memory per chunk + progress.
+        from nyc_landmarks_datalake_spark.operators.linkage import (
+            linkage_score_sql,
+            oracle_ctes,
+            weights_unpivot_sql,
+        )
+
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill_linkage'")
+        t0 = time.time()
+        n_chunks = 32
+        con.execute(
+            "CREATE TEMP TABLE vt_lcen (g1 INT, g2 INT, g3 INT, g4 INT,"
+            " n_pairs BIGINT, n_true_pairs BIGINT, sample_pair VARCHAR,"
+            " lab_m BIGINT, lab_u BIGINT)"
+        )
+        for i in range(n_chunks):
+            con.execute(
+                f"INSERT INTO vt_lcen "
+                f"WITH {oracle_ctes(f' AND a.id % {n_chunks} = {i}')} "
+                "SELECT g1, g2, g3, g4, CAST(COUNT(*) AS BIGINT),"
+                " CAST(SUM(m) AS BIGINT),"
+                " MIN(ida::VARCHAR || ':' || idb::VARCHAR),"
+                " CAST(SUM(lab * m) AS BIGINT),"
+                " CAST(SUM(lab * (1 - m)) AS BIGINT) "
+                "FROM gam GROUP BY 1, 2, 3, 4"
+            )
+            log(
+                f"linkage census chunk {i + 1}/{n_chunks} "
+                f"({time.time() - t0:.0f}s elapsed)"
+            )
+        con.execute(
+            "CREATE TEMP TABLE vt_lmerged AS "
+            "SELECT g1, g2, g3, g4,"
+            " CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,"
+            " CAST(SUM(n_true_pairs) AS BIGINT) AS n_true_pairs,"
+            " MIN(sample_pair) AS sample_pair,"
+            " CAST(SUM(lab_m) AS BIGINT) AS lab_m,"
+            " CAST(SUM(lab_u) AS BIGINT) AS lab_u "
+            "FROM vt_lcen GROUP BY 1, 2, 3, 4"
+        )
+        # the committed w CTE sums m*g_i / (1-m)*g_i over lab=1 gam
+        # rows; g_i is constant within a pattern, so those sums are
+        # SUM(g_i * lab_m) / SUM(g_i * lab_u) over the merged census —
+        # same _clamp_ppm text shape, exact.
+        mu = ", ".join(
+            f"CAST(LEAST(999999, GREATEST(1,"
+            f" (SUM(lab_m * g{i}) + 1) * 1000000 // (SUM(lab_m) + 2)))"
+            f" AS BIGINT) AS m{i},"
+            f" CAST(LEAST(999999, GREATEST(1,"
+            f" (SUM(lab_u * g{i}) + 1) * 1000000 // (SUM(lab_u) + 2)))"
+            f" AS BIGINT) AS u{i}"
+            for i in range(1, 5)
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_lw AS "
+            "SELECT CAST(SUM(lab_m) AS BIGINT) AS n_m,"
+            f" CAST(SUM(lab_u) AS BIGINT) AS n_u, {mu} FROM vt_lmerged"
+        )
+        if "linkage" in checks:
+            check(
+                "q_record_linkage",
+                "WITH census AS (SELECT g1, g2, g3, g4, n_pairs,"
+                " n_true_pairs, sample_pair FROM vt_lmerged),\n"
+                + linkage_score_sql(census="census", w="vt_lw"),
+            )
+        if "linkweights" in checks:
+            check(
+                "q_linkage_weights",
+                "WITH " + weights_unpivot_sql(w="vt_lw"),
+            )
+        log(f"linkage chunked oracle+compare took {time.time() - t0:.0f}s")
 
     if "cv" in checks:
         # q_quality_clf_cv's committed 5-fold single statement exceeds
