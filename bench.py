@@ -172,8 +172,10 @@ HEADLINE = [
     "q_kcore_decomposition",
     "q_psi_drift",
     "q_js_drift",
-    # added r14: semi-synchronous label-propagation communities
+    # added r14: semi-synchronous label-propagation communities and
+    # the bitmask multi-source-BFS harmonic-centrality sketch
     "q_label_propagation",
+    "q_harmonic_centrality",
 ]
 
 

@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
 from nyc_landmarks_datalake_spark.operators.dedup import (
     EXACT_DUP_EDGES_SQL,
     LSH_PAIR_CTES,
@@ -1174,3 +1178,218 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpa_communities(edges).select(
         "node", F.col("lbl").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic-closeness centrality sketch (Boldi & Vigna 2014, "Axioms for
+# centrality": harmonic centrality Σ 1/d(p, v) is the closeness variant
+# that stays well-defined on disconnected graphs) — estimated from a
+# FIXED set of HC_PIVOTS deterministic pivot sources rather than all-V
+# BFS (Eppstein-Wang style pivot sampling; exact all-pairs closeness is
+# O(V·E) and off the table at 100 TB). Pivots are the HC_PIVOTS nodes
+# with the smallest md5(node || ':pivot') — an unbiased, cross-engine-
+# reproducible sample both engines select identically.
+#
+# The multi-source BFS carries ALL pivots as bits of one BIGINT per
+# node (the classic bitmask MS-BFS compaction, cf. Then et al. 2014,
+# "The more the merrier: efficient multi-source BFS"): state is
+# (node, mask, reach, harm) — V rows, never pivots × V — and one round
+# is ONE edges ⋈ state hash join + ONE bit_or hash aggregate over E
+# rows, cost independent of the pivot count. Pivots whose bit first
+# appears at round k sit at distance exactly k, so the harmonic sum
+# accrues popcount(new bits) · (1e6 // k) — integer-exact, identical
+# text both engines; new bits are (mask | nb) - mask (plain
+# subtraction: mask's bits are a subset of mask | nb), avoiding any
+# engine-specific bitwise-NOT. A naive (pivot, node) frontier form of
+# this operator measured 38 s at sf0.1 — the bitmask form replaces the
+# 16×-expanded frontier join with an E-row aggregate per round.
+#
+# Budget: raises if any mask still grew in round HC_MAX_ROUNDS — a
+# truncated BFS silently under-reports every remaining distance; the
+# committed oracle unrolls exactly the same budget (rounds past
+# exhaustion are no-ops: bit_or of unchanged masks sets no new bits).
+# ---------------------------------------------------------------------------
+HC_PIVOTS = 16
+HC_MAX_ROUNDS = 12
+HC_ORACLE_ROUNDS = 12
+
+
+def hc_step_sql(prev: str, k: int, edges: str = "hedges") -> str:
+    """One bitmask MS-BFS round in DuckDB SQL over the
+    (node, mask, reach, harm) relation ``prev``. Shared between the
+    committed unrolled oracle and any native-scale stepped driver."""
+    return f"""
+        SELECT s.node,
+               s.mask | COALESCE(nb.m, 0) AS mask,
+               s.reach + bit_count((s.mask | COALESCE(nb.m, 0)) - s.mask)
+                   AS reach,
+               s.harm + bit_count((s.mask | COALESCE(nb.m, 0)) - s.mask)
+                   * {1_000_000 // k} AS harm
+        FROM {prev} s LEFT JOIN (
+            SELECT e.dst AS node, bit_or(p.mask) AS m
+            FROM {edges} e JOIN {prev} p ON p.node = e.src
+            GROUP BY e.dst
+        ) nb ON nb.node = s.node"""
+
+
+def _hc_sql() -> str:
+    ctes = [
+        f"""he0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    hedges AS MATERIALIZED (
+        SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM he0
+        UNION ALL
+        SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM he0
+    ),
+    hpiv AS MATERIALIZED (
+        SELECT node,
+               ROW_NUMBER() OVER (
+                   ORDER BY {md5_long_sql("node::VARCHAR || ':pivot'")},
+                            node) AS rk
+        FROM (SELECT DISTINCT src AS node FROM hedges)
+        ORDER BY {md5_long_sql("node::VARCHAR || ':pivot'")}, node
+        LIMIT {HC_PIVOTS}
+    ),
+    hs0 AS MATERIALIZED (
+        SELECT n.node,
+               COALESCE((CAST(1 AS BIGINT) << (p.rk - 1)), 0) AS mask,
+               CAST(0 AS BIGINT) AS reach, CAST(0 AS BIGINT) AS harm
+        FROM (SELECT DISTINCT src AS node FROM hedges) n
+        LEFT JOIN hpiv p ON p.node = n.node
+    )"""
+    ]
+    for k in range(1, HC_ORACLE_ROUNDS + 1):
+        ctes.append(
+            f"hs{k} AS MATERIALIZED ({hc_step_sql(f'hs{k - 1}', k)}\n    )"
+        )
+    return ",\n    ".join(ctes)
+
+
+def harmonic_sketch(
+    edges: DataFrame,
+    n_pivots: int = HC_PIVOTS,
+    max_rounds: int = HC_MAX_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edge list (both directions present) →
+    (node, n_reached, harmonic_ppm) over the deterministic pivot set.
+    Raises if any mask still grew in round ``max_rounds`` — a truncated
+    sketch under-reports every remaining distance, and the committed
+    oracle unrolls exactly this budget."""
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    pivots = (
+        nodes.select(
+            "node",
+            md5_long(
+                F.concat(F.col("node").cast("string"), F.lit(":pivot"))
+            ).alias("h"),
+        )
+        .orderBy("h", "node")
+        .limit(n_pivots)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("h", "node"))
+        )
+        .select(
+            "node",
+            F.expr("shiftleft(CAST(1 AS BIGINT), rk - 1)").alias("pmask"),
+        )
+    )
+    state = (
+        nodes.join(F.broadcast(pivots), "node", "left")
+        .select(
+            "node",
+            F.coalesce("pmask", F.lit(0)).cast("long").alias("mask"),
+            F.lit(0).cast("long").alias("reach"),
+            F.lit(0).cast("long").alias("harm"),
+        )
+        .localCheckpoint()
+    )
+    grew = 0
+    grew_per_round: list[int] = []
+    done = False
+    # max_rounds budgets GROWING rounds (= the max distance the oracle
+    # unroll covers), with one zero-growth confirming round on top —
+    # the kcore/LPA budget discipline: a graph whose last bit lands at
+    # exactly round max_rounds must succeed, not raise.
+    for k in range(1, max_rounds + 2):
+        nb = (
+            edges.join(
+                state.select(F.col("node").alias("src"), "mask"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("bit_or(mask)").alias("m"))
+        )
+        new_state = (
+            state.join(nb, "node", "left")
+            .select(
+                "node",
+                F.col("mask").alias("__old"),
+                F.expr("mask | COALESCE(m, 0)").alias("mask"),
+                F.expr(
+                    "reach + bit_count((mask | COALESCE(m, 0)) - mask)"
+                ).alias("reach"),
+                F.expr(
+                    "harm + bit_count((mask | COALESCE(m, 0)) - mask)"
+                    f" * {1_000_000 // k}"
+                ).alias("harm"),
+            )
+            .localCheckpoint()
+        )
+        grew = new_state.filter(F.col("mask") != F.col("__old")).count()
+        grew_per_round.append(grew)
+        state = new_state.drop("__old")
+        if grew == 0:
+            done = True
+            break
+    if not done:
+        raise RuntimeError(
+            f"pivoted MS-BFS masks still growing after {max_rounds} "
+            "rounds — a truncated harmonic sketch under-reports "
+            "distances; raise max_rounds (and the oracle unroll) together"
+        )
+    if stats is not None:
+        stats["rounds"] = len(grew_per_round)
+        stats["grew"] = grew_per_round
+    return state.select(
+        "node",
+        F.col("reach").alias("n_reached"),
+        F.col("harm").alias("harmonic_ppm"),
+    )
+
+
+@query(
+    "q_harmonic_centrality",
+    sql=f"""
+    WITH {_hc_sql()}
+    SELECT node, reach AS n_reached, harm AS harmonic_ppm
+    FROM hs{HC_ORACLE_ROUNDS}
+    """,
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled harmonic closeness of every purchase-graph vertex:
+    Σ over the HC_PIVOTS md5-chosen pivots of 1e6 // d(pivot, node),
+    plus how many pivots reached it."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return harmonic_sketch(edges)

@@ -1,0 +1,95 @@
+"""Third reference for q_harmonic_centrality: a pure-Python BFS from
+the same md5-selected pivots, plus the loop-discipline pins (exhausted
+budget raises; rerun is deterministic)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict, deque
+
+import duckdb
+import pytest
+
+from nyc_landmarks_datalake_spark import registry
+from nyc_landmarks_datalake_spark.operators.graph import (
+    HC_PIVOTS,
+    PR_SUPP_OFFSET,
+    harmonic_sketch,
+)
+
+registry.load_all()
+
+
+def _purchase_edges(sf_dir: str) -> list[tuple[int, int]]:
+    return duckdb.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey, l.l_suppkey + {PR_SUPP_OFFSET}
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+
+
+def _md5_60bit(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _python_harmonic(edges) -> dict[int, tuple[int, int]]:
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    pivots = sorted(adj, key=lambda n: (_md5_60bit(f"{n}:pivot"), n))[
+        :HC_PIVOTS
+    ]
+    reached: dict[int, int] = defaultdict(int)
+    hsum: dict[int, int] = defaultdict(int)
+    for p in pivots:
+        dist = {p: 0}
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                reached[v] += 1
+                hsum[v] += 1_000_000 // d
+    return {n: (reached[n], hsum[n]) for n in adj}
+
+
+def test_harmonic_matches_pure_python_reference(spark, sf_small):
+    edges = _purchase_edges(sf_small)
+    exp = _python_harmonic(edges)
+    got = {
+        r.node: (r.n_reached, r.harmonic_ppm)
+        for r in registry.QUERIES["q_harmonic_centrality"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == exp
+    # the sketch is not degenerate: pivots reach everything here, and
+    # the harmonic scores separate hubs from leaves
+    assert len({v[1] for v in got.values()}) > 3
+
+
+def test_harmonic_budget_counts_growing_rounds(spark):
+    """max_rounds budgets GROWING rounds with a zero-growth confirming
+    round on top (the kcore/LPA discipline): on a 6-path with a single
+    pivot whose eccentricity is e, max_rounds=e must succeed and
+    max_rounds=e-1 must raise."""
+    from pyspark.sql import functions as F
+
+    chain = [(i, i + 1) for i in range(5)]
+    fwd = spark.createDataFrame(chain, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    pivot = min(range(6), key=lambda n: (_md5_60bit(f"{n}:pivot"), n))
+    ecc = max(abs(pivot - i) for i in range(6))
+    stats: dict = {}
+    out = harmonic_sketch(edges, n_pivots=1, max_rounds=ecc, stats=stats)
+    assert out.count() == 6
+    assert stats["rounds"] == ecc + 1 and stats["grew"][-1] == 0, stats
+    with pytest.raises(RuntimeError, match="masks still growing"):
+        harmonic_sketch(edges, n_pivots=1, max_rounds=ecc - 1)
