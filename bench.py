@@ -176,6 +176,7 @@ HEADLINE = [
     # the bitmask multi-source-BFS harmonic-centrality sketch
     "q_label_propagation",
     "q_harmonic_centrality",
+    "q_betweenness_sketch",
 ]
 
 

@@ -1393,3 +1393,257 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return harmonic_sketch(edges)
+
+
+# ---------------------------------------------------------------------------
+# Betweenness-centrality sketch: Brandes' dependency accumulation
+# (Brandes 2001, "A faster algorithm for betweenness centrality") run
+# from BW_PIVOTS md5-chosen pivot sources instead of all V
+# (Bader et al. 2007 pivot sampling) — exact betweenness is O(V·E) and
+# off the table at 100 TB; the sketch's cost is LINEAR in the pivot
+# count, which is the scale lever.
+#
+# Forward pass: per-pivot BFS levels carrying sigma = number of
+# shortest paths (integer, exact; bounded by branching^diameter — ~1e10
+# at sf10, far under int64). Backward pass, deepest level first:
+# delta(u) = Σ over successors v of sigma_u · (1e6 + delta_v) / sigma_v
+# — the division is TRUNCATING and PER (u, v) PAIR, then summed, so the
+# two engines compute bit-identical ppm deltas (the per-pair product is
+# DECIMAL(38,0) Spark-side / HUGEINT DuckDB-side, the linkage.py
+# pairing; both truncate toward zero). Betweenness_ppm(v) = Σ over
+# pivots of delta(v), v ≠ pivot. Both edge directions are present, so
+# this is ORDERED-pair betweenness (2× the undirected convention) —
+# deterministic and identical in both engines.
+#
+# Budgets: the forward budget counts GROWING rounds with one
+# empty-frontier confirming round on top (the kcore/LPA/harmonic
+# discipline), and RAISES on exhaustion. The committed oracle unrolls
+# exactly BW_MAX_ROUNDS forward and backward steps: forward rounds past
+# exhaustion insert nothing, and backward steps at empty levels are
+# no-ops, so the fixed unroll equals the early-exited loop for every
+# graph that fits the budget.
+# ---------------------------------------------------------------------------
+BW_PIVOTS = 8
+BW_MAX_ROUNDS = 12
+
+
+def bw_fwd_step_sql(prev: str, k: int, edges: str = "bedges") -> str:
+    """Forward BFS round ``k``: append (p, node, d=k, sigma) for nodes
+    first reached at distance k, sigma = sum of predecessor sigmas."""
+    return f"""
+        SELECT p, node, d, sigma FROM {prev}
+        UNION ALL
+        SELECT f.p, e.dst AS node, {k} AS d,
+               CAST(SUM(f.sigma) AS BIGINT) AS sigma
+        FROM {prev} f JOIN {edges} e ON e.src = f.node
+        WHERE f.d = {k - 1}
+          AND NOT EXISTS (SELECT 1 FROM {prev} v
+                          WHERE v.p = f.p AND v.node = e.dst)
+        GROUP BY f.p, e.dst"""
+
+
+def bw_bwd_step_sql(prev: str, k: int, edges: str = "bedges") -> str:
+    """Backward accumulation at level ``k``: nodes at depth k take
+    delta from their level-(k+1) successors; everyone else carries."""
+    return f"""
+        SELECT s.p, s.node, s.d, s.sigma,
+               CASE WHEN s.d = {k} THEN COALESCE(acc.dl, 0)
+                    ELSE s.delta END AS delta
+        FROM {prev} s LEFT JOIN (
+            SELECT t.p, t.node,
+                   CAST(SUM(CAST(t.sigma AS HUGEINT)
+                            * (1000000 + w.delta) // w.sigma)
+                        AS BIGINT) AS dl
+            FROM {prev} t
+            JOIN {edges} e ON e.src = t.node
+            JOIN {prev} w ON w.p = t.p AND w.node = e.dst
+                         AND w.d = t.d + 1
+            WHERE t.d = {k}
+            GROUP BY t.p, t.node
+        ) acc ON acc.p = s.p AND acc.node = s.node"""
+
+
+def _bw_sql() -> str:
+    ctes = [
+        f"""be0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    bedges AS MATERIALIZED (
+        SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM be0
+        UNION ALL
+        SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM be0
+    ),
+    bnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM bedges),
+    bpiv AS MATERIALIZED (
+        SELECT node FROM bnodes
+        ORDER BY {md5_long_sql("node::VARCHAR || ':bwpivot'")}, node
+        LIMIT {BW_PIVOTS}
+    ),
+    bf0 AS MATERIALIZED (
+        SELECT node AS p, node, 0 AS d, CAST(1 AS BIGINT) AS sigma
+        FROM bpiv
+    )"""
+    ]
+    for k in range(1, BW_MAX_ROUNDS + 1):
+        ctes.append(
+            f"bf{k} AS MATERIALIZED ({bw_fwd_step_sql(f'bf{k - 1}', k)}\n    )"
+        )
+    ctes.append(
+        f"bb{BW_MAX_ROUNDS} AS MATERIALIZED (SELECT p, node, d, sigma,"
+        f" CAST(0 AS BIGINT) AS delta FROM bf{BW_MAX_ROUNDS})"
+    )
+    for k in range(BW_MAX_ROUNDS - 1, -1, -1):
+        ctes.append(
+            f"bb{k} AS MATERIALIZED ({bw_bwd_step_sql(f'bb{k + 1}', k)}\n    )"
+        )
+    return ",\n    ".join(ctes)
+
+
+def betweenness_sketch(
+    edges: DataFrame,
+    n_pivots: int = BW_PIVOTS,
+    max_rounds: int = BW_MAX_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edge list (both directions present) →
+    (node, betweenness_ppm) pivot-sampled Brandes dependencies. Raises
+    if the forward frontier is still growing after ``max_rounds`` — a
+    truncated pass drops every deeper dependency, and the committed
+    oracle unrolls exactly this budget."""
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pivots = (
+        nodes.select(
+            "node",
+            md5_long(
+                F.concat(F.col("node").cast("string"), F.lit(":bwpivot"))
+            ).alias("h"),
+        )
+        .orderBy("h", "node")
+        .limit(n_pivots)
+        .select("node")
+    )
+    state = pivots.select(
+        F.col("node").alias("p"),
+        "node",
+        F.lit(0).alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = state
+    sizes: list[int] = []
+    done = False
+    for k in range(1, max_rounds + 2):
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .groupBy("p", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumn("d", F.lit(k))
+            .select("p", "node", "d", "sigma")
+        )
+        new = cand.join(state, ["p", "node"], "left_anti").localCheckpoint()
+        n_new = new.count()
+        sizes.append(n_new)
+        if n_new == 0:
+            done = True
+            break
+        state = state.union(new).localCheckpoint()
+        frontier = new
+    if not done:
+        raise RuntimeError(
+            f"pivoted Brandes frontier still growing after {max_rounds} "
+            "rounds — a truncated forward pass drops every deeper "
+            "dependency; raise max_rounds (and the oracle unroll) together"
+        )
+    deepest = len(sizes) - 1  # last round added nothing
+    delta = state.withColumn("delta", F.lit(0).cast("long"))
+    for k in range(deepest - 1, -1, -1):
+        tk = delta.filter(F.col("d") == k)
+        wk = delta.filter(F.col("d") == k + 1).select(
+            F.col("p").alias("wp"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta").alias("wdelta"),
+        )
+        acc = (
+            tk.join(edges, tk.node == edges.src)
+            .join(
+                wk,
+                (F.col("p") == F.col("wp"))
+                & (F.col("dst") == F.col("wnode")),
+            )
+            .groupBy(tk.p.alias("ap"), tk.node.alias("anode"))
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(sigma AS DECIMAL(38,0))"
+                    " * (1000000 + wdelta) div wsigma) AS BIGINT)"
+                ).alias("dl")
+            )
+        )
+        delta = (
+            delta.join(
+                acc,
+                (delta.p == acc.ap) & (delta.node == acc.anode),
+                "left",
+            )
+            .select(
+                "p",
+                "node",
+                "d",
+                "sigma",
+                F.when(F.col("d") == k, F.coalesce("dl", F.lit(0)))
+                .otherwise(F.col("delta"))
+                .alias("delta"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    if stats is not None:
+        stats["rounds"] = len(sizes)
+        stats["frontier"] = sizes
+        stats["deepest"] = deepest
+    agg = (
+        delta.filter(F.col("node") != F.col("p"))
+        .groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("betweenness_ppm"))
+    )
+    return nodes.join(agg, "node", "left").select(
+        "node",
+        F.coalesce("betweenness_ppm", F.lit(0))
+        .cast("long")
+        .alias("betweenness_ppm"),
+    )
+
+
+@query(
+    "q_betweenness_sketch",
+    sql=f"""
+    WITH {_bw_sql()}
+    SELECT n.node,
+           CAST(COALESCE(SUM(CASE WHEN b.node <> b.p THEN b.delta END), 0)
+                AS BIGINT) AS betweenness_ppm
+    FROM bnodes n LEFT JOIN bb0 b ON b.node = n.node
+    GROUP BY n.node
+    """,
+)
+def q_betweenness_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled Brandes betweenness (ppm, ordered-pair convention)
+    of every purchase-graph vertex from BW_PIVOTS md5-chosen sources."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return betweenness_sketch(edges)

@@ -93,3 +93,77 @@ def test_harmonic_budget_counts_growing_rounds(spark):
     assert stats["rounds"] == ecc + 1 and stats["grew"][-1] == 0, stats
     with pytest.raises(RuntimeError, match="masks still growing"):
         harmonic_sketch(edges, n_pivots=1, max_rounds=ecc - 1)
+
+
+def _python_betweenness(edges) -> dict[int, int]:
+    """Pivot-sampled Brandes with the same per-(u,v) truncating
+    fixed-point accumulation as the engines."""
+    from nyc_landmarks_datalake_spark.operators.graph import BW_PIVOTS
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    pivots = sorted(
+        adj, key=lambda n: (_md5_60bit(f"{n}:bwpivot"), n)
+    )[:BW_PIVOTS]
+    out: dict[int, int] = defaultdict(int)
+    for p in pivots:
+        dist = {p: 0}
+        sigma = {p: 1}
+        order = [p]
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    q.append(v)
+                    order.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta: dict[int, int] = defaultdict(int)
+        for u in sorted(order, key=lambda x: -dist[x]):
+            s = 0
+            for v in adj[u]:
+                if dist.get(v) == dist[u] + 1:
+                    s += sigma[u] * (1_000_000 + delta[v]) // sigma[v]
+            delta[u] = s
+            if u != p:
+                out[u] += s
+    return {n: out.get(n, 0) for n in adj}
+
+
+def test_betweenness_matches_pure_python_reference(spark, sf_small):
+    edges = _purchase_edges(sf_small)
+    exp = _python_betweenness(edges)
+    got = {
+        r.node: r.betweenness_ppm
+        for r in registry.QUERIES["q_betweenness_sketch"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == exp
+    # hubs separate from leaves; some vertices genuinely sit on no
+    # pivot shortest path
+    assert max(got.values()) > 0
+    assert len({v for v in got.values()}) > 3
+
+
+def test_betweenness_budget_raises(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.graph import (
+        betweenness_sketch,
+    )
+
+    chain = [(i, i + 1) for i in range(5)]
+    fwd = spark.createDataFrame(chain, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    stats: dict = {}
+    out = betweenness_sketch(edges, n_pivots=1, max_rounds=5, stats=stats)
+    assert out.count() == 6
+    assert stats["frontier"][-1] == 0, stats
+    with pytest.raises(RuntimeError, match="frontier still growing"):
+        betweenness_sketch(edges, n_pivots=1, max_rounds=2)
