@@ -1228,6 +1228,7 @@ def hc_step_sql(prev: str, k: int, edges: str = "hedges") -> str:
         FROM {prev} s LEFT JOIN (
             SELECT e.dst AS node, bit_or(p.mask) AS m
             FROM {edges} e JOIN {prev} p ON p.node = e.src
+            WHERE p.mask != 0
             GROUP BY e.dst
         ) nb ON nb.node = s.node"""
 
@@ -1321,9 +1322,14 @@ def harmonic_sketch(
     # the kcore/LPA budget discipline: a graph whose last bit lands at
     # exactly round max_rounds must succeed, not raise.
     for k in range(1, max_rounds + 2):
+        # only nodes carrying bits can set new ones — at round 1 that's
+        # just the pivots, so the filter keeps early rounds tiny
         nb = (
             edges.join(
-                state.select(F.col("node").alias("src"), "mask"), "src"
+                state.filter(F.col("mask") != 0).select(
+                    F.col("node").alias("src"), "mask"
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.expr("bit_or(mask)").alias("m"))
