@@ -279,6 +279,8 @@ def main() -> int:
         "lpa": "q_label_propagation",
         "linkage": "q_record_linkage",
         "linkweights": "q_linkage_weights",
+        "harmonic": "q_harmonic_centrality",
+        "betweenness": "q_betweenness_sketch",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -672,6 +674,156 @@ def main() -> int:
                 "WITH " + weights_unpivot_sql(w="vt_lw"),
             )
         log(f"linkage chunked oracle+compare took {time.time() - t0:.0f}s")
+
+    if checks & {"harmonic", "betweenness"}:
+        # both centrality sketches share the purchase-graph edge build;
+        # their committed unrolled oracles pay all 12 budget rounds in
+        # one statement (~300 s at sf1) — the stepped drivers below run
+        # the IDENTICAL step SQL one round per statement with early
+        # exit at exhaustion, the kcore/lpa decomposition.
+        from nyc_landmarks_datalake_spark.operators.graph import (
+            BW_MAX_ROUNDS,
+            BW_PIVOTS,
+            HC_MAX_ROUNDS,
+            HC_PIVOTS,
+            PR_SUPP_OFFSET,
+            bw_bwd_step_sql,
+            bw_fwd_step_sql,
+            hc_step_sql,
+        )
+        from nyc_landmarks_datalake_spark.functions.hashing import (
+            md5_long_sql,
+        )
+
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill_cent'")
+        t0 = time.time()
+        con.execute(
+            "CREATE TEMP TABLE vt_ce0 AS "
+            "SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_cedges AS "
+            f"SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM vt_ce0 "
+            "UNION ALL "
+            f"SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM vt_ce0"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_cnodes AS "
+            "SELECT DISTINCT src AS node FROM vt_cedges"
+        )
+        log(
+            "centrality edges: "
+            f"{con.execute('SELECT count(*) FROM vt_cedges').fetchone()[0]}"
+            f" rows in {time.time() - t0:.0f}s"
+        )
+
+    if "harmonic" in checks:
+        t0 = time.time()
+        hpivhash = md5_long_sql("node::VARCHAR || ':pivot'")
+        con.execute(
+            "CREATE TEMP TABLE vt_hs0 AS "
+            "SELECT n.node,"
+            " COALESCE((CAST(1 AS BIGINT) << (p.rk - 1)), 0) AS mask,"
+            " CAST(0 AS BIGINT) AS reach, CAST(0 AS BIGINT) AS harm "
+            "FROM vt_cnodes n LEFT JOIN ("
+            "  SELECT node, ROW_NUMBER() OVER (ORDER BY "
+            f"   {hpivhash}, node) AS rk"
+            "  FROM vt_cnodes"
+            f"  ORDER BY {hpivhash}, node"
+            f"  LIMIT {HC_PIVOTS}"
+            ") p ON p.node = n.node"
+        )
+        prev = "vt_hs0"
+        for k in range(1, HC_MAX_ROUNDS + 2):
+            cur = f"vt_hs{k}"
+            con.execute(
+                f"CREATE TEMP TABLE {cur} AS "
+                + hc_step_sql(prev, k, edges="vt_cedges")
+            )
+            grew = con.execute(
+                f"SELECT count(*) FROM {cur} a JOIN {prev} b "
+                "ON a.node = b.node AND a.mask <> b.mask"
+            ).fetchone()[0]
+            log(f"harmonic MS-BFS round {k}: {grew} masks grew")
+            con.execute(f"DROP TABLE {prev}")
+            prev = cur
+            if grew == 0:
+                break
+        else:
+            raise AssertionError(
+                f"harmonic MS-BFS still growing after {HC_MAX_ROUNDS} "
+                "rounds — raise HC_MAX_ROUNDS (Spark raises at the same "
+                "budget)"
+            )
+        check(
+            "q_harmonic_centrality",
+            f"SELECT node, reach AS n_reached, harm AS harmonic_ppm "
+            f"FROM {prev}",
+        )
+        log(f"harmonic stepped oracle+compare took {time.time() - t0:.0f}s")
+
+    if "betweenness" in checks:
+        t0 = time.time()
+        bpivhash = md5_long_sql("node::VARCHAR || ':bwpivot'")
+        con.execute(
+            "CREATE TEMP TABLE vt_bf0 AS "
+            "SELECT node AS p, node, 0 AS d, CAST(1 AS BIGINT) AS sigma "
+            "FROM (SELECT node FROM vt_cnodes ORDER BY "
+            f" {bpivhash}, node"
+            f" LIMIT {BW_PIVOTS})"
+        )
+        prev = "vt_bf0"
+        deepest = 0
+        for k in range(1, BW_MAX_ROUNDS + 2):
+            cur = f"vt_bf{k}"
+            con.execute(
+                f"CREATE TEMP TABLE {cur} AS "
+                + bw_fwd_step_sql(prev, k, edges="vt_cedges")
+            )
+            grew = con.execute(
+                f"SELECT count(*) FROM {cur}"
+            ).fetchone()[0] - con.execute(
+                f"SELECT count(*) FROM {prev}"
+            ).fetchone()[0]
+            log(f"betweenness forward round {k}: {grew} new")
+            con.execute(f"DROP TABLE {prev}")
+            prev = cur
+            if grew == 0:
+                deepest = k - 1
+                break
+        else:
+            raise AssertionError(
+                f"betweenness forward pass still growing after "
+                f"{BW_MAX_ROUNDS} rounds — raise BW_MAX_ROUNDS"
+            )
+        con.execute(
+            "CREATE TEMP TABLE vt_bb AS "
+            f"SELECT p, node, d, sigma, CAST(0 AS BIGINT) AS delta "
+            f"FROM {prev}"
+        )
+        con.execute(f"DROP TABLE {prev}")
+        for k in range(deepest - 1, -1, -1):
+            con.execute(
+                "CREATE TEMP TABLE vt_bb2 AS "
+                + bw_bwd_step_sql("vt_bb", k, edges="vt_cedges")
+            )
+            con.execute(
+                "DROP TABLE vt_bb; ALTER TABLE vt_bb2 RENAME TO vt_bb"
+            )
+            log(f"betweenness backward level {k} done")
+        check(
+            "q_betweenness_sketch",
+            "SELECT n.node,"
+            " CAST(COALESCE(SUM(CASE WHEN b.node <> b.p THEN b.delta END),"
+            " 0) AS BIGINT) AS betweenness_ppm "
+            "FROM vt_cnodes n LEFT JOIN vt_bb b ON b.node = n.node "
+            "GROUP BY n.node",
+        )
+        log(
+            f"betweenness stepped oracle+compare took {time.time() - t0:.0f}s"
+        )
 
     if "cv" in checks:
         # q_quality_clf_cv's committed 5-fold single statement exceeds
