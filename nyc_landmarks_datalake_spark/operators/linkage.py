@@ -205,19 +205,33 @@ def _r_duck(tag: str) -> str:
     return md5_long_sql(f"id::VARCHAR || ':{tag}'")
 
 
-def oracle_ctes(cand_pred: str = "") -> str:
+def oracle_ctes(
+    cand_pred: str = "",
+    ka_body: str | None = None,
+    kb_body: str | None = None,
+) -> str:
     """The shared DuckDB CTE chain (clean file → dirty copy → FastSS
     candidates → gamma vectors → m/u weights). ``cand_pred`` injects an
     optional extra predicate into the candidate join (e.g.
-    ``" AND a.id % 32 = 7"``) — the native-scale verifier chunks the
+    ``" AND a.id % 8 = 7"``) — the native-scale verifier chunks the
     single 45-minute sf10 statement by ida (a pair's chunk is a
     function of ida, so per-chunk DISTINCT is globally correct) and
-    accumulates the distributive gamma census across chunks; with the
-    default empty predicate the text is the committed oracle's,
-    byte-identical."""
+    accumulates the distributive gamma census across chunks.
+    ``ka_body`` / ``kb_body`` substitute the variant-key CTE bodies
+    (e.g. ``"SELECT * FROM vt_ka"``) so the chunked driver can
+    materialize the ~(L+1)×-corpus key explosions ONCE instead of
+    re-deriving them per chunk. With all defaults the text is the
+    committed oracle's, byte-identical."""
     # str.replace, not .format: the rendered chain may contain braces
-    return _ORACLE_CTES_TMPL.replace("{CAND_PRED}", cand_pred)
+    return (
+        _ORACLE_CTES_TMPL.replace("{CAND_PRED}", cand_pred)
+        .replace("{KA_BODY}", ka_body or _KA_BODY)
+        .replace("{KB_BODY}", kb_body or _KB_BODY)
+    )
 
+
+_KA_BODY = f"SELECT id, name, unnest({_VARIANTS_SQL}) AS k FROM la"
+_KB_BODY = f"SELECT id, name, unnest({_VARIANTS_SQL}) AS k FROM lb"
 
 _ORACLE_CTES_TMPL = f"""
 la AS (
@@ -249,8 +263,8 @@ lb AS (
                 ELSE bal END AS bal
     FROM lrnd
 ),
-ka AS (SELECT id, name, unnest({_VARIANTS_SQL}) AS k FROM la),
-kb AS (SELECT id, name, unnest({_VARIANTS_SQL}) AS k FROM lb),
+ka AS ({{KA_BODY}}),
+kb AS ({{KB_BODY}}),
 cand AS (
     SELECT DISTINCT a.id AS ida, b.id AS idb
     FROM ka a JOIN kb b ON a.k = b.k

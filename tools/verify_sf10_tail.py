@@ -253,6 +253,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".sfnative10")
     ap.add_argument("--checks", default="clusters,apply")
+    ap.add_argument(
+        "--reuse-spark",
+        action="store_true",
+        help="load Spark-side results cached by a previous run from "
+        "/tmp/vt_spark_cache/<query>.parquet instead of re-running "
+        "Spark — iterate on the DuckDB phase without paying the "
+        "Spark phase again",
+    )
     args = ap.parse_args()
     checks = {c.strip() for c in args.checks.split(",") if c.strip()}
     sf_dir = os.path.abspath(args.sf_dir)
@@ -288,14 +296,25 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark_results: dict[str, object] = {}
+    cache_dir = "/tmp/vt_spark_cache"
+    os.makedirs(cache_dir, exist_ok=True)
     for c in sorted(checks):
         name = query_of.get(c)
         if name is None:
             continue
+        cache = os.path.join(cache_dir, f"{name}.parquet")
+        if args.reuse_spark and os.path.exists(cache):
+            import pandas as pd
+
+            spark_results[name] = pd.read_parquet(cache)
+            log(f"{name}: spark side LOADED from {cache} "
+                f"({len(spark_results[name])} rows)")
+            continue
         t0 = time.time()
         spark_results[name] = registry.QUERIES[name](spark, sf_dir).toPandas()
+        spark_results[name].to_parquet(cache)
         log(f"{name}: spark side done in {time.time() - t0:.0f}s "
-            f"({len(spark_results[name])} rows)")
+            f"({len(spark_results[name])} rows; cached to {cache})")
     # semantic-equiv compares the two DuckDB formulations only — the
     # Spark side (and the assignments collect) is needed just for the
     # 'semantic' value comparison
@@ -612,16 +631,40 @@ def main() -> int:
         con.execute("SET memory_limit='48GB'")
         con.execute("SET temp_directory='/tmp/duckdb_spill_linkage'")
         t0 = time.time()
-        n_chunks = 32
+        n_chunks = 8
+        # the variant-key explosions are ~(L+1)x the corpus — derive
+        # them ONCE from the committed text (DuckDB evaluates only the
+        # CTEs the SELECT needs) instead of once per chunk; the chunk
+        # statements then reference the materialized tables via the
+        # ka_body/kb_body substitution.
+        con.execute(
+            f"CREATE TEMP TABLE vt_lka AS WITH {oracle_ctes()} "
+            "SELECT * FROM ka"
+        )
+        con.execute(
+            f"CREATE TEMP TABLE vt_lkb AS WITH {oracle_ctes()} "
+            "SELECT * FROM kb"
+        )
+        log(
+            "linkage variant keys materialized "
+            f"({con.execute('SELECT count(*) FROM vt_lka').fetchone()[0]}"
+            f" + {con.execute('SELECT count(*) FROM vt_lkb').fetchone()[0]}"
+            f" rows) in {time.time() - t0:.0f}s"
+        )
         con.execute(
             "CREATE TEMP TABLE vt_lcen (g1 INT, g2 INT, g3 INT, g4 INT,"
             " n_pairs BIGINT, n_true_pairs BIGINT, sample_pair VARCHAR,"
             " lab_m BIGINT, lab_u BIGINT)"
         )
         for i in range(n_chunks):
+            chunk_ctes = oracle_ctes(
+                f" AND a.id % {n_chunks} = {i}",
+                ka_body="SELECT * FROM vt_lka",
+                kb_body="SELECT * FROM vt_lkb",
+            )
             con.execute(
                 f"INSERT INTO vt_lcen "
-                f"WITH {oracle_ctes(f' AND a.id % {n_chunks} = {i}')} "
+                f"WITH {chunk_ctes} "
                 "SELECT g1, g2, g3, g4, CAST(COUNT(*) AS BIGINT),"
                 " CAST(SUM(m) AS BIGINT),"
                 " MIN(ida::VARCHAR || ':' || idb::VARCHAR),"
