@@ -209,6 +209,7 @@ def oracle_ctes(
     cand_pred: str = "",
     ka_body: str | None = None,
     kb_body: str | None = None,
+    cand_body: str | None = None,
 ) -> str:
     """The shared DuckDB CTE chain (clean file → dirty copy → FastSS
     candidates → gamma vectors → m/u weights). ``cand_pred`` injects an
@@ -220,15 +221,30 @@ def oracle_ctes(
     ``ka_body`` / ``kb_body`` substitute the variant-key CTE bodies
     (e.g. ``"SELECT * FROM vt_ka"``) so the chunked driver can
     materialize the ~(L+1)×-corpus key explosions ONCE instead of
-    re-deriving them per chunk. With all defaults the text is the
-    committed oracle's, byte-identical."""
+    re-deriving them per chunk. ``cand_body`` substitutes the whole
+    candidate CTE body: the committed text verifies levenshtein BEFORE
+    the pair-dedup (right for Spark — the filter runs map-side ahead of
+    the shuffle), but in the chunked DuckDB driver that order wastes
+    one levenshtein PER SHARED VARIANT KEY (an uncorrupted name matches
+    its own dirty copy on all ~(L+1) deletion keys), so the driver
+    passes a dedup-first body — names are functions of the ids, so
+    DISTINCT (ida, idb, names) before the verify is value-identical.
+    With all defaults the text is the committed oracle's,
+    byte-identical."""
     # str.replace, not .format: the rendered chain may contain braces
     return (
-        _ORACLE_CTES_TMPL.replace("{CAND_PRED}", cand_pred)
+        _ORACLE_CTES_TMPL.replace("{CAND_BODY}", cand_body or _CAND_BODY)
+        .replace("{CAND_PRED}", cand_pred)
         .replace("{KA_BODY}", ka_body or _KA_BODY)
         .replace("{KB_BODY}", kb_body or _KB_BODY)
     )
 
+
+_CAND_BODY = """
+    SELECT DISTINCT a.id AS ida, b.id AS idb
+    FROM ka a JOIN kb b ON a.k = b.k
+    WHERE levenshtein(a.name, b.name) <= 1{CAND_PRED}
+"""
 
 _KA_BODY = f"SELECT id, name, unnest({_VARIANTS_SQL}) AS k FROM la"
 _KB_BODY = f"SELECT id, name, unnest({_VARIANTS_SQL}) AS k FROM lb"
@@ -265,11 +281,7 @@ lb AS (
 ),
 ka AS ({{KA_BODY}}),
 kb AS ({{KB_BODY}}),
-cand AS (
-    SELECT DISTINCT a.id AS ida, b.id AS idb
-    FROM ka a JOIN kb b ON a.k = b.k
-    WHERE levenshtein(a.name, b.name) <= 1{{CAND_PRED}}
-),
+cand AS ({{CAND_BODY}}),
 gam AS (
     SELECT c.ida, c.idb,
            CAST(a.name = b.name AS INTEGER) AS g1,

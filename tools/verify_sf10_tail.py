@@ -296,7 +296,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark_results: dict[str, object] = {}
-    cache_dir = "/tmp/vt_spark_cache"
+    # cache keyed by sf-dir: comparing one scale's cached Spark result
+    # against another scale's oracle is a guaranteed false mismatch
+    cache_dir = os.path.join(
+        "/tmp/vt_spark_cache", sf_dir.strip("/").replace("/", "_")
+    )
     os.makedirs(cache_dir, exist_ok=True)
     for c in sorted(checks):
         name = query_of.get(c)
@@ -656,11 +660,26 @@ def main() -> int:
             " n_pairs BIGINT, n_true_pairs BIGINT, sample_pair VARCHAR,"
             " lab_m BIGINT, lab_u BIGINT)"
         )
+        # dedup-first candidate body: the committed order (verify, then
+        # DISTINCT) runs levenshtein once per SHARED variant key — an
+        # uncorrupted name matches its own dirty copy on all ~(L+1)
+        # deletion keys. Names are functions of the ids, so DISTINCT
+        # (ida, idb, names) before the verify is value-identical and
+        # cuts the sf10 levenshtein count ~an order of magnitude.
+        dedup_first = (
+            " SELECT ida, idb FROM ("
+            "   SELECT DISTINCT a.id AS ida, b.id AS idb,"
+            "          a.name AS na, b.name AS nb"
+            "   FROM ka a JOIN kb b ON a.k = b.k"
+            "   WHERE 1 = 1{CAND_PRED}"
+            " ) WHERE levenshtein(na, nb) <= 1 "
+        )
         for i in range(n_chunks):
             chunk_ctes = oracle_ctes(
                 f" AND a.id % {n_chunks} = {i}",
                 ka_body="SELECT * FROM vt_lka",
                 kb_body="SELECT * FROM vt_lkb",
+                cand_body=dedup_first,
             )
             con.execute(
                 f"INSERT INTO vt_lcen "
