@@ -56,10 +56,19 @@ def _bench(tree: str, label: str) -> dict:
         raise RuntimeError(
             f"bench.py failed in {tree}: {proc.stderr[-2000:]}"
         )
-    line = [
+    # bench.py prints the full JSON line first and a SHORT summary line
+    # last (so bounded tail captures keep the total) — take the line
+    # that carries the per-query breakdown, falling back to the copy
+    # bench.py persists to <tree>/BENCH.json.
+    lines = [
         ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")
-    ][-1]
-    out = json.loads(line)
+    ]
+    full = [ln for ln in lines if '"queries"' in ln]
+    if full:
+        out = json.loads(full[-1])
+    else:
+        with open(os.path.join(tree, "BENCH.json")) as f:
+            out = json.load(f)
     print(
         f"[{time.strftime('%H:%M:%S')}] {label}: {out['value']:.1f}s "
         f"over {len(out.get('queries', {}))} queries "
