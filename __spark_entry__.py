@@ -58,21 +58,12 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # r14 touches: PSI/JS gained the GREATEST(...,1) smoothing
-        # clamp and a wider bin grid (PSI_BINS 10→20, width 25→50) —
-        # values change by design; the coreness loop now runs a
-        # max_iters+1 confirming round (budget semantics aligned with
-        # the oracle's unconditional updates); every two-feed stateful
-        # replay runs on the revalidated guard.replay_session cache
-        # (applicationId key + liveness check).
-        "q_psi_drift",
-        "q_js_drift",
-        "q_kcore_decomposition",
-        "q_stream_semi_join",
-        "q_stream_outer_join",
-        "q_stream_full_outer_join",
-        "q_stream_join_windowed",
-        "q_stream_mv_upsert",
+        # all 8 r14 entries re-greened in CORRECTNESS_r14 and were
+        # cleared. r15 touches: the LPA committed oracle gained a
+        # convergence guard (lpa_conv CTE + error() on a non-converged
+        # unroll — r14 ADVICE); values are unchanged at every converged
+        # scale, but the oracle text changed, so re-verify.
+        "q_label_propagation",
     }
 )
 

@@ -253,6 +253,11 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # space so one BIGINT node column serves both partitions.
 # ---------------------------------------------------------------------------
 PR_ITERS = 2
+#: supplier ids are shifted into their own space so one BIGINT node
+#: column serves both bipartite sides. Valid while customer ids stay
+#: below the offset: c_custkey = 150,000×sf crosses 10M at sf≈66 —
+#: beyond that the offset must be raised (which invalidates every
+#: committed graph oracle; see the LPA block comment).
 PR_SUPP_OFFSET = 10_000_000
 PR_MASS = 10**12  # total initial rank in 1e-12 fixed-point units
 
@@ -975,11 +980,21 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Hub safety: the per-node argmax over neighbor labels is TWO HASH
 # AGGREGATES, never a sorted window — (node, label) counts, then
-# MAX(cnt * LPA_PRI - lbl) whose single BIGINT encodes (max count,
-# then min label); a 10^6-degree hub costs map-side-combinable aggs.
+# MAX(cnt * LPA_PRI - lbl - 1) whose single BIGINT encodes (max count,
+# then min label); the −1 shift makes the encode exact for label 0
+# (the driver testdata's keys start at 0; the unshifted form decoded
+# label 0 to LPA_PRI — r14 ADVICE); a 10^6-degree hub costs
+# map-side-combinable aggs.
 # Labels are node ids < LPA_PRI = 2^25 (suppliers offset by
-# PR_SUPP_OFFSET reach ~11M at sf10, ~20M at sf100) and counts stay
-# below 2^38 before overflow — int64 headroom through sf100.
+# PR_SUPP_OFFSET reach ~11M at sf10) and counts stay below 2^38 before
+# int64 overflow. NOTE the REAL bound on the bipartite offset scheme:
+# c_custkey reaches 150,000×sf, so customer ids cross
+# PR_SUPP_OFFSET = 10M at sf≈66 and would collide with supplier-offset
+# ids (breaking the node < PR_SUPP_OFFSET side split used by LPA /
+# kcore / harmonic / betweenness). Any run beyond sf66 must raise
+# PR_SUPP_OFFSET first — a constant change that invalidates every
+# committed graph oracle, so it is a deliberate, documented migration,
+# not a tweak.
 #
 # Budgets (the r13 kcore ADVICE discipline): ``max_supersteps`` counts
 # UPDATING supersteps with a zero-change confirming superstep on top,
@@ -992,7 +1007,12 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (observed: 1 / 4 / 12 / 24 supersteps at sf0.001/0.01/0.1/sf1 —
 # 32 covers the sweep tier with headroom; native sf1/sf10 verify via
 # the table-stepped driver sharing lpa_step_sql, early-exiting at the
-# fixpoint like tools/verify_sf10_tail --checks kcore).
+# fixpoint like tools/verify_sf10_tail --checks kcore). A graph that
+# needed MORE than the unroll would otherwise mismatch confusingly
+# against Spark's correct fixpoint, so the oracle carries a
+# convergence guard (lpa_conv below): if the last unrolled superstep
+# still moved labels, the oracle RAISES instead of returning a
+# truncated labeling.
 # ---------------------------------------------------------------------------
 LPA_MAX_SUPERSTEPS = 64
 LPA_ORACLE_SUPERSTEPS = 32
@@ -1004,7 +1024,12 @@ def lpa_step_sql(prev: str, side: str, edges: str = "ledges") -> str:
     ``side`` ('cust' = node < PR_SUPP_OFFSET, 'supp' = the rest) adopt
     their neighbors' most frequent label (ties → smallest), everyone
     else carries their label through. Shared verbatim between the
-    committed unrolled oracle and the native-scale stepped verifier."""
+    committed unrolled oracle and the native-scale stepped verifier.
+
+    Requires node ids (hence labels) in [0, LPA_PRI): the
+    ``cnt * LPA_PRI - lbl - 1`` priority is exact on that range —
+    lpa_communities() checks it; SQL-side callers must feed the same
+    edge relations."""
     lo = side == "cust"
     pe = f"e.src < {PR_SUPP_OFFSET}" if lo else f"e.src >= {PR_SUPP_OFFSET}"
     pp = f"p.node < {PR_SUPP_OFFSET}" if lo else f"p.node >= {PR_SUPP_OFFSET}"
@@ -1014,9 +1039,9 @@ def lpa_step_sql(prev: str, side: str, edges: str = "ledges") -> str:
                     ELSE p.lbl END AS lbl
         FROM {prev} p LEFT JOIN (
             SELECT node,
-                   ((best // {LPA_PRI}) + 1) * {LPA_PRI} - best AS lbl
+                   ((best // {LPA_PRI}) + 1) * {LPA_PRI} - best - 1 AS lbl
             FROM (
-                SELECT node, MAX(cnt * {LPA_PRI} - lbl) AS best
+                SELECT node, MAX(cnt * {LPA_PRI} - lbl - 1) AS best
                 FROM (
                     SELECT e.src AS node, c.lbl,
                            CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1066,7 +1091,16 @@ def lpa_communities(
     fixpoint. ``max_supersteps`` budgets UPDATING supersteps (cust
     half-step + supp half-step each) with one confirming superstep on
     top; raises on exhaustion — LPA has no convergence theorem, and an
-    oscillating run must never return as if it were communities."""
+    oscillating run must never return as if it were communities.
+
+    Node ids MUST lie in [0, LPA_PRI): the single-BIGINT
+    (count, −label) priority ``cnt * LPA_PRI - lbl - 1`` is exact on
+    that range (the −1 shift exists precisely so label 0 decodes to 0
+    — the unshifted form decoded it to LPA_PRI, r14 ADVICE), while
+    ids ≥ LPA_PRI or negative collide across counts. The driver
+    testdata's keys start at 0, so 0 is a REACHABLE label here — and
+    this is a generic helper, so the range is CHECKED, not assumed
+    (one cheap count over the checkpointed V-row label relation)."""
     edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -1074,6 +1108,18 @@ def lpa_communities(
         .withColumn("lbl", F.col("node").cast("long"))
         .localCheckpoint()
     )
+    n_bad = (
+        labels.filter((F.col("node") < 0) | (F.col("node") >= LPA_PRI))
+        .limit(1)
+        .count()
+    )
+    if n_bad:
+        raise ValueError(
+            f"lpa_communities requires node ids in [0, {LPA_PRI}): the "
+            "(count, -label) BIGINT priority is exact only on that "
+            "range — ids outside it collide across counts; remap node "
+            "ids before calling"
+        )
 
     def half(lbls: DataFrame, side_lo: bool) -> DataFrame:
         side_e = (
@@ -1094,11 +1140,11 @@ def lpa_communities(
         )
         new = (
             hist.groupBy("node")
-            .agg(F.max(F.expr(f"cnt * {LPA_PRI} - nlbl")).alias("best"))
+            .agg(F.max(F.expr(f"cnt * {LPA_PRI} - nlbl - 1")).alias("best"))
             .select(
                 "node",
                 F.expr(
-                    f"((best div {LPA_PRI}) + 1) * {LPA_PRI} - best"
+                    f"((best div {LPA_PRI}) + 1) * {LPA_PRI} - best - 1"
                 ).alias("new_lbl"),
             )
         )
@@ -1144,9 +1190,31 @@ def lpa_communities(
 
 @query(
     "q_label_propagation",
+    # The unroll (LPA_ORACLE_SUPERSTEPS) is smaller than the Spark
+    # budget (LPA_MAX_SUPERSTEPS), so a graph converging between the
+    # two would make Spark return the true fixpoint while the oracle
+    # silently returned a truncated labeling — a confusing value
+    # mismatch. The lpa_conv guard turns that into a LOUD oracle error:
+    # the final superstep must have changed nothing (lp{2N} == lp{2N-2}
+    # node-for-node), i.e. the unrolled state IS a fixpoint. error() is
+    # lazily evaluated only when the guard trips (verified DuckDB 1.0).
     sql=f"""
-    WITH {_lpa_sql()}
-    SELECT node, lbl AS community FROM lp{2 * LPA_ORACLE_SUPERSTEPS}
+    WITH {_lpa_sql()},
+    lpa_conv AS (
+        SELECT COUNT(*) AS moved
+        FROM lp{2 * LPA_ORACLE_SUPERSTEPS} a
+        JOIN lp{2 * LPA_ORACLE_SUPERSTEPS - 2} b
+          ON b.node = a.node AND b.lbl <> a.lbl
+    )
+    SELECT node,
+           CASE WHEN (SELECT moved FROM lpa_conv) = 0 THEN lbl
+                ELSE CAST(error(
+                    'LPA oracle unroll ({LPA_ORACLE_SUPERSTEPS} '
+                    'supersteps) did not reach a fixpoint — raise '
+                    'LPA_ORACLE_SUPERSTEPS or verify stepped at this '
+                    'scale') AS BIGINT)
+           END AS community
+    FROM lp{2 * LPA_ORACLE_SUPERSTEPS}
     """,
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:

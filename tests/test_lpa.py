@@ -106,3 +106,51 @@ def test_lpa_budget_counts_updates_and_raises(spark):
     assert len({r.lbl for r in out.collect()}) == 1  # one path community
     with pytest.raises(RuntimeError, match="did not converge"):
         lpa_communities(edges, max_supersteps=0)
+
+
+def test_lpa_label_zero_encode_exact(spark):
+    """r14 ADVICE regression: the single-BIGINT (count, −label)
+    priority must be exact for label 0 — the unshifted encode
+    ``cnt*PRI - lbl`` decoded label 0 to LPA_PRI, silently corrupting
+    communities. A low-side triangle {0,1,2} makes label 0 actually
+    compete in the argmax (node 1's first half-step aggregates node
+    0's label): everyone must converge to community 0, not LPA_PRI."""
+    from pyspark.sql import functions as F
+
+    tri = [(0, 1), (0, 2), (1, 2)]
+    fwd = spark.createDataFrame(tri, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    got = {r.node: r.lbl for r in lpa_communities(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
+    # and the SQL step text agrees (shared lpa_step_sql, one half-step)
+    import duckdb as _dd
+
+    from nyc_landmarks_datalake_spark.operators.graph import lpa_step_sql
+
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE e(src BIGINT, dst BIGINT);"
+        "INSERT INTO e VALUES (0,1),(1,0),(0,2),(2,0),(1,2),(2,1);"
+        "CREATE TABLE lp0 AS SELECT DISTINCT src AS node, "
+        "CAST(src AS BIGINT) AS lbl FROM e"
+    )
+    step1 = dict(
+        con.execute(
+            "SELECT node, lbl FROM (" + lpa_step_sql("lp0", "cust", "e") + ")"
+        ).fetchall()
+    )
+    assert step1 == {0: 1, 1: 0, 2: 0}  # min-neighbor, label 0 exact
+
+
+def test_lpa_node_range_guard_raises(spark):
+    """Ids at/above LPA_PRI (or negative) collide across counts in the
+    BIGINT priority — the helper must refuse them loudly."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.graph import LPA_PRI
+
+    bad = [(1, LPA_PRI + 5)]
+    fwd = spark.createDataFrame(bad, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    with pytest.raises(ValueError, match="requires node ids"):
+        lpa_communities(edges)

@@ -257,9 +257,11 @@ def main() -> int:
         "--reuse-spark",
         action="store_true",
         help="load Spark-side results cached by a previous run from "
-        "/tmp/vt_spark_cache/<query>.parquet instead of re-running "
-        "Spark — iterate on the DuckDB phase without paying the "
-        "Spark phase again",
+        "/tmp/vt_spark_cache/<sf-dir>_<source-hash>/<query>.parquet "
+        "instead of re-running Spark — iterate on the DuckDB phase "
+        "without paying the Spark phase again. The cache key includes "
+        "a hash of the engine package source, so editing any operator "
+        "invalidates it (stale results from old code never verify)",
     )
     args = ap.parse_args()
     checks = {c.strip() for c in args.checks.split(",") if c.strip()}
@@ -296,10 +298,25 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark_results: dict[str, object] = {}
-    # cache keyed by sf-dir: comparing one scale's cached Spark result
-    # against another scale's oracle is a guaranteed false mismatch
+    # cache keyed by (sf-dir, engine-source hash): comparing one
+    # scale's cached Spark result against another scale's oracle is a
+    # guaranteed false mismatch, and (r14 ADVICE) a result cached by
+    # OLD code compared against a NEW oracle silently verifies the
+    # wrong Spark implementation — the source hash invalidates the
+    # cache on any operator edit.
+    import hashlib
+
+    pkg_dir = os.path.join(_REPO, "nyc_landmarks_datalake_spark")
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(root, fn), "rb") as f:
+                    h.update(f.read())
+    src_hash = h.hexdigest()[:10]
     cache_dir = os.path.join(
-        "/tmp/vt_spark_cache", sf_dir.strip("/").replace("/", "_")
+        "/tmp/vt_spark_cache",
+        f"{sf_dir.strip('/').replace('/', '_')}_{src_hash}",
     )
     os.makedirs(cache_dir, exist_ok=True)
     for c in sorted(checks):
@@ -311,8 +328,11 @@ def main() -> int:
             import pandas as pd
 
             spark_results[name] = pd.read_parquet(cache)
+            mtime = time.strftime(
+                "%Y-%m-%d %H:%M", time.localtime(os.path.getmtime(cache))
+            )
             log(f"{name}: spark side LOADED from {cache} "
-                f"({len(spark_results[name])} rows)")
+                f"(cached {mtime}; {len(spark_results[name])} rows)")
             continue
         t0 = time.time()
         spark_results[name] = registry.QUERIES[name](spark, sf_dir).toPandas()
