@@ -177,6 +177,9 @@ HEADLINE = [
     "q_label_propagation",
     "q_harmonic_centrality",
     "q_betweenness_sketch",
+    # added r15: classic closeness + eccentricity from the same
+    # bitmask MS-BFS machinery (same pivots as harmonic)
+    "q_closeness_eccentricity",
 ]
 
 

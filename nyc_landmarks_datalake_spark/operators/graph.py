@@ -1470,6 +1470,227 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic-closeness + eccentricity sketch — the two remaining members
+# of the distance-centrality family, from the SAME bitmask MS-BFS
+# machinery as harmonic (Then et al. 2014; Boldi & Vigna 2014 for why
+# harmonic is usually preferable on disconnected graphs — closeness and
+# eccentricity are still standard reporting surface, so both ship).
+# Identical pivot set (md5 ':pivot' salt, HC_PIVOTS) so the three
+# centralities are directly comparable per node; identical state shape
+# (V rows, one BIGINT mask) and per-round cost (one E-row join + one
+# bit_or hash agg — pivot-count-independent); identical budget
+# discipline (raises if masks still grow at max_rounds; the committed
+# oracle unrolls exactly the budget — rounds past exhaustion set no new
+# bits, so the fixed unroll equals the early-exited loop).
+#
+# Accruals per round k over new bits b = popcount((mask|nb) − mask):
+#   dist_sum += b·k            (Σ distance to each REACHING pivot)
+#   eccentricity = k if b > 0  (max distance over reaching pivots — a
+#                               LOWER bound on true eccentricity, the
+#                               standard pivot-sketch semantics)
+# and the output derives closeness_ppm = reach·1e6 // dist_sum (the
+# reciprocal of the mean pivot distance, Wasserman-Faust normalized to
+# the reached set so disconnected nodes score 0, not ∞) — integer
+# floor division on nonnegative values, bit-identical cross-engine.
+# Self-distance never accrues: a pivot's own bit is set at round 0 and
+# is never "new".
+# ---------------------------------------------------------------------------
+
+
+def ce_step_sql(prev: str, k: int, edges: str = "cedges") -> str:
+    """One bitmask MS-BFS round in DuckDB SQL over the
+    (node, mask, reach, dsum, ecc) relation ``prev``. Shared between
+    the committed unrolled oracle and the native-scale stepped
+    verifier (tools/verify_sf10_tail --checks closeness)."""
+    newbits = f"bit_count((s.mask | COALESCE(nb.m, 0)) - s.mask)"
+    return f"""
+        SELECT s.node,
+               s.mask | COALESCE(nb.m, 0) AS mask,
+               s.reach + {newbits} AS reach,
+               s.dsum + {newbits} * {k} AS dsum,
+               CASE WHEN {newbits} > 0 THEN {k} ELSE s.ecc END AS ecc
+        FROM {prev} s LEFT JOIN (
+            SELECT e.dst AS node, bit_or(p.mask) AS m
+            FROM {edges} e JOIN {prev} p ON p.node = e.src
+            WHERE p.mask != 0
+            GROUP BY e.dst
+        ) nb ON nb.node = s.node"""
+
+
+def _ce_sql() -> str:
+    ctes = [
+        f"""ce0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cedges AS MATERIALIZED (
+        SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM ce0
+        UNION ALL
+        SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM ce0
+    ),
+    cpiv AS MATERIALIZED (
+        SELECT node,
+               ROW_NUMBER() OVER (
+                   ORDER BY {md5_long_sql("node::VARCHAR || ':pivot'")},
+                            node) AS rk
+        FROM (SELECT DISTINCT src AS node FROM cedges)
+        ORDER BY {md5_long_sql("node::VARCHAR || ':pivot'")}, node
+        LIMIT {HC_PIVOTS}
+    ),
+    cs0 AS MATERIALIZED (
+        SELECT n.node,
+               COALESCE((CAST(1 AS BIGINT) << (p.rk - 1)), 0) AS mask,
+               CAST(0 AS BIGINT) AS reach, CAST(0 AS BIGINT) AS dsum,
+               CAST(0 AS BIGINT) AS ecc
+        FROM (SELECT DISTINCT src AS node FROM cedges) n
+        LEFT JOIN cpiv p ON p.node = n.node
+    )"""
+    ]
+    for k in range(1, HC_ORACLE_ROUNDS + 1):
+        ctes.append(
+            f"cs{k} AS MATERIALIZED ({ce_step_sql(f'cs{k - 1}', k)}\n    )"
+        )
+    return ",\n    ".join(ctes)
+
+
+def closeness_sketch(
+    edges: DataFrame,
+    n_pivots: int = HC_PIVOTS,
+    max_rounds: int = HC_MAX_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edge list (both directions present) →
+    (node, n_reached, dist_sum, eccentricity, closeness_ppm) over the
+    deterministic pivot set — same loop shape, pivot selection, and
+    budget discipline as harmonic_sketch (raises if masks still grow
+    in round ``max_rounds``; the committed oracle unrolls the same
+    budget)."""
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    pivots = (
+        nodes.select(
+            "node",
+            md5_long(
+                F.concat(F.col("node").cast("string"), F.lit(":pivot"))
+            ).alias("h"),
+        )
+        .orderBy("h", "node")
+        .limit(n_pivots)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("h", "node"))
+        )
+        .select(
+            "node",
+            F.expr("shiftleft(CAST(1 AS BIGINT), rk - 1)").alias("pmask"),
+        )
+    )
+    state = (
+        nodes.join(F.broadcast(pivots), "node", "left")
+        .select(
+            "node",
+            F.coalesce("pmask", F.lit(0)).cast("long").alias("mask"),
+            F.lit(0).cast("long").alias("reach"),
+            F.lit(0).cast("long").alias("dsum"),
+            F.lit(0).cast("long").alias("ecc"),
+        )
+        .localCheckpoint()
+    )
+    grew_per_round: list[int] = []
+    done = False
+    for k in range(1, max_rounds + 2):
+        nb = (
+            edges.join(
+                state.filter(F.col("mask") != 0).select(
+                    F.col("node").alias("src"), "mask"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("bit_or(mask)").alias("m"))
+        )
+        newbits = "bit_count((mask | COALESCE(m, 0)) - mask)"
+        new_state = (
+            state.join(nb, "node", "left")
+            .select(
+                "node",
+                F.col("mask").alias("__old"),
+                F.expr("mask | COALESCE(m, 0)").alias("mask"),
+                F.expr(f"reach + {newbits}").alias("reach"),
+                F.expr(f"dsum + {newbits} * {k}").alias("dsum"),
+                F.expr(
+                    f"CASE WHEN {newbits} > 0 THEN {k} ELSE ecc END"
+                ).alias("ecc"),
+            )
+            .localCheckpoint()
+        )
+        grew = new_state.filter(F.col("mask") != F.col("__old")).count()
+        grew_per_round.append(grew)
+        state = new_state.drop("__old")
+        if grew == 0:
+            done = True
+            break
+    if not done:
+        raise RuntimeError(
+            f"pivoted MS-BFS masks still growing after {max_rounds} "
+            "rounds — a truncated closeness sketch under-reports "
+            "distances; raise max_rounds (and the oracle unroll) together"
+        )
+    if stats is not None:
+        stats["rounds"] = len(grew_per_round)
+        stats["grew"] = grew_per_round
+    return state.select(
+        "node",
+        F.col("reach").alias("n_reached"),
+        F.col("dsum").alias("dist_sum"),
+        F.col("ecc").alias("eccentricity"),
+        F.expr(
+            "CASE WHEN dsum > 0 THEN reach * CAST(1000000 AS BIGINT)"
+            " div dsum ELSE CAST(0 AS BIGINT) END"
+        ).alias("closeness_ppm"),
+    )
+
+
+@query(
+    "q_closeness_eccentricity",
+    sql=f"""
+    WITH {_ce_sql()}
+    SELECT node, reach AS n_reached, dsum AS dist_sum,
+           ecc AS eccentricity,
+           CASE WHEN dsum > 0
+                THEN reach * CAST(1000000 AS BIGINT) // dsum
+                ELSE CAST(0 AS BIGINT) END AS closeness_ppm
+    FROM cs{HC_ORACLE_ROUNDS}
+    """,
+)
+def q_closeness_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled classic closeness and eccentricity of every
+    purchase-graph vertex over the same HC_PIVOTS md5-chosen pivots as
+    q_harmonic_centrality: Σ distance and max distance to the reaching
+    pivots, plus closeness_ppm = n_reached·1e6 // dist_sum."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return closeness_sketch(edges)
+
+
+# ---------------------------------------------------------------------------
 # Betweenness-centrality sketch: Brandes' dependency accumulation
 # (Brandes 2001, "A faster algorithm for betweenness centrality") run
 # from BW_PIVOTS md5-chosen pivot sources instead of all V

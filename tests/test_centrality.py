@@ -167,3 +167,93 @@ def test_betweenness_budget_raises(spark):
     assert stats["frontier"][-1] == 0, stats
     with pytest.raises(RuntimeError, match="frontier still growing"):
         betweenness_sketch(edges, n_pivots=1, max_rounds=2)
+
+
+def _python_closeness(edges) -> dict[int, tuple[int, int, int, int]]:
+    """Independent BFS reference for q_closeness_eccentricity: per node
+    (n_reached, dist_sum, eccentricity, closeness_ppm) over the same
+    md5-selected pivots, distances ≥ 1 only (self never accrues)."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    pivots = sorted(adj, key=lambda n: (_md5_60bit(f"{n}:pivot"), n))[
+        :HC_PIVOTS
+    ]
+    reached: dict[int, int] = defaultdict(int)
+    dsum: dict[int, int] = defaultdict(int)
+    ecc: dict[int, int] = defaultdict(int)
+    for p in pivots:
+        dist = {p: 0}
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                reached[v] += 1
+                dsum[v] += d
+                ecc[v] = max(ecc[v], d)
+    return {
+        n: (
+            reached[n],
+            dsum[n],
+            ecc[n],
+            reached[n] * 1_000_000 // dsum[n] if dsum[n] else 0,
+        )
+        for n in adj
+    }
+
+
+def test_closeness_matches_pure_python_reference(spark, sf_small):
+    edges = _purchase_edges(sf_small)
+    exp = _python_closeness(edges)
+    got = {
+        r.node: (r.n_reached, r.dist_sum, r.eccentricity, r.closeness_ppm)
+        for r in registry.QUERIES["q_closeness_eccentricity"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == exp
+    # non-degenerate: closeness separates hubs from leaves, and
+    # eccentricity spans more than one level
+    assert len({v[3] for v in got.values()}) > 3
+    assert len({v[2] for v in got.values()}) > 1
+
+
+def test_closeness_budget_and_determinism(spark):
+    """Same budget discipline as harmonic: on a path with one pivot of
+    eccentricity e, max_rounds=e succeeds (e growing rounds + one
+    confirming), e-1 raises; rerun is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.graph import (
+        closeness_sketch,
+    )
+
+    chain = [(i, i + 1) for i in range(5)]
+    fwd = spark.createDataFrame(chain, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    pivot = min(range(6), key=lambda n: (_md5_60bit(f"{n}:pivot"), n))
+    ecc = max(abs(pivot - i) for i in range(6))
+    stats: dict = {}
+    out = closeness_sketch(edges, n_pivots=1, max_rounds=ecc, stats=stats)
+    rows_a = {r.node: (r.dist_sum, r.eccentricity) for r in out.collect()}
+    assert stats["rounds"] == ecc + 1 and stats["grew"][-1] == 0, stats
+    # the pivot's own row: reached by no OTHER pivot (n_pivots=1)
+    assert rows_a[pivot] == (0, 0)
+    # the far end of the path sits at exactly distance ecc
+    far = max(range(6), key=lambda n: abs(pivot - n))
+    assert rows_a[far] == (ecc, ecc)
+    rows_b = {
+        r.node: (r.dist_sum, r.eccentricity)
+        for r in closeness_sketch(
+            edges, n_pivots=1, max_rounds=ecc
+        ).collect()
+    }
+    assert rows_a == rows_b
+    with pytest.raises(RuntimeError, match="masks still growing"):
+        closeness_sketch(edges, n_pivots=1, max_rounds=ecc - 1)

@@ -291,6 +291,7 @@ def main() -> int:
         "linkweights": "q_linkage_weights",
         "harmonic": "q_harmonic_centrality",
         "betweenness": "q_betweenness_sketch",
+        "closeness": "q_closeness_eccentricity",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -757,8 +758,8 @@ def main() -> int:
             )
         log(f"linkage chunked oracle+compare took {time.time() - t0:.0f}s")
 
-    if checks & {"harmonic", "betweenness"}:
-        # both centrality sketches share the purchase-graph edge build;
+    if checks & {"harmonic", "betweenness", "closeness"}:
+        # the centrality sketches share the purchase-graph edge build;
         # their committed unrolled oracles pay all 12 budget rounds in
         # one statement (~300 s at sf1) — the stepped drivers below run
         # the IDENTICAL step SQL one round per statement with early
@@ -771,6 +772,7 @@ def main() -> int:
             PR_SUPP_OFFSET,
             bw_bwd_step_sql,
             bw_fwd_step_sql,
+            ce_step_sql,
             hc_step_sql,
         )
         from nyc_landmarks_datalake_spark.functions.hashing import (
@@ -845,6 +847,61 @@ def main() -> int:
             f"FROM {prev}",
         )
         log(f"harmonic stepped oracle+compare took {time.time() - t0:.0f}s")
+
+    if "closeness" in checks:
+        # same decomposition as harmonic over the same pivots — state
+        # carries (mask, reach, dsum, ecc), step SQL shared with the
+        # committed oracle (graph.ce_step_sql)
+        t0 = time.time()
+        cpivhash = md5_long_sql("node::VARCHAR || ':pivot'")
+        con.execute(
+            "CREATE TEMP TABLE vt_cs0 AS "
+            "SELECT n.node,"
+            " COALESCE((CAST(1 AS BIGINT) << (p.rk - 1)), 0) AS mask,"
+            " CAST(0 AS BIGINT) AS reach, CAST(0 AS BIGINT) AS dsum,"
+            " CAST(0 AS BIGINT) AS ecc "
+            "FROM vt_cnodes n LEFT JOIN ("
+            "  SELECT node, ROW_NUMBER() OVER (ORDER BY "
+            f"   {cpivhash}, node) AS rk"
+            "  FROM vt_cnodes"
+            f"  ORDER BY {cpivhash}, node"
+            f"  LIMIT {HC_PIVOTS}"
+            ") p ON p.node = n.node"
+        )
+        prev = "vt_cs0"
+        for k in range(1, HC_MAX_ROUNDS + 2):
+            cur = f"vt_cs{k}"
+            con.execute(
+                f"CREATE TEMP TABLE {cur} AS "
+                + ce_step_sql(prev, k, edges="vt_cedges")
+            )
+            grew = con.execute(
+                f"SELECT count(*) FROM {cur} a JOIN {prev} b "
+                "ON a.node = b.node AND a.mask <> b.mask"
+            ).fetchone()[0]
+            log(f"closeness MS-BFS round {k}: {grew} masks grew")
+            con.execute(f"DROP TABLE {prev}")
+            prev = cur
+            if grew == 0:
+                break
+        else:
+            raise AssertionError(
+                f"closeness MS-BFS still growing after {HC_MAX_ROUNDS} "
+                "rounds — raise HC_MAX_ROUNDS (Spark raises at the same "
+                "budget)"
+            )
+        check(
+            "q_closeness_eccentricity",
+            "SELECT node, reach AS n_reached, dsum AS dist_sum,"
+            " ecc AS eccentricity,"
+            " CASE WHEN dsum > 0"
+            "      THEN reach * CAST(1000000 AS BIGINT) // dsum"
+            f"      ELSE CAST(0 AS BIGINT) END AS closeness_ppm "
+            f"FROM {prev}",
+        )
+        log(
+            f"closeness stepped oracle+compare took {time.time() - t0:.0f}s"
+        )
 
     if "betweenness" in checks:
         t0 = time.time()
