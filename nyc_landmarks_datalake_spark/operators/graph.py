@@ -1054,15 +1054,29 @@ def lpa_step_sql(prev: str, side: str, edges: str = "ledges") -> str:
 
 
 def _lpa_sql() -> str:
+    # The same-nation edge build MUST flow the nation key through the
+    # pair relation (pairs → +c_nationkey → supplier match), each step
+    # behind a MATERIALIZED boundary so the optimizer cannot reorder
+    # into customer ⋈ supplier ON nationkey first: that join is
+    # |C|·|S|/25 rows — ~6e9 at sf10 (DuckDB misestimated it at 1.5M
+    # and picked it as a hash-join build side; the r15 sf10 run sat
+    # compute-bound for 30+ minutes at 55 GB RSS before being cut).
+    # Flowed this way every intermediate is bounded by the distinct
+    # purchase-pair count. The stepped native-scale verifier builds the
+    # same three relations as separate temp tables.
     ctes = [
-        f"""ll0 AS (
-        SELECT DISTINCT p.c, p.s FROM (
-            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        ) p
-        JOIN customer cu ON cu.c_custkey = p.c
-        JOIN supplier su ON su.s_suppkey = p.s
-        WHERE cu.c_nationkey = su.s_nationkey
+        f"""llp AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    llc AS MATERIALIZED (
+        SELECT p.c, p.s, cu.c_nationkey AS nat
+        FROM llp p JOIN customer cu ON cu.c_custkey = p.c
+    ),
+    ll0 AS (
+        SELECT DISTINCT llc.c, llc.s
+        FROM llc JOIN supplier su
+          ON su.s_suppkey = llc.s AND su.s_nationkey = llc.nat
     ),
     ledges AS MATERIALIZED (
         SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM ll0

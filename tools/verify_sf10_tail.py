@@ -254,6 +254,15 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=".sfnative10")
     ap.add_argument("--checks", default="clusters,apply")
     ap.add_argument(
+        "--duckdb-mem",
+        default="48GB",
+        help="DuckDB memory_limit for the oracle phase (default 48GB — "
+        "the historical co-resident-JVM budget; the Spark phase is over "
+        "before the oracle phase starts, so on a quiet 125GB box 90GB "
+        "cuts spill dramatically: the r15 LPA sf10 run spilled >60GB "
+        "under 48GB and exhausted the disk, the r14 failure mode)",
+    )
+    ap.add_argument(
         "--reuse-spark",
         action="store_true",
         help="load Spark-side results cached by a previous run from "
@@ -503,7 +512,7 @@ def main() -> int:
             kcore_step_sql,
         )
 
-        con.execute("SET memory_limit='48GB'")
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill_kcore'")
         t0 = time.time()
         con.execute(
@@ -574,19 +583,31 @@ def main() -> int:
             lpa_step_sql,
         )
 
-        con.execute("SET memory_limit='48GB'")
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill_lpa'")
         t0 = time.time()
+        # three separate statements, mirroring the committed oracle's
+        # MATERIALIZED llp/llc/ll0 chain: the nation key flows through
+        # the pair relation so the optimizer can never pick the
+        # customer ⋈ supplier ON nationkey order (~6e9 rows at sf10 —
+        # the r15 blowup; see graph._lpa_sql)
+        con.execute(
+            "CREATE TEMP TABLE vt_llp AS "
+            "SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_llc AS "
+            "SELECT p.c, p.s, cu.c_nationkey AS nat "
+            "FROM vt_llp p JOIN customer cu ON cu.c_custkey = p.c"
+        )
         con.execute(
             "CREATE TEMP TABLE vt_ll0 AS "
-            "SELECT DISTINCT p.c, p.s FROM ("
-            "  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s"
-            "  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
-            ") p "
-            "JOIN customer cu ON cu.c_custkey = p.c "
-            "JOIN supplier su ON su.s_suppkey = p.s "
-            "WHERE cu.c_nationkey = su.s_nationkey"
+            "SELECT DISTINCT llc.c, llc.s "
+            "FROM vt_llc llc JOIN supplier su "
+            "ON su.s_suppkey = llc.s AND su.s_nationkey = llc.nat"
         )
+        con.execute("DROP TABLE vt_llp; DROP TABLE vt_llc")
         con.execute(
             "CREATE TEMP TABLE vt_ledges AS "
             f"SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM vt_ll0 "
@@ -653,7 +674,7 @@ def main() -> int:
             weights_unpivot_sql,
         )
 
-        con.execute("SET memory_limit='48GB'")
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill_linkage'")
         t0 = time.time()
         n_chunks = 8
@@ -779,7 +800,7 @@ def main() -> int:
             md5_long_sql,
         )
 
-        con.execute("SET memory_limit='48GB'")
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill_cent'")
         t0 = time.time()
         con.execute(
