@@ -178,8 +178,11 @@ HEADLINE = [
     "q_harmonic_centrality",
     "q_betweenness_sketch",
     # added r15: classic closeness + eccentricity from the same
-    # bitmask MS-BFS machinery (same pivots as harmonic)
+    # bitmask MS-BFS machinery (same pivots as harmonic), and the
+    # directional KL pair completing the drift family
     "q_closeness_eccentricity",
+    "q_kl_drift",
+    "q_distance_distribution",
 ]
 
 

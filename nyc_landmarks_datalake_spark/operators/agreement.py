@@ -717,3 +717,154 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cur_n").alias("n_cur"),
         F.expr("CAST(SUM(contrib2_e12) div 2 AS BIGINT)").alias("js_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kullback-Leibler drift — the directional member completing the drift
+# family (PSI symmetric-unbounded, JS symmetric-bounded, KL directional
+# -unbounded). Both directions ship: kl_cur_ref_e12 = Σ q·ln(q/p) is
+# the conventional "how surprised is the reference model by current
+# data" monitor; kl_ref_cur_e12 = Σ p·ln(p/q) the reverse. Same
+# Laplace-smoothed 1-ppm-floored fractions (psi_frac_exprs — the
+# identical clamp text as PSI/JS, sf10-verified), same SIGNED
+# fixed-point ln chains (_lnfp_steps), so both engines compute
+# bit-identical e12 values. Note PSI ≡ kl_cur_ref + kl_ref_cur by
+# definition — pinned by a test, a three-way internal consistency
+# check none of the operators can pass alone if any chain drifts.
+#
+# Scale posture identical to q_psi_drift / q_js_drift: two corpus
+# passes into the types × bins census; everything after runs on
+# types × PSI_BINS rows.
+# ---------------------------------------------------------------------------
+def _kl_trajectory(div: str, shl: str) -> list[tuple[str, str]]:
+    """(p_ppm, q_ppm) → per-bin signed KL contributions in both
+    directions (e12 fixed point)."""
+    steps = _lnfp_steps("kf", "q_ppm", "p_ppm", div, shl)
+    steps += _lnfp_steps("kr", "p_ppm", "q_ppm", div, shl)
+    steps.append(("kl_fwd_e12", "q_ppm * kf_ln"))
+    steps.append(("kl_rev_e12", "p_ppm * kr_ln"))
+    return steps
+
+
+def _kl_oracle() -> str:
+    steps = psi_frac_exprs("//") + _kl_trajectory(
+        "//", "(CAST(1 AS BIGINT) << {k})"
+    )
+    step_ctes = []
+    prev = "psi_frac"
+    for name, expr in steps:
+        step_ctes.append(
+            f"kl_{name} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        )
+        prev = f"kl_{name}"
+    joined = ",\n".join(step_ctes)
+    return f"""
+    WITH psi_span AS (
+        SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1
+        FROM events
+    ),
+    psi_binned AS (
+        SELECT event_type,
+               LEAST({PSI_BINS - 1}, GREATEST(0,
+                   CAST(FLOOR(value / {PSI_BIN_WIDTH}.0) AS INT))) AS bin,
+               CAST(epoch_us(ts) AS BIGINT) * 2 < t0 + t1 AS is_ref
+        FROM events, psi_span
+    ),
+    psi_cnt0 AS (
+        SELECT event_type, bin,
+               CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT)
+                   AS ref_c,
+               CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0)
+                    AS BIGINT) AS cur_c
+        FROM psi_binned GROUP BY 1, 2
+    ),
+    psi_spine AS (
+        SELECT event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM psi_cnt0),
+             (SELECT unnest(range({PSI_BINS})) AS bin) b
+    ),
+    psi_cnt AS (
+        SELECT s.event_type, s.bin,
+               COALESCE(c.ref_c, 0) AS ref_c, COALESCE(c.cur_c, 0) AS cur_c
+        FROM psi_spine s LEFT JOIN psi_cnt0 c
+          ON c.event_type = s.event_type AND c.bin = s.bin
+    ),
+    psi_tot AS (
+        SELECT event_type, CAST(SUM(ref_c) AS BIGINT) AS ref_n,
+               CAST(SUM(cur_c) AS BIGINT) AS cur_n
+        FROM psi_cnt GROUP BY 1
+    ),
+    psi_frac AS (
+        SELECT c.event_type, c.bin, c.ref_c, c.cur_c, t.ref_n, t.cur_n
+        FROM psi_cnt c JOIN psi_tot t USING (event_type)
+    ),
+    {joined}
+    SELECT event_type,
+           MAX(ref_n) AS n_ref, MAX(cur_n) AS n_cur,
+           CAST(SUM(kl_fwd_e12) AS BIGINT) AS kl_cur_ref_e12,
+           CAST(SUM(kl_rev_e12) AS BIGINT) AS kl_ref_cur_e12
+    FROM {prev}
+    GROUP BY event_type
+    """
+
+
+@query("q_kl_drift", sql=_kl_oracle())
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type directional Kullback-Leibler divergences between
+    the first and second half of the observed event window over the
+    same fixed-bin census as q_psi_drift: kl_cur_ref_e12 = KL(cur‖ref)
+    (drift surprise), kl_ref_cur_e12 the reverse — signed fixed-point
+    ln chains, integer-exact cross-engine; their sum is PSI by
+    definition (pinned in tests)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    span = ev.agg(
+        F.expr("CAST(MIN(unix_micros(ts)) AS BIGINT)").alias("t0"),
+        F.expr("CAST(MAX(unix_micros(ts)) AS BIGINT)").alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.expr(
+            f"LEAST({PSI_BINS - 1}, GREATEST(0,"
+            f" CAST(FLOOR(value / {PSI_BIN_WIDTH}.0) AS INT)))"
+        ).alias("bin"),
+        F.expr("CAST(unix_micros(ts) AS BIGINT) * 2 < t0 + t1").alias("is_ref"),
+    )
+    cnt0 = binned.groupBy("event_type", "bin").agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT)"
+        ).alias("ref_c"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("cur_c"),
+    ).localCheckpoint(eager=False)  # census; spine + counts branch
+    spine = (
+        cnt0.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(0, {PSI_BINS - 1})")).alias("bin"),
+        )
+    )
+    cnt = spine.join(cnt0, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("ref_c", F.lit(0)).alias("ref_c"),
+        F.coalesce("cur_c", F.lit(0)).alias("cur_c"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("ref_c").cast("long").alias("ref_n"),
+        F.sum("cur_c").cast("long").alias("cur_n"),
+    )
+    out = cnt.join(F.broadcast(tot), "event_type")
+    for name, expr in psi_frac_exprs("div") + _kl_trajectory(
+        "div", "shiftleft(CAST(1 AS BIGINT), {k})"
+    ):
+        out = out.withColumn(name, F.expr(expr))
+    return out.groupBy("event_type").agg(
+        F.max("ref_n").alias("n_ref"),
+        F.max("cur_n").alias("n_cur"),
+        F.expr("CAST(SUM(kl_fwd_e12) AS BIGINT)").alias("kl_cur_ref_e12"),
+        F.expr("CAST(SUM(kl_rev_e12) AS BIGINT)").alias("kl_ref_cur_e12"),
+    )

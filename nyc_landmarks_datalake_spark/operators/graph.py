@@ -1705,6 +1705,205 @@ def q_closeness_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distance distribution / neighbourhood function sketch (Palmer et al.
+# 2002 "ANF: a fast and scalable tool for data mining in massive
+# graphs"; Boldi & Vigna 2011 HyperANF) — the ECDF of pairwise
+# distances from the SAME pivot-sampled bitmask MS-BFS: N(k) = number
+# of (pivot, node) pairs at distance ≤ k. The standard outputs —
+# effective diameter (smallest k with cum ≥ 90%), median distance,
+# exact diameter lower bound — all read off this relation. ANF proper
+# runs from ALL vertices with probabilistic counters; the pivot-exact
+# form here is the same estimator family with exact counts over the
+# deterministic md5 pivot set, so the cross-engine oracle stays
+# value-exact (a HyperLogLog-based variant cannot be).
+#
+# Zero new iteration machinery: per-round pair counts are the DELTAS of
+# SUM(reach) over the closeness state (reach is monotone in rounds),
+# so the committed oracle reuses _ce_sql() verbatim and the Spark side
+# keeps a lazy 1-row SUM(reach) aggregate per round — each over a
+# checkpointed V-row state, then a ≤13-row union + window (single-
+# partition over 13 aggregate rows — the SCALING tiny-cardinality
+# exemption). Self-pairs never count (a pivot's own bit is set at
+# round 0, never "new").
+# ---------------------------------------------------------------------------
+
+
+def _dd_sql() -> str:
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS distance, CAST(0 AS BIGINT)"
+        " AS cum_pairs"
+    ] + [
+        f"SELECT CAST({k} AS BIGINT),"
+        f" (SELECT CAST(SUM(reach) AS BIGINT) FROM cs{k})"
+        for k in range(1, HC_ORACLE_ROUNDS + 1)
+    ]
+    union = "\n        UNION ALL ".join(rows)
+    return f"""
+    WITH {_ce_sql()},
+    dd0 AS (
+        {union}
+    ),
+    ddw AS (
+        SELECT distance, cum_pairs,
+               cum_pairs - LAG(cum_pairs)
+                   OVER (ORDER BY distance) AS n_pairs,
+               MAX(cum_pairs) OVER () AS total
+        FROM dd0
+    )
+    SELECT distance, n_pairs, cum_pairs,
+           CAST(cum_pairs * 1000000 // total AS BIGINT) AS cum_ppm
+    FROM ddw WHERE n_pairs > 0
+    """
+
+
+def distance_profile(
+    edges: DataFrame,
+    n_pivots: int = HC_PIVOTS,
+    max_rounds: int = HC_MAX_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edge list (both directions present) →
+    (distance, n_pairs, cum_pairs, cum_ppm): the pivot-sampled
+    pairwise-distance ECDF. Same pivot selection, loop shape, and
+    raise-on-exhaustion budget as harmonic/closeness; per-round cost is
+    the identical E-row join + bit_or agg plus one lazy 1-row
+    SUM(reach) aggregate over the checkpointed state."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pivots = (
+        nodes.select(
+            "node",
+            md5_long(
+                F.concat(F.col("node").cast("string"), F.lit(":pivot"))
+            ).alias("h"),
+        )
+        .orderBy("h", "node")
+        .limit(n_pivots)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("h", "node"))
+        )
+        .select(
+            "node",
+            F.expr("shiftleft(CAST(1 AS BIGINT), rk - 1)").alias("pmask"),
+        )
+    )
+    state = (
+        nodes.join(F.broadcast(pivots), "node", "left")
+        .select(
+            "node",
+            F.coalesce("pmask", F.lit(0)).cast("long").alias("mask"),
+            F.lit(0).cast("long").alias("reach"),
+        )
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    cum_rows = [
+        spark.range(1).select(
+            F.lit(0).cast("long").alias("distance"),
+            F.lit(0).cast("long").alias("cum_pairs"),
+        )
+    ]
+    grew_per_round: list[int] = []
+    done = False
+    for k in range(1, max_rounds + 2):
+        nb = (
+            edges.join(
+                state.filter(F.col("mask") != 0).select(
+                    F.col("node").alias("src"), "mask"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("bit_or(mask)").alias("m"))
+        )
+        newbits = "bit_count((mask | COALESCE(m, 0)) - mask)"
+        new_state = (
+            state.join(nb, "node", "left")
+            .select(
+                "node",
+                F.col("mask").alias("__old"),
+                F.expr("mask | COALESCE(m, 0)").alias("mask"),
+                F.expr(f"reach + {newbits}").alias("reach"),
+            )
+            .localCheckpoint()
+        )
+        grew = new_state.filter(F.col("mask") != F.col("__old")).count()
+        grew_per_round.append(grew)
+        state = new_state.drop("__old")
+        if grew > 0:
+            cum_rows.append(
+                state.agg(
+                    F.sum("reach").cast("long").alias("cum_pairs")
+                ).select(
+                    F.lit(k).cast("long").alias("distance"), "cum_pairs"
+                )
+            )
+        if grew == 0:
+            done = True
+            break
+    if not done:
+        raise RuntimeError(
+            f"pivoted MS-BFS masks still growing after {max_rounds} "
+            "rounds — a truncated distance distribution under-reports "
+            "every remaining distance; raise max_rounds (and the oracle "
+            "unroll) together"
+        )
+    if stats is not None:
+        stats["rounds"] = len(grew_per_round)
+        stats["grew"] = grew_per_round
+    dd0 = reduce(lambda a, b: a.unionAll(b), cum_rows)
+    w = Window.orderBy("distance")
+    ddw = dd0.select(
+        "distance",
+        "cum_pairs",
+        (F.col("cum_pairs") - F.lag("cum_pairs").over(w)).alias("n_pairs"),
+        F.max("cum_pairs")
+        .over(Window.partitionBy())
+        .alias("total"),
+    )
+    return ddw.filter(F.col("n_pairs") > 0).select(
+        "distance",
+        "n_pairs",
+        "cum_pairs",
+        F.expr(
+            "CAST(cum_pairs * CAST(1000000 AS BIGINT) div total AS BIGINT)"
+        ).alias("cum_ppm"),
+    )
+
+
+@query("q_distance_distribution", sql=_dd_sql())
+def q_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-distance ECDF of the purchase graph over the HC_PIVOTS
+    md5-chosen pivots (ANF neighbourhood function, pivot-exact form):
+    per distance k, how many (pivot, node) pairs sit at exactly k and
+    the cumulative ppm — effective diameter = first distance with
+    cum_ppm ≥ 900000."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.col("s") + PR_SUPP_OFFSET).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return distance_profile(edges)
+
+
+# ---------------------------------------------------------------------------
 # Betweenness-centrality sketch: Brandes' dependency accumulation
 # (Brandes 2001, "A faster algorithm for betweenness centrality") run
 # from BW_PIVOTS md5-chosen pivot sources instead of all V

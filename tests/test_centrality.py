@@ -257,3 +257,85 @@ def test_closeness_budget_and_determinism(spark):
     assert rows_a == rows_b
     with pytest.raises(RuntimeError, match="masks still growing"):
         closeness_sketch(edges, n_pivots=1, max_rounds=ecc - 1)
+
+
+def _python_distance_distribution(edges) -> dict[int, tuple[int, int, int]]:
+    """Independent BFS reference for q_distance_distribution: per
+    distance (n_pairs, cum_pairs, cum_ppm) over the md5 pivots."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    pivots = sorted(adj, key=lambda n: (_md5_60bit(f"{n}:pivot"), n))[
+        :HC_PIVOTS
+    ]
+    per_d: dict[int, int] = defaultdict(int)
+    for p in pivots:
+        dist = {p: 0}
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                per_d[d] += 1
+    total = sum(per_d.values())
+    out = {}
+    cum = 0
+    for d in sorted(per_d):
+        cum += per_d[d]
+        out[d] = (per_d[d], cum, cum * 1_000_000 // total)
+    return out
+
+
+def test_distance_distribution_matches_pure_python(spark, sf_small):
+    edges = _purchase_edges(sf_small)
+    exp = _python_distance_distribution(edges)
+    got = {
+        r.distance: (r.n_pairs, r.cum_pairs, r.cum_ppm)
+        for r in registry.QUERIES["q_distance_distribution"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == exp
+    # the ECDF ends at exactly 1e6 ppm and is monotone
+    dists = sorted(got)
+    assert got[dists[-1]][2] == 1_000_000
+    assert all(
+        got[a][1] < got[b][1] for a, b in zip(dists, dists[1:])
+    )
+
+
+def test_distance_distribution_budget_raises(spark):
+    """Same budget discipline as harmonic/closeness: a path needing e
+    rounds succeeds at max_rounds=e and raises at e-1; the profile of
+    a single-pivot path is one pair per distance 1..e."""
+    from pyspark.sql import functions as F
+
+    from nyc_landmarks_datalake_spark.operators.graph import (
+        distance_profile,
+    )
+
+    chain = [(i, i + 1) for i in range(5)]
+    fwd = spark.createDataFrame(chain, ["src", "dst"])
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src")))
+    pivot = min(range(6), key=lambda n: (_md5_60bit(f"{n}:pivot"), n))
+    ecc = max(abs(pivot - i) for i in range(6))
+    got = {
+        r.distance: r.n_pairs
+        for r in distance_profile(
+            edges, n_pivots=1, max_rounds=ecc
+        ).collect()
+    }
+    # pivot 0 or 5 → one node per distance; interior pivot → two per
+    # distance until one side runs out
+    exp: dict[int, int] = defaultdict(int)
+    for n in range(6):
+        if n != pivot:
+            exp[abs(n - pivot)] += 1
+    assert got == dict(exp)
+    with pytest.raises(RuntimeError, match="masks still growing"):
+        distance_profile(edges, n_pivots=1, max_rounds=ecc - 1)

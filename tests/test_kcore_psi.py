@@ -329,3 +329,59 @@ def test_kcore_budget_counts_updates(spark):
     assert stats["changed"] == [2, 2, 1, 0], stats
     with pytest.raises(RuntimeError, match="did not converge"):
         coreness(edges, max_iters=2)
+
+
+def test_kl_matches_pure_python_reference(spark, sf_small):
+    ref, cur = _binned_counts(sf_small)
+    exp = {}
+    for et in set(ref) | set(cur):
+        rn, cn = sum(ref[et]), sum(cur[et])
+        fwd = rev = 0
+        for i in range(PSI_BINS):
+            p = max(((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS), 1)
+            q = max(((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS), 1)
+            fwd += q * _lnfp(q, p)
+            rev += p * _lnfp(p, q)
+        exp[et] = (rn, cn, fwd, rev)
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.kl_cur_ref_e12, r.kl_ref_cur_e12)
+        for r in registry.QUERIES["q_kl_drift"](spark, sf_small).collect()
+    }
+    assert got == exp
+
+
+def test_kl_directions_sum_to_psi_exactly(spark, sf_small):
+    """PSI ≡ KL(cur‖ref) + KL(ref‖cur) holds EXACTLY in the integer
+    trajectories (both use the same hi/lo ln chain, so q·sg·L + p·(−sg)
+    ·L = |q−p|·L bin-for-bin) — a three-way internal consistency check
+    across q_psi_drift and q_kl_drift that fails if either chain
+    drifts."""
+    psi = {
+        r.event_type: r.psi_e12
+        for r in registry.QUERIES["q_psi_drift"](spark, sf_small).collect()
+    }
+    kl = {
+        r.event_type: r.kl_cur_ref_e12 + r.kl_ref_cur_e12
+        for r in registry.QUERIES["q_kl_drift"](spark, sf_small).collect()
+    }
+    assert psi == kl
+
+
+def test_kl_fixed_point_tracks_float_kl(sf_small):
+    """The forward trajectory approximates float KL(cur‖ref) on the
+    smoothed census; both directions are nonnegative up to fixed-point
+    granularity."""
+    ref, cur = _binned_counts(sf_small)
+    for et in ref:
+        rn, cn = sum(ref[et]), sum(cur[et])
+        fwd = 0
+        kl = 0.0
+        for i in range(PSI_BINS):
+            pi = max(((ref[et][i] + 1) * 10**6) // (rn + PSI_BINS), 1)
+            qi = max(((cur[et][i] + 1) * 10**6) // (cn + PSI_BINS), 1)
+            fwd += qi * _lnfp(qi, pi)
+            p = (ref[et][i] + 1) / (rn + PSI_BINS)
+            q = (cur[et][i] + 1) / (cn + PSI_BINS)
+            kl += q * math.log(q / p)
+        assert fwd / 1e12 == pytest.approx(kl, rel=2e-3, abs=2e-7)
+        assert fwd >= -10**6  # nonneg up to per-bin ppm truncation

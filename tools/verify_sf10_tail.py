@@ -301,6 +301,7 @@ def main() -> int:
         "harmonic": "q_harmonic_centrality",
         "betweenness": "q_betweenness_sketch",
         "closeness": "q_closeness_eccentricity",
+        "distances": "q_distance_distribution",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -779,7 +780,7 @@ def main() -> int:
             )
         log(f"linkage chunked oracle+compare took {time.time() - t0:.0f}s")
 
-    if checks & {"harmonic", "betweenness", "closeness"}:
+    if checks & {"harmonic", "betweenness", "closeness", "distances"}:
         # the centrality sketches share the purchase-graph edge build;
         # their committed unrolled oracles pay all 12 budget rounds in
         # one statement (~300 s at sf1) — the stepped drivers below run
@@ -922,6 +923,77 @@ def main() -> int:
         )
         log(
             f"closeness stepped oracle+compare took {time.time() - t0:.0f}s"
+        )
+
+    if "distances" in checks:
+        # q_distance_distribution's committed oracle is the SAME 12-round
+        # unrolled ce chain plus per-round SUM(reach) deltas — the
+        # single-statement unroll thrashed at sf10 (the documented
+        # unrolled-iteration trap), so drive ce_step_sql stepped and
+        # record each round's SUM(reach) into a profile table.
+        t0 = time.time()
+        dpivhash = md5_long_sql("node::VARCHAR || ':pivot'")
+        con.execute(
+            "CREATE TEMP TABLE vt_ds0 AS "
+            "SELECT n.node,"
+            " COALESCE((CAST(1 AS BIGINT) << (p.rk - 1)), 0) AS mask,"
+            " CAST(0 AS BIGINT) AS reach, CAST(0 AS BIGINT) AS dsum,"
+            " CAST(0 AS BIGINT) AS ecc "
+            "FROM vt_cnodes n LEFT JOIN ("
+            "  SELECT node, ROW_NUMBER() OVER (ORDER BY "
+            f"   {dpivhash}, node) AS rk"
+            "  FROM vt_cnodes"
+            f"  ORDER BY {dpivhash}, node"
+            f"  LIMIT {HC_PIVOTS}"
+            ") p ON p.node = n.node"
+        )
+        con.execute(
+            "CREATE TEMP TABLE vt_dprof (distance BIGINT, cum_pairs BIGINT)"
+        )
+        con.execute("INSERT INTO vt_dprof VALUES (0, 0)")
+        prev = "vt_ds0"
+        for k in range(1, HC_MAX_ROUNDS + 2):
+            cur = f"vt_ds{k}"
+            con.execute(
+                f"CREATE TEMP TABLE {cur} AS "
+                + ce_step_sql(prev, k, edges="vt_cedges")
+            )
+            grew = con.execute(
+                f"SELECT count(*) FROM {cur} a JOIN {prev} b "
+                "ON a.node = b.node AND a.mask <> b.mask"
+            ).fetchone()[0]
+            log(f"distances MS-BFS round {k}: {grew} masks grew")
+            con.execute(f"DROP TABLE {prev}")
+            prev = cur
+            if grew == 0:
+                break
+            con.execute(
+                f"INSERT INTO vt_dprof SELECT {k},"
+                f" CAST(SUM(reach) AS BIGINT) FROM {cur}"
+            )
+        else:
+            raise AssertionError(
+                f"distances MS-BFS still growing after {HC_MAX_ROUNDS} "
+                "rounds — raise HC_MAX_ROUNDS (Spark raises at the same "
+                "budget)"
+            )
+        check(
+            "q_distance_distribution",
+            """
+            WITH ddw AS (
+                SELECT distance, cum_pairs,
+                       cum_pairs - LAG(cum_pairs)
+                           OVER (ORDER BY distance) AS n_pairs,
+                       MAX(cum_pairs) OVER () AS total
+                FROM vt_dprof
+            )
+            SELECT distance, n_pairs, cum_pairs,
+                   CAST(cum_pairs * 1000000 // total AS BIGINT) AS cum_ppm
+            FROM ddw WHERE n_pairs > 0
+            """,
+        )
+        log(
+            f"distances stepped oracle+compare took {time.time() - t0:.0f}s"
         )
 
     if "betweenness" in checks:
