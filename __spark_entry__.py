@@ -58,12 +58,14 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # all 8 r14 entries re-greened in CORRECTNESS_r14 and were
-        # cleared. r15 touches: the LPA committed oracle gained a
-        # convergence guard (lpa_conv CTE + error() on a non-converged
-        # unroll — r14 ADVICE); values are unchanged at every converged
-        # scale, but the oracle text changed, so re-verify.
-        "q_label_propagation",
+        # r15's single entry (q_label_propagation, post oracle-guard
+        # text change) re-greened in CORRECTNESS_r15 — cleared.
+        # r16 touches: the undirected co-purchase edge builder was
+        # lifted out of oriented_copurchase_edges into copurchase_und
+        # (shared with the new link-prediction/assortativity queries).
+        # Semantically a no-op and parity-rechecked at sf0.001/0.01,
+        # but the implementation text changed, so re-verify.
+        "q_triangle_count",
     }
 )
 

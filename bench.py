@@ -183,6 +183,11 @@ HEADLINE = [
     "q_closeness_eccentricity",
     "q_kl_drift",
     "q_distance_distribution",
+    # added r16: neighborhood-index link prediction (wedge-enumerated
+    # distance-2 candidates, fixed-point AA/RA weights) and Newman
+    # degree assortativity over the same co-purchase graph
+    "q_link_prediction",
+    "q_degree_assortativity",
 ]
 
 

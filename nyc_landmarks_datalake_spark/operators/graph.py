@@ -32,6 +32,7 @@ from nyc_landmarks_datalake_spark.functions.hashing import (
     md5_long,
     md5_long_sql,
 )
+from nyc_landmarks_datalake_spark.operators.agreement import _LN2_PPM
 from nyc_landmarks_datalake_spark.operators.dedup import (
     EXACT_DUP_EDGES_SQL,
     LSH_PAIR_CTES,
@@ -382,12 +383,17 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_OKEY = 100_000_000  # node ids < 1e8 at every supported sf
 
 
-def oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree-oriented distinct co-purchase edges (src -> dst, okey asc)."""
+def copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v by partkey): parts
+    that appear together on at least one order. Shared spine of the
+    triangle census, link prediction and degree assortativity — one
+    self-join on l_orderkey + a distinct, Θ(Σ parts-per-order²) rows
+    before dedup (parts-per-order is bounded by order size, never by
+    graph degree, so this is hub-proof at any scale)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    und = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -396,6 +402,11 @@ def oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+
+
+def oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented distinct co-purchase edges (src -> dst, okey asc)."""
+    und = copurchase_und(spark, sf_dir)
     both = und.select("u", "v").unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -2155,3 +2166,264 @@ def q_betweenness_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return betweenness_sketch(edges)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the co-purchase graph: score non-adjacent part
+# pairs by their shared neighborhood — common-neighbors, Jaccard,
+# Adamic-Adar, resource-allocation (Zhou-Lü-Zhang 2009) and
+# preferential-attachment — and return the top-K candidate edges.
+# (Liben-Nowell & Kleinberg 2003 taxonomy; Adamic & Adar 2003.)
+#
+# Only DISTANCE-2 pairs are scored (a pair with zero common neighbors
+# scores 0 on every neighborhood index), which is what makes the
+# operator tractable: candidates come from wedge enumeration through
+# each common neighbor w — Θ(Σ_w deg(w)²) wedge rows into one pair
+# aggregation — never an all-pairs product. Per-center weights (the
+# 1/deg and 1/ln(deg) factors) are computed ONCE per vertex on the
+# V-row degree relation and ride the adjacency join, so the wedge rows
+# stay narrow and the fixed-point ln chain runs V times, not
+# Θ(wedges) times.
+#
+# Exactness: 1/ln(deg) is transcendental, so the Adamic-Adar weight
+# uses the SAME bit-length range-reduction + atanh-series fixed-point
+# ln as the PSI/JS/KL drift family (agreement._psi_trajectory) — both
+# engines compute identical integers by construction. The
+# resource-allocation and Jaccard scores are plain truncating integer
+# divisions; preferential attachment is an exact product.
+#
+# 100 TB posture: wedge volume is the hub centers' deg² — the scale
+# lever is a center-degree cap (skip centers with deg > D, bounding
+# wedge rows at D·E). It is PRINCIPLED for the weighted indexes — a
+# hub's per-wedge contribution is 1/deg ≤ 1/D (RA) or 1/ln(deg) (AA),
+# i.e. the costliest centers carry the least signal, which is exactly
+# why RA/AA outperform raw CN — but it changes cn/jaccard values, so
+# it stays OFF at test sf for oracle exactness and is documented as
+# the knob to turn first at native scale.
+# ---------------------------------------------------------------------------
+LP_TOPK = 50
+
+
+def lp_weight_steps(div: str, shl: str) -> list[tuple[str, str]]:
+    """(name, expr) chain from a BIGINT ``degw`` (>= 2 for any common
+    neighbor) to the per-center Adamic-Adar weight ``aa_w_e6`` =
+    1e12 // ln_ppm(deg) and resource-allocation weight ``ra_w_e12`` =
+    1e12 // deg. Shared verbatim by the Spark plan and the DuckDB
+    oracle (the kcore/LPA/PSI shared-step discipline); ``div`` is the
+    truncating integer-division token, ``shl`` a format string for
+    ``1 << k``. ln in ppm: range-reduce by k = floor(log2(deg)) via
+    bit length, mantissa m ∈ [1, 2) through the atanh series
+    ln(m) = 2(z + z³/3 + z⁵/5 + z⁷/7 + z⁹/9), z = (m-1)/(m+1)."""
+    return [
+        ("kk", "length(bin(degw)) - 1"),
+        ("m_ppm", f"(degw * 1000000) {div} {shl.format(k='kk')}"),
+        ("z", f"((m_ppm - 1000000) * 1000000) {div} (m_ppm + 1000000)"),
+        ("z2", f"(z * z) {div} 1000000"),
+        ("z3", f"(z2 * z) {div} 1000000"),
+        ("z4", f"(z2 * z2) {div} 1000000"),
+        ("z5", f"(z4 * z) {div} 1000000"),
+        ("z7", f"(z4 * z3) {div} 1000000"),
+        ("z9", f"((z4 * z4) {div} 1000000 * z) {div} 1000000"),
+        (
+            "ln_deg_ppm",
+            f"kk * {_LN2_PPM}"
+            f" + 2 * (z + z3 {div} 3 + z5 {div} 5 + z7 {div} 7 + z9 {div} 9)",
+        ),
+        ("aa_w_e6", f"1000000000000 {div} ln_deg_ppm"),
+        ("ra_w_e12", f"1000000000000 {div} degw"),
+    ]
+
+
+def _lp_sql() -> str:
+    steps = lp_weight_steps("//", "(CAST(1 AS BIGINT) << {k})")
+    step_ctes = []
+    prev = "lp_wts0"
+    for name, expr in steps:
+        step_ctes.append(f"lp_{name} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"lp_{name}"
+    joined = ",\n    ".join(step_ctes)
+    return f"""
+    WITH {_TRI_CTES},
+    lp_wts0 AS (SELECT node AS w, CAST(deg AS BIGINT) AS degw FROM tri_deg),
+    {joined},
+    lp_wts AS (SELECT w, aa_w_e6, ra_w_e12 FROM {prev}),
+    lp_adjw AS (
+        SELECT b.u AS w, b.v AS n, t.aa_w_e6, t.ra_w_e12
+        FROM tri_both b JOIN lp_wts t ON t.w = b.u
+    ),
+    lp_pairs AS (
+        SELECT a.n AS u, b.n AS v,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(a.aa_w_e6) AS BIGINT) AS aa_e6,
+               CAST(SUM(a.ra_w_e12) AS BIGINT) AS ra_e12
+        FROM lp_adjw a JOIN lp_adjw b ON a.w = b.w AND a.n < b.n
+        GROUP BY 1, 2
+    ),
+    lp_cand AS (
+        SELECT p.* FROM lp_pairs p
+        ANTI JOIN tri_und e ON e.u = p.u AND e.v = p.v
+    )
+    SELECT c.u, c.v, c.cn,
+           c.cn * 1000000 // (du.deg + dv.deg - c.cn) AS jaccard_ppm,
+           c.aa_e6, c.ra_e12,
+           CAST(du.deg AS BIGINT) * dv.deg AS pa
+    FROM lp_cand c
+    JOIN tri_deg du ON du.node = c.u
+    JOIN tri_deg dv ON dv.node = c.v
+    ORDER BY c.aa_e6 DESC, c.u, c.v
+    LIMIT {LP_TOPK}
+    """
+
+
+@query("q_link_prediction", sql=_lp_sql())
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOPK} predicted co-purchase edges by Adamic-Adar, with
+    the full index battery (cn, jaccard_ppm, aa_e6, ra_e12, pa) per
+    candidate pair — distance-2 candidates only, integer-exact weights,
+    deterministic (aa_e6 DESC, u, v) order.
+
+    Plan shape: und edges → degree agg → V-row weight chain (the
+    fixed-point ln runs once per vertex) → weights joined onto the
+    directed adjacency → wedge self-join on the center → one hash
+    aggregation onto the candidate pair → anti-join against existing
+    edges → two degree joins → TakeOrdered(K). The wedge self-join and
+    the pair groupBy are the only super-linear steps (Θ(Σ deg²) rows,
+    map-side combinable); everything else is linear joins. Top-K is
+    per-partition take + merge — no global sort.
+    """
+    und = copurchase_und(spark, sf_dir).localCheckpoint(eager=False)
+    both = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        both.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    wts = deg.select(F.col("u").alias("w"), F.col("deg").alias("degw"))
+    for name, expr in lp_weight_steps(
+        "div", "shiftleft(CAST(1 AS BIGINT), {k})"
+    ):
+        wts = wts.withColumn(name, F.expr(expr))
+    adjw = (
+        both.select(F.col("u").alias("w"), F.col("v").alias("n"))
+        .join(wts.select("w", "aa_w_e6", "ra_w_e12"), "w")
+        .localCheckpoint(eager=False)
+    )
+    a = adjw.alias("a")
+    b = adjw.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.col("a.aa_w_e6")).cast("long").alias("aa_e6"),
+            F.sum(F.col("a.ra_w_e12")).cast("long").alias("ra_e12"),
+        )
+    )
+    cand = pairs.join(und, ["u", "v"], "left_anti")
+    du = deg.select("u", F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.expr("cn * 1000000 div (deg_u + deg_v - cn)").alias(
+                "jaccard_ppm"
+            ),
+            "aa_e6",
+            "ra_e12",
+            (F.col("deg_u").cast("long") * F.col("deg_v")).alias("pa"),
+        )
+    )
+    return scored.orderBy(F.desc("aa_e6"), "u", "v").limit(LP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): the Pearson correlation of the
+# degrees at the two ends of each edge — one number telling whether
+# hubs attach to hubs (r > 0, social-network-like) or to leaves
+# (r < 0, disassortative, typical of co-occurrence graphs). Over the
+# directed edge list E2 (each undirected edge both ways), with
+# du = deg(src), dv = deg(dst):
+#     r = (M·Σ du·dv − (Σ du)²) / (M·Σ du² − (Σ du)²),  M = |E2|
+# (the both-directions form makes Σ du = Σ dv and Σ du² = Σ dv², so
+# Newman's half-sum formulation reduces to a plain Pearson r). All
+# three sums are exact integers; the single final division runs in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the betweenness product
+# pairing — as sign · (|num|·1e6 // den), nonneg operands so the two
+# engines' truncation conventions agree (the JS-drift signed-chain
+# rule). den = 0 (regular graph: zero degree variance) → NULL.
+#
+# 100 TB posture: two linear joins (degree onto each endpoint) and one
+# 4-value aggregate — no super-linear step anywhere; the degree join
+# shuffles on the same key as the degree agg that produced it.
+# ---------------------------------------------------------------------------
+@query(
+    "q_degree_assortativity",
+    sql=f"""
+    WITH {_TRI_CTES},
+    as_e AS (
+        SELECT CAST(du.deg AS BIGINT) AS du, CAST(dv.deg AS BIGINT) AS dv
+        FROM tri_both e
+        JOIN tri_deg du ON du.node = e.u
+        JOIN tri_deg dv ON dv.node = e.v
+    ),
+    as_sums AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+               CAST(SUM(du * dv) AS HUGEINT) AS sxy,
+               CAST(SUM(du) AS HUGEINT) AS sx,
+               CAST(SUM(du * du) AS HUGEINT) AS sxx
+        FROM as_e
+    ),
+    as_nd AS (
+        SELECT m2, m2 * sxy - sx * sx AS num, m2 * sxx - sx * sx AS den
+        FROM as_sums
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tri_deg) AS n_nodes,
+           CAST(m2 // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN den = 0 THEN NULL
+                     WHEN num < 0 THEN -((-num * 1000000) // den)
+                     ELSE (num * 1000000) // den END AS BIGINT)
+               AS assortativity_ppm
+    FROM as_nd
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree-assortativity of the co-purchase graph in ppm
+    (one-row summary: n_nodes, n_edges, assortativity_ppm)."""
+    und = copurchase_und(spark, sf_dir)
+    both = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    du = deg.select("u", F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    sums = (
+        both.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("m2"),
+            F.expr("CAST(SUM(du * dv) AS DECIMAL(38,0))").alias("sxy"),
+            F.expr("CAST(SUM(du) AS DECIMAL(38,0))").alias("sx"),
+            F.expr("CAST(SUM(du * du) AS DECIMAL(38,0))").alias("sxx"),
+        )
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        sums.withColumn("num", F.expr("m2 * sxy - sx * sx"))
+        .withColumn("den", F.expr("m2 * sxx - sx * sx"))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            F.expr("CAST(m2 div 2 AS BIGINT)").alias("n_edges"),
+            F.expr(
+                "CAST(CASE WHEN den = 0 THEN NULL"
+                " WHEN num < 0 THEN -((-num * 1000000) div den)"
+                " ELSE (num * 1000000) div den END AS BIGINT)"
+            ).alias("assortativity_ppm"),
+        )
+    )
