@@ -66,6 +66,14 @@ REVERIFY: frozenset[str] = frozenset(
         # Semantically a no-op and parity-rechecked at sf0.001/0.01,
         # but the implementation text changed, so re-verify.
         "q_triangle_count",
+        # r16: the triplicated pivot-selection + bitmask MS-BFS grow
+        # loop was extracted into the shared ms_bfs_state driver
+        # (r15 ADVICE) — values unchanged (full test_centrality +
+        # sf0.01 parity re-run green), but the implementations of all
+        # three riders changed, so re-verify.
+        "q_harmonic_centrality",
+        "q_closeness_eccentricity",
+        "q_distance_distribution",
     }
 )
 

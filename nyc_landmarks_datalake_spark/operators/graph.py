@@ -1361,17 +1361,37 @@ def _hc_sql() -> str:
     return ",\n    ".join(ctes)
 
 
-def harmonic_sketch(
+#: the new-bits-this-round expression every MS-BFS accrual builds on —
+#: references the PRE-update mask column and the aggregated neighbor
+#: mask ``m`` inside the state-update select.
+_MSBFS_NEWBITS = "bit_count((mask | COALESCE(m, 0)) - mask)"
+
+
+def ms_bfs_state(
     edges: DataFrame,
+    accruals: list,
+    what: str,
     n_pivots: int = HC_PIVOTS,
     max_rounds: int = HC_MAX_ROUNDS,
     stats: dict | None = None,
+    on_grow=None,
 ) -> DataFrame:
-    """Directed (src, dst) edge list (both directions present) →
-    (node, n_reached, harmonic_ppm) over the deterministic pivot set.
-    Raises if any mask still grew in round ``max_rounds`` — a truncated
-    sketch under-reports every remaining distance, and the committed
-    oracle unrolls exactly this budget."""
+    """Shared bitmask multi-source-BFS driver: deterministic md5 pivot
+    selection, V-row (node, mask, accruals…) state, and the grow loop —
+    one E-row join + bit_or hash agg per round, lineage cut per round,
+    early exit on a zero-growth confirming round, RAISE on budget
+    exhaustion. Parameterized by ``accruals``: (name, k -> update-expr)
+    pairs evaluated inside the state-update select, where the exprs see
+    the PRE-update columns plus the neighbor mask ``m`` (build them on
+    :data:`_MSBFS_NEWBITS`). ``on_grow(k, state)`` fires after every
+    growing round (the distance-profile hook). The single home of the
+    pivot/budget semantics shared by harmonic_sketch, closeness_sketch
+    and distance_profile (r15 ADVICE: previously triplicated).
+
+    ``max_rounds`` budgets GROWING rounds (= the max distance the
+    oracle unroll covers), with one zero-growth confirming round on
+    top — the kcore/LPA budget discipline: a graph whose last bit
+    lands at exactly round max_rounds must succeed, not raise."""
     edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -1402,18 +1422,12 @@ def harmonic_sketch(
         .select(
             "node",
             F.coalesce("pmask", F.lit(0)).cast("long").alias("mask"),
-            F.lit(0).cast("long").alias("reach"),
-            F.lit(0).cast("long").alias("harm"),
+            *[F.lit(0).cast("long").alias(name) for name, _ in accruals],
         )
         .localCheckpoint()
     )
-    grew = 0
     grew_per_round: list[int] = []
     done = False
-    # max_rounds budgets GROWING rounds (= the max distance the oracle
-    # unroll covers), with one zero-growth confirming round on top —
-    # the kcore/LPA budget discipline: a graph whose last bit lands at
-    # exactly round max_rounds must succeed, not raise.
     for k in range(1, max_rounds + 2):
         # only nodes carrying bits can set new ones — at round 1 that's
         # just the pivots, so the filter keeps early rounds tiny
@@ -1433,31 +1447,52 @@ def harmonic_sketch(
                 "node",
                 F.col("mask").alias("__old"),
                 F.expr("mask | COALESCE(m, 0)").alias("mask"),
-                F.expr(
-                    "reach + bit_count((mask | COALESCE(m, 0)) - mask)"
-                ).alias("reach"),
-                F.expr(
-                    "harm + bit_count((mask | COALESCE(m, 0)) - mask)"
-                    f" * {1_000_000 // k}"
-                ).alias("harm"),
+                *[F.expr(fn(k)).alias(name) for name, fn in accruals],
             )
             .localCheckpoint()
         )
         grew = new_state.filter(F.col("mask") != F.col("__old")).count()
         grew_per_round.append(grew)
         state = new_state.drop("__old")
+        if grew > 0 and on_grow is not None:
+            on_grow(k, state)
         if grew == 0:
             done = True
             break
     if not done:
         raise RuntimeError(
             f"pivoted MS-BFS masks still growing after {max_rounds} "
-            "rounds — a truncated harmonic sketch under-reports "
-            "distances; raise max_rounds (and the oracle unroll) together"
+            f"rounds — a truncated {what} under-reports every remaining "
+            "distance; raise max_rounds (and the oracle unroll) together"
         )
     if stats is not None:
         stats["rounds"] = len(grew_per_round)
         stats["grew"] = grew_per_round
+    return state
+
+
+def harmonic_sketch(
+    edges: DataFrame,
+    n_pivots: int = HC_PIVOTS,
+    max_rounds: int = HC_MAX_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed (src, dst) edge list (both directions present) →
+    (node, n_reached, harmonic_ppm) over the deterministic pivot set.
+    Raises if any mask still grew in round ``max_rounds`` — a truncated
+    sketch under-reports every remaining distance, and the committed
+    oracle unrolls exactly this budget."""
+    state = ms_bfs_state(
+        edges,
+        [
+            ("reach", lambda k: f"reach + {_MSBFS_NEWBITS}"),
+            ("harm", lambda k: f"harm + {_MSBFS_NEWBITS} * {1_000_000 // k}"),
+        ],
+        "harmonic sketch",
+        n_pivots,
+        max_rounds,
+        stats,
+    )
     return state.select(
         "node",
         F.col("reach").alias("n_reached"),
@@ -1590,85 +1625,22 @@ def closeness_sketch(
     budget discipline as harmonic_sketch (raises if masks still grow
     in round ``max_rounds``; the committed oracle unrolls the same
     budget)."""
-    edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    state = ms_bfs_state(
+        edges,
+        [
+            ("reach", lambda k: f"reach + {_MSBFS_NEWBITS}"),
+            ("dsum", lambda k: f"dsum + {_MSBFS_NEWBITS} * {k}"),
+            (
+                "ecc",
+                lambda k: f"CASE WHEN {_MSBFS_NEWBITS} > 0 THEN {k}"
+                " ELSE ecc END",
+            ),
+        ],
+        "closeness sketch",
+        n_pivots,
+        max_rounds,
+        stats,
     )
-    from pyspark.sql import Window
-
-    pivots = (
-        nodes.select(
-            "node",
-            md5_long(
-                F.concat(F.col("node").cast("string"), F.lit(":pivot"))
-            ).alias("h"),
-        )
-        .orderBy("h", "node")
-        .limit(n_pivots)
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy("h", "node"))
-        )
-        .select(
-            "node",
-            F.expr("shiftleft(CAST(1 AS BIGINT), rk - 1)").alias("pmask"),
-        )
-    )
-    state = (
-        nodes.join(F.broadcast(pivots), "node", "left")
-        .select(
-            "node",
-            F.coalesce("pmask", F.lit(0)).cast("long").alias("mask"),
-            F.lit(0).cast("long").alias("reach"),
-            F.lit(0).cast("long").alias("dsum"),
-            F.lit(0).cast("long").alias("ecc"),
-        )
-        .localCheckpoint()
-    )
-    grew_per_round: list[int] = []
-    done = False
-    for k in range(1, max_rounds + 2):
-        nb = (
-            edges.join(
-                state.filter(F.col("mask") != 0).select(
-                    F.col("node").alias("src"), "mask"
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.expr("bit_or(mask)").alias("m"))
-        )
-        newbits = "bit_count((mask | COALESCE(m, 0)) - mask)"
-        new_state = (
-            state.join(nb, "node", "left")
-            .select(
-                "node",
-                F.col("mask").alias("__old"),
-                F.expr("mask | COALESCE(m, 0)").alias("mask"),
-                F.expr(f"reach + {newbits}").alias("reach"),
-                F.expr(f"dsum + {newbits} * {k}").alias("dsum"),
-                F.expr(
-                    f"CASE WHEN {newbits} > 0 THEN {k} ELSE ecc END"
-                ).alias("ecc"),
-            )
-            .localCheckpoint()
-        )
-        grew = new_state.filter(F.col("mask") != F.col("__old")).count()
-        grew_per_round.append(grew)
-        state = new_state.drop("__old")
-        if grew == 0:
-            done = True
-            break
-    if not done:
-        raise RuntimeError(
-            f"pivoted MS-BFS masks still growing after {max_rounds} "
-            "rounds — a truncated closeness sketch under-reports "
-            "distances; raise max_rounds (and the oracle unroll) together"
-        )
-    if stats is not None:
-        stats["rounds"] = len(grew_per_round)
-        stats["grew"] = grew_per_round
     return state.select(
         "node",
         F.col("reach").alias("n_reached"),
@@ -1783,38 +1755,6 @@ def distance_profile(
 
     from pyspark.sql import Window
 
-    edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    pivots = (
-        nodes.select(
-            "node",
-            md5_long(
-                F.concat(F.col("node").cast("string"), F.lit(":pivot"))
-            ).alias("h"),
-        )
-        .orderBy("h", "node")
-        .limit(n_pivots)
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy("h", "node"))
-        )
-        .select(
-            "node",
-            F.expr("shiftleft(CAST(1 AS BIGINT), rk - 1)").alias("pmask"),
-        )
-    )
-    state = (
-        nodes.join(F.broadcast(pivots), "node", "left")
-        .select(
-            "node",
-            F.coalesce("pmask", F.lit(0)).cast("long").alias("mask"),
-            F.lit(0).cast("long").alias("reach"),
-        )
-        .localCheckpoint()
-    )
     spark = edges.sparkSession
     cum_rows = [
         spark.range(1).select(
@@ -1822,54 +1762,23 @@ def distance_profile(
             F.lit(0).cast("long").alias("cum_pairs"),
         )
     ]
-    grew_per_round: list[int] = []
-    done = False
-    for k in range(1, max_rounds + 2):
-        nb = (
-            edges.join(
-                state.filter(F.col("mask") != 0).select(
-                    F.col("node").alias("src"), "mask"
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.expr("bit_or(mask)").alias("m"))
+
+    def _record_round(k: int, state: DataFrame) -> None:
+        cum_rows.append(
+            state.agg(
+                F.sum("reach").cast("long").alias("cum_pairs")
+            ).select(F.lit(k).cast("long").alias("distance"), "cum_pairs")
         )
-        newbits = "bit_count((mask | COALESCE(m, 0)) - mask)"
-        new_state = (
-            state.join(nb, "node", "left")
-            .select(
-                "node",
-                F.col("mask").alias("__old"),
-                F.expr("mask | COALESCE(m, 0)").alias("mask"),
-                F.expr(f"reach + {newbits}").alias("reach"),
-            )
-            .localCheckpoint()
-        )
-        grew = new_state.filter(F.col("mask") != F.col("__old")).count()
-        grew_per_round.append(grew)
-        state = new_state.drop("__old")
-        if grew > 0:
-            cum_rows.append(
-                state.agg(
-                    F.sum("reach").cast("long").alias("cum_pairs")
-                ).select(
-                    F.lit(k).cast("long").alias("distance"), "cum_pairs"
-                )
-            )
-        if grew == 0:
-            done = True
-            break
-    if not done:
-        raise RuntimeError(
-            f"pivoted MS-BFS masks still growing after {max_rounds} "
-            "rounds — a truncated distance distribution under-reports "
-            "every remaining distance; raise max_rounds (and the oracle "
-            "unroll) together"
-        )
-    if stats is not None:
-        stats["rounds"] = len(grew_per_round)
-        stats["grew"] = grew_per_round
+
+    ms_bfs_state(
+        edges,
+        [("reach", lambda k: f"reach + {_MSBFS_NEWBITS}")],
+        "distance distribution",
+        n_pivots,
+        max_rounds,
+        stats,
+        on_grow=_record_round,
+    )
     dd0 = reduce(lambda a, b: a.unionAll(b), cum_rows)
     w = Window.orderBy("distance")
     ddw = dd0.select(
