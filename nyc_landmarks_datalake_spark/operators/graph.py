@@ -2143,7 +2143,12 @@ def lp_weight_steps(div: str, shl: str) -> list[tuple[str, str]]:
     ]
 
 
-def _lp_sql() -> str:
+def lp_base_ctes() -> str:
+    """The CTE chain from the raw tables to the weighted adjacency
+    ``lp_adjw`` (w, n, aa_w_e6, ra_w_e12) — shared between the
+    committed whole-space oracle and the chunked native-scale verifier,
+    which materializes lp_adjw/tri_und/tri_deg ONCE as temp tables and
+    runs :func:`lp_tail_sql` per chunk over them."""
     steps = lp_weight_steps("//", "(CAST(1 AS BIGINT) << {k})")
     step_ctes = []
     prev = "lp_wts0"
@@ -2151,55 +2156,77 @@ def _lp_sql() -> str:
         step_ctes.append(f"lp_{name} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = f"lp_{name}"
     joined = ",\n    ".join(step_ctes)
-    return f"""
-    WITH {_TRI_CTES},
+    return f"""{_TRI_CTES},
     lp_wts0 AS (SELECT node AS w, CAST(deg AS BIGINT) AS degw FROM tri_deg),
     {joined},
     lp_wts AS (SELECT w, aa_w_e6, ra_w_e12 FROM {prev}),
     lp_adjw AS (
         SELECT b.u AS w, b.v AS n, t.aa_w_e6, t.ra_w_e12
         FROM tri_both b JOIN lp_wts t ON t.w = b.u
-    ),
-    lp_pairs AS (
+    )"""
+
+
+def lp_tail_sql(
+    chunk: tuple[int, int] | None = None,
+    adjw: str = "lp_adjw",
+    und: str = "tri_und",
+    deg: str = "tri_deg",
+) -> str:
+    """Wedge aggregation → anti-join → scoring → top-K, over named
+    input relations (CTEs of the committed oracle, or the verifier's
+    materialized temp tables). ``chunk=(c, C)`` restricts candidates to
+    pairs whose smaller endpoint satisfies ``u % C == c`` — the filter
+    sits on the wedge join's a-side, so per-chunk work AND peak memory
+    are ~1/C of the whole (the linkage/cv chunked-verifier pattern:
+    candidates partition by u, so the global top-K is exactly the top-K
+    of the union of per-chunk top-Ks). Opens mid-WITH: prefix with
+    ``WITH`` (plus any base CTEs)."""
+    chunk_pred = ""
+    if chunk is not None:
+        c, n_chunks = chunk
+        chunk_pred = f" AND a.n % {n_chunks} = {c}"
+    return f"""lp_pairs AS (
         SELECT a.n AS u, b.n AS v,
                CAST(COUNT(*) AS BIGINT) AS cn,
                CAST(SUM(a.aa_w_e6) AS BIGINT) AS aa_e6,
                CAST(SUM(a.ra_w_e12) AS BIGINT) AS ra_e12
-        FROM lp_adjw a JOIN lp_adjw b ON a.w = b.w AND a.n < b.n
+        FROM {adjw} a JOIN {adjw} b ON a.w = b.w AND a.n < b.n{chunk_pred}
         GROUP BY 1, 2
     ),
     lp_cand AS (
         SELECT p.* FROM lp_pairs p
-        ANTI JOIN tri_und e ON e.u = p.u AND e.v = p.v
+        ANTI JOIN {und} e ON e.u = p.u AND e.v = p.v
     )
     SELECT c.u, c.v, c.cn,
            c.cn * 1000000 // (du.deg + dv.deg - c.cn) AS jaccard_ppm,
            c.aa_e6, c.ra_e12,
            CAST(du.deg AS BIGINT) * dv.deg AS pa
     FROM lp_cand c
-    JOIN tri_deg du ON du.node = c.u
-    JOIN tri_deg dv ON dv.node = c.v
+    JOIN {deg} du ON du.node = c.u
+    JOIN {deg} dv ON dv.node = c.v
     ORDER BY c.aa_e6 DESC, c.u, c.v
-    LIMIT {LP_TOPK}
+    LIMIT {LP_TOPK}"""
+
+
+def _lp_sql(chunk: tuple[int, int] | None = None) -> str:
+    """The DuckDB side: base CTEs + tail. chunk=None is the committed
+    whole-space oracle."""
+    return f"""
+    WITH {lp_base_ctes()},
+    {lp_tail_sql(chunk)}
     """
 
 
-@query("q_link_prediction", sql=_lp_sql())
-def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{LP_TOPK} predicted co-purchase edges by Adamic-Adar, with
-    the full index battery (cn, jaccard_ppm, aa_e6, ra_e12, pa) per
-    candidate pair — distance-2 candidates only, integer-exact weights,
-    deterministic (aa_e6 DESC, u, v) order.
-
-    Plan shape: und edges → degree agg → V-row weight chain (the
-    fixed-point ln runs once per vertex) → weights joined onto the
-    directed adjacency → wedge self-join on the center → one hash
-    aggregation onto the candidate pair → anti-join against existing
-    edges → two degree joins → TakeOrdered(K). The wedge self-join and
-    the pair groupBy are the only super-linear steps (Θ(Σ deg²) rows,
-    map-side combinable); everything else is linear joins. Top-K is
-    per-partition take + merge — no global sort.
-    """
+def link_prediction_frame(
+    spark: SparkSession, sf_dir: str, chunk: tuple[int, int] | None = None
+) -> DataFrame:
+    """The Spark side, mirroring :func:`_lp_sql`'s ``chunk`` semantics:
+    ``(c, C)`` filters the wedge join's a-side to ``n % C == c`` BEFORE
+    the join, cutting per-chunk wedge volume and aggregation state to
+    ~1/C — the native-scale execution path (candidates partition by u,
+    so merging per-chunk top-Ks reproduces the whole-space top-K
+    exactly; pinned by tests/test_linkpred.py and executed by
+    tools/verify_sf10_tail --checks linkpred)."""
     und = copurchase_und(spark, sf_dir).localCheckpoint(eager=False)
     both = und.select("u", "v").unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -2220,6 +2247,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     a = adjw.alias("a")
+    if chunk is not None:
+        c, n_chunks = chunk
+        a = adjw.filter(F.col("n") % n_chunks == c).alias("a")
     b = adjw.alias("b")
     pairs = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")))
@@ -2249,6 +2279,27 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("aa_e6"), "u", "v").limit(LP_TOPK)
+
+
+@query("q_link_prediction", sql=_lp_sql())
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOPK} predicted co-purchase edges by Adamic-Adar, with
+    the full index battery (cn, jaccard_ppm, aa_e6, ra_e12, pa) per
+    candidate pair — distance-2 candidates only, integer-exact weights,
+    deterministic (aa_e6 DESC, u, v) order.
+
+    Plan shape: und edges → degree agg → V-row weight chain (the
+    fixed-point ln runs once per vertex) → weights joined onto the
+    directed adjacency → wedge self-join on the center → one hash
+    aggregation onto the candidate pair → anti-join against existing
+    edges → two degree joins → TakeOrdered(K). The wedge self-join and
+    the pair groupBy are the only super-linear steps (Θ(Σ deg²) rows,
+    map-side combinable); everything else is linear joins. Top-K is
+    per-partition take + merge — no global sort. At native scale the
+    SAME body runs candidate-chunked (``link_prediction_frame`` with
+    chunk=(c, C)) — exact, since candidates partition by u.
+    """
+    return link_prediction_frame(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -113,6 +113,49 @@ def test_link_prediction_square_graph(spark):
     _ = F  # silence unused-import lint paths
 
 
+def test_link_prediction_chunked_equals_whole(spark, sf_small):
+    """The native-scale execution path: candidates partition by their
+    smaller endpoint u, so merging per-chunk top-Ks (same order) equals
+    the whole-space top-K exactly — in BOTH engines. This is the
+    formulation-equivalence pin behind verify_sf10_tail --checks
+    linkpred (the sf1+ path where the whole-space wedge aggregation
+    exceeds a single box)."""
+    import pandas as pd
+
+    from nyc_landmarks_datalake_spark.operators.graph import (
+        _lp_sql,
+        link_prediction_frame,
+    )
+    from tests.oracle_harness import duckdb_conn
+
+    n_chunks = 4
+    whole = registry.QUERIES["q_link_prediction"](spark, sf_small).toPandas()
+    parts = [
+        link_prediction_frame(spark, sf_small, chunk=(c, n_chunks)).toPandas()
+        for c in range(n_chunks)
+    ]
+    merged = (
+        pd.concat(parts)
+        .sort_values(["aa_e6", "u", "v"], ascending=[False, True, True])
+        .head(LP_TOPK)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, whole.reset_index(drop=True))
+    con = duckdb_conn(sf_small)
+    o_parts = [
+        con.execute(_lp_sql(chunk=(c, n_chunks))).fetchdf()
+        for c in range(n_chunks)
+    ]
+    o_merged = (
+        pd.concat(o_parts)
+        .sort_values(["aa_e6", "u", "v"], ascending=[False, True, True])
+        .head(LP_TOPK)
+        .reset_index(drop=True)
+    )
+    o_whole = con.execute(_lp_sql()).fetchdf().reset_index(drop=True)
+    pd.testing.assert_frame_equal(o_merged, o_whole)
+
+
 def _python_assortativity(edges):
     deg: dict[int, int] = defaultdict(int)
     for u, v in edges:

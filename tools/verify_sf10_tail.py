@@ -272,6 +272,15 @@ def main() -> int:
         "a hash of the engine package source, so editing any operator "
         "invalidates it (stale results from old code never verify)",
     )
+    ap.add_argument(
+        "--lp-chunks",
+        type=int,
+        default=16,
+        help="candidate-space chunks for --checks linkpred (u %% C "
+        "partition; both engines run per-chunk and merge top-Ks — "
+        "exact). 16 suits native sf1 (~93M wedges/chunk); use 64+ at "
+        "sf10",
+    )
     args = ap.parse_args()
     checks = {c.strip() for c in args.checks.split(",") if c.strip()}
     sf_dir = os.path.abspath(args.sf_dir)
@@ -302,6 +311,7 @@ def main() -> int:
         "betweenness": "q_betweenness_sketch",
         "closeness": "q_closeness_eccentricity",
         "distances": "q_distance_distribution",
+        "assort": "q_degree_assortativity",
     }
     spark = get_spark(
         "verify_sf10_tail",
@@ -350,6 +360,57 @@ def main() -> int:
         spark_results[name].to_parquet(cache)
         log(f"{name}: spark side done in {time.time() - t0:.0f}s "
             f"({len(spark_results[name])} rows; cached to {cache})")
+    # linkpred runs candidate-chunked on BOTH engines: the whole-space
+    # wedge aggregation (1.48e9 wedges at native sf1) exceeds a single
+    # box, so each engine computes per-chunk top-Ks over the u % C
+    # candidate partition and the merge reproduces the whole-space
+    # top-K exactly (formulation equivalence pinned at sf0.001 by
+    # tests/test_linkpred.py::test_link_prediction_chunked_equals_whole)
+    if "linkpred" in checks:
+        import pandas as pd
+
+        from nyc_landmarks_datalake_spark.operators.graph import (
+            LP_TOPK,
+            link_prediction_frame,
+        )
+
+        def _lp_merge(parts: list) -> "pd.DataFrame":
+            return (
+                pd.concat(parts)
+                .sort_values(
+                    ["aa_e6", "u", "v"], ascending=[False, True, True]
+                )
+                .head(LP_TOPK)
+                .reset_index(drop=True)
+            )
+
+        n_chunks = args.lp_chunks
+        cache_lp = os.path.join(
+            cache_dir, f"q_link_prediction_c{n_chunks}.parquet"
+        )
+        if args.reuse_spark and os.path.exists(cache_lp):
+            spark_results["q_link_prediction"] = pd.read_parquet(cache_lp)
+            log(f"linkpred: spark side LOADED from {cache_lp}")
+        else:
+            t0 = time.time()
+            lp_parts = []
+            for c in range(n_chunks):
+                tc = time.time()
+                lp_parts.append(
+                    link_prediction_frame(
+                        spark, sf_dir, chunk=(c, n_chunks)
+                    ).toPandas()
+                )
+                log(
+                    f"linkpred spark chunk {c + 1}/{n_chunks}: "
+                    f"{len(lp_parts[-1])} rows in {time.time() - tc:.0f}s"
+                )
+            spark_results["q_link_prediction"] = _lp_merge(lp_parts)
+            spark_results["q_link_prediction"].to_parquet(cache_lp)
+            log(
+                f"linkpred spark side done in {time.time() - t0:.0f}s "
+                f"(cached to {cache_lp})"
+            )
     # semantic-equiv compares the two DuckDB formulations only — the
     # Spark side (and the assignments collect) is needed just for the
     # 'semantic' value comparison
@@ -1175,6 +1236,69 @@ def main() -> int:
             )
             if probs:
                 failures.append("q_semantic_dedup")
+
+    if "linkpred" in checks:
+        import pandas as pd
+
+        from nyc_landmarks_datalake_spark.operators.graph import (
+            lp_base_ctes,
+            lp_tail_sql,
+        )
+
+        t0 = time.time()
+        # materialize the shared relations ONCE (the committed oracle's
+        # own CTE bodies, verbatim via lp_base_ctes), then run the
+        # shared tail per candidate chunk over them
+        for tbl, src in (
+            ("vt_lp_und", "tri_und"),
+            ("vt_lp_deg", "tri_deg"),
+            ("vt_lp_adjw", "lp_adjw"),
+        ):
+            con.execute(
+                f"CREATE TEMP TABLE {tbl} AS WITH {lp_base_ctes()} "
+                f"SELECT * FROM {src}"
+            )
+        log(f"linkpred oracle base tables built in {time.time() - t0:.0f}s")
+        o_parts = []
+        for c in range(args.lp_chunks):
+            tc = time.time()
+            o_parts.append(
+                con.execute(
+                    "WITH "
+                    + lp_tail_sql(
+                        chunk=(c, args.lp_chunks),
+                        adjw="vt_lp_adjw",
+                        und="vt_lp_und",
+                        deg="vt_lp_deg",
+                    )
+                ).fetchdf()
+            )
+            log(
+                f"linkpred oracle chunk {c + 1}/{args.lp_chunks} in "
+                f"{time.time() - tc:.0f}s"
+            )
+        o_merged = _lp_merge(o_parts)
+        probs = compare(
+            spark_results["q_link_prediction"], o_merged, "q_link_prediction"
+        )
+        status = "ok" if not probs else "FAIL"
+        log(
+            f"q_link_prediction ({args.lp_chunks}-chunked both engines): "
+            f"{status} ({len(o_merged)} rows) {probs[:2]} "
+            f"[total oracle {time.time() - t0:.0f}s]"
+        )
+        if probs:
+            failures.append("q_link_prediction")
+
+    if "assort" in checks:
+        # the committed whole-space oracle is tractable at native scale
+        # (one edge⋈degree join + a 4-value aggregate) — run it verbatim
+        t0 = time.time()
+        check(
+            "q_degree_assortativity",
+            registry.ORACLE["q_degree_assortativity"],
+        )
+        log(f"assortativity oracle+compare took {time.time() - t0:.0f}s")
 
     if failures:
         log(f"FAILURES: {failures}")
