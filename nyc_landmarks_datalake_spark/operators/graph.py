@@ -25,6 +25,8 @@ algorithm a full value-level parity check rather than a rows-only one.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2217,6 +2219,20 @@ def _lp_sql(chunk: tuple[int, int] | None = None) -> str:
     """
 
 
+def _lp_agg_partitions(spark: SparkSession) -> int:
+    """Partition count for the wedge→pair aggregation exchange — the
+    one super-linear shuffle in link prediction (Θ(Σ deg²) rows, ~150M
+    at sf0.1 vs the session default of 32 shuffle partitions). Scale
+    with available slots (4× parallelism keeps per-task hash-agg state
+    small enough to stay in memory) rather than a constant tuned to
+    either local mode or a cluster; env-overridable for native-scale
+    runs where wedge volume, not slot count, should size it."""
+    env = os.environ.get("SPARK_GRAFT_LP_AGG_PARTS")
+    if env:
+        return int(env)
+    return max(64, spark.sparkContext.defaultParallelism * 4)
+
+
 def link_prediction_frame(
     spark: SparkSession, sf_dir: str, chunk: tuple[int, int] | None = None
 ) -> DataFrame:
@@ -2226,7 +2242,32 @@ def link_prediction_frame(
     ~1/C — the native-scale execution path (candidates partition by u,
     so merging per-chunk top-Ks reproduces the whole-space top-K
     exactly; pinned by tests/test_linkpred.py and executed by
-    tools/verify_sf10_tail --checks linkpred)."""
+    tools/verify_sf10_tail --checks linkpred).
+
+    r16 plan shape (guide §2.3/§2.4/§3.1; 118.5 s → ~26 s at sf0.1):
+
+    - The wedge rows are explicitly ``repartition(P, u, v)``-ed before
+      the pair aggregation. With ~1.5 wedges per candidate pair the
+      map-side partial aggregate reduced almost nothing while building
+      a multi-million-entry hash map per task (measured 68 s for the
+      agg alone at 32 partitions); the explicit exchange satisfies the
+      aggregation's distribution requirement, so Catalyst plans ONE
+      hash aggregate over co-partitioned input — no partial pass — and
+      P (≈4× parallelism, env-overridable) keeps per-task group state
+      ~800k entries (15.7 s measured).
+    - The candidate anti-join broadcasts the edge list instead of
+      sort-merge-joining it (localCheckpoint leaves UnknownPartitioning
+      + no stats, so the planner could never pick the broadcast
+      itself): E-row build side vs an exchange + full sort of the ~100M
+      candidate rows. In the chunked native path the edge side is
+      pre-filtered to ``u % C == c`` — exact, since every candidate
+      already satisfies it — keeping the per-chunk broadcast ~E/C.
+    - The two degree joins moved BELOW the top-K: ``deg_u``/``deg_v``
+      feed only output columns (jaccard_ppm, pa), never the
+      (aa_e6, u, v) sort key, so joining them after
+      TakeOrderedAndProject touches LP_TOPK rows instead of ~100M.
+      Broadcast (V-row side) keeps them exchange-free.
+    """
     und = copurchase_und(spark, sf_dir).localCheckpoint(eager=False)
     both = und.select("u", "v").unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -2247,25 +2288,38 @@ def link_prediction_frame(
         .localCheckpoint(eager=False)
     )
     a = adjw.alias("a")
+    anti_edges = und
     if chunk is not None:
         c, n_chunks = chunk
         a = adjw.filter(F.col("n") % n_chunks == c).alias("a")
+        # every candidate pair has u % C == c, so edges outside the
+        # chunk can never match the anti-join — filtering them first
+        # is exact and keeps the per-chunk broadcast at ~E/C rows
+        anti_edges = und.filter(F.col("u") % n_chunks == c)
     b = adjw.alias("b")
     pairs = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")))
-        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .select(
+            F.col("a.n").alias("u"),
+            F.col("b.n").alias("v"),
+            F.col("a.aa_w_e6").alias("aa_w_e6"),
+            F.col("a.ra_w_e12").alias("ra_w_e12"),
+        )
+        .repartition(_lp_agg_partitions(spark), "u", "v")
+        .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("long").alias("cn"),
-            F.sum(F.col("a.aa_w_e6")).cast("long").alias("aa_e6"),
-            F.sum(F.col("a.ra_w_e12")).cast("long").alias("ra_e12"),
+            F.sum(F.col("aa_w_e6")).cast("long").alias("aa_e6"),
+            F.sum(F.col("ra_w_e12")).cast("long").alias("ra_e12"),
         )
     )
-    cand = pairs.join(und, ["u", "v"], "left_anti")
+    cand = pairs.join(F.broadcast(anti_edges), ["u", "v"], "left_anti")
+    top = cand.orderBy(F.desc("aa_e6"), "u", "v").limit(LP_TOPK)
     du = deg.select("u", F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
     scored = (
-        cand.join(du, "u")
-        .join(dv, "v")
+        top.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             "u",
             "v",
@@ -2362,9 +2416,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     du = deg.select("u", F.col("deg").alias("du"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    # broadcast the V-row degree table onto the E-row edge list: the
+    # localCheckpoint upstream erases stats, so without the hint the
+    # planner sort-merge-joins — two exchanges + sorts of the edge list
+    # for joins whose build side is |V| rows (guide §3.1; 12.0 → ~4 s)
     sums = (
-        both.join(du, "u")
-        .join(dv, "v")
+        both.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .agg(
             F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("m2"),
             F.expr("CAST(SUM(du * dv) AS DECIMAL(38,0))").alias("sxy"),
