@@ -118,35 +118,48 @@ def _gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     la, lb = _relations(spark, sf_dir)
     la = la.localCheckpoint(eager=False)  # feeds blocking AND attr join
     lb = lb.localCheckpoint(eager=False)
+    # blocking-join plan notes (r16, guide §2.3/§1.2): the key is the
+    # xxhash64 of the deletion variant (8-byte join column instead of
+    # an ~L-char string; exact — any lev<=1 pair shares a REAL variant,
+    # so collisions only add rows the filter/DISTINCT already drop) and
+    # the verify uses the bounded levenshtein(a, b, 1) >= 0 form
+    # (diagonal-band DP with early exit; identical row set, verified
+    # 572,554 both forms at sf0.1)
     ka = la.select("id", "name", F.explode(F.expr(_VARIANTS)).alias("k"))
     kb = lb.select("id", "name", F.explode(F.expr(_VARIANTS)).alias("k"))
+    ka = ka.select("id", "name", F.xxhash64("k").alias("k"))
+    kb = kb.select("id", "name", F.xxhash64("k").alias("k"))
     cand = (
         ka.alias("a")
         .join(kb.alias("b"), "k")
         # verify BEFORE the pair-dedup shuffle (fuzzyjoin.py discipline)
-        .filter(F.expr("levenshtein(a.name, b.name) <= 1"))
+        .filter(F.expr("levenshtein(a.name, b.name, 1) >= 0"))
         .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
         .distinct()
     )
+    # broadcast the 4-attribute relations onto the candidate pairs: the
+    # localCheckpoint erases stats, so without the hint both V-row
+    # attribute attachments sort-merge-join (exchange + sort of the
+    # candidate table twice — guide §3.1)
     return (
         cand.join(
-            la.selectExpr(
+            F.broadcast(la.selectExpr(
                 "id AS ida",
                 "name AS name_a",
                 "seg AS seg_a",
                 "nat AS nat_a",
                 "bal AS bal_a",
-            ),
+            )),
             "ida",
         )
         .join(
-            lb.selectExpr(
+            F.broadcast(lb.selectExpr(
                 "id AS idb",
                 "name AS name_b",
                 "seg AS seg_b",
                 "nat AS nat_b",
                 "bal AS bal_b",
-            ),
+            )),
             "idb",
         )
         .selectExpr(
