@@ -2113,6 +2113,13 @@ def q_betweenness_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the knob to turn first at native scale.
 # ---------------------------------------------------------------------------
 LP_TOPK = 50
+#: directed-edge-count ceiling for broadcasting the wedge join's b-side
+#: adjacency (~16 B/row framed: 20M edges ≈ 320 MB — inside the
+#: guide-§3.1 comfort zone, far under the 8 GB broadcast cap). Below it
+#: the Θ(Σ deg²) wedge rows never shuffle (they are born partitioned by
+#: u); above it (e.g. the 120M-directed-edge sf10 native graph) the
+#: wedge rows shuffle exactly once. Env-overridable for A/B runs.
+LP_BCAST_EDGES = int(os.environ.get("SPARK_GRAFT_LP_BCAST_EDGES", 20_000_000))
 
 
 def lp_weight_steps(div: str, shl: str) -> list[tuple[str, str]]:
@@ -2244,17 +2251,24 @@ def link_prediction_frame(
     exactly; pinned by tests/test_linkpred.py and executed by
     tools/verify_sf10_tail --checks linkpred).
 
-    r16 plan shape (guide §2.3/§2.4/§3.1; 118.5 s → ~26 s at sf0.1):
+    r16 plan shape (guide §2.3/§2.4/§3.1/§8; 118.5 s → ~16 s at sf0.1):
 
-    - The wedge rows are explicitly ``repartition(P, u, v)``-ed before
-      the pair aggregation. With ~1.5 wedges per candidate pair the
-      map-side partial aggregate reduced almost nothing while building
-      a multi-million-entry hash map per task (measured 68 s for the
-      agg alone at 32 partitions); the explicit exchange satisfies the
-      aggregation's distribution requirement, so Catalyst plans ONE
-      hash aggregate over co-partitioned input — no partial pass — and
-      P (≈4× parallelism, env-overridable) keeps per-task group state
-      ~800k entries (15.7 s measured).
+    - **The Θ(Σ deg²) wedge rows never cross an exchange.** When the
+      directed adjacency is small enough to broadcast (E ≤
+      LP_BCAST_EDGES; data-driven — one count on the already-
+      checkpointed edge list), the a-side adjacency is repartitioned by
+      ``n`` (the candidate ``u``) and the wedge join is a map-side
+      broadcast hash join, so wedges are BORN partitioned by ``u`` —
+      hashpartitioning(u) satisfies the (u, v) aggregation's clustering
+      requirement and Catalyst plans one co-partitioned hash aggregate
+      with no partial pass and no wedge shuffle (guide §8: decide with
+      small rows, never move the heavy derived rows). Above the
+      threshold (the chunked sf10-native path: 120M directed edges) it
+      falls back to shuffling the wedge rows once:
+      ``repartition(P, u, v)`` ahead of the groupBy — still one
+      single-pass aggregate (the 32-partition partial+final default
+      measured 68 s for the agg alone; the map-side partial aggregate
+      reduced ~1.5:1 while building multi-million-entry hash maps).
     - The candidate anti-join broadcasts the edge list instead of
       sort-merge-joining it (localCheckpoint leaves UnknownPartitioning
       + no stats, so the planner could never pick the broadcast
@@ -2296,23 +2310,51 @@ def link_prediction_frame(
         # chunk can never match the anti-join — filtering them first
         # is exact and keeps the per-chunk broadcast at ~E/C rows
         anti_edges = und.filter(F.col("u") % n_chunks == c)
-    b = adjw.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")))
-        .select(
-            F.col("a.n").alias("u"),
-            F.col("b.n").alias("v"),
-            F.col("a.aa_w_e6").alias("aa_w_e6"),
-            F.col("a.ra_w_e12").alias("ra_w_e12"),
+    # the directed edge count decides the wedge-join strategy (the same
+    # runtime-size decision AQE would make if the checkpoint kept
+    # stats); und is already materialized, so the count is one cheap
+    # pass over cached blocks
+    n_directed = 2 * und.count()
+    if n_directed <= LP_BCAST_EDGES:
+        # zero-shuffle wedges: a-side pre-partitioned by n (= candidate
+        # u), b-side adjacency broadcast — the join is map-side and its
+        # output already satisfies the aggregation's distribution
+        a_part = a.repartition(_lp_agg_partitions(spark), "n").alias("a")
+        b = F.broadcast(
+            adjw.select(F.col("w").alias("bw"), F.col("n").alias("bn"))
         )
-        .repartition(_lp_agg_partitions(spark), "u", "v")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cn"),
-            F.sum(F.col("aa_w_e6")).cast("long").alias("aa_e6"),
-            F.sum(F.col("ra_w_e12")).cast("long").alias("ra_e12"),
+        pairs = (
+            a_part.join(
+                b, (F.col("a.w") == F.col("bw")) & (F.col("a.n") < F.col("bn"))
+            )
+            .groupBy(F.col("a.n").alias("u"), F.col("bn").alias("v"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cn"),
+                F.sum(F.col("a.aa_w_e6")).cast("long").alias("aa_e6"),
+                F.sum(F.col("a.ra_w_e12")).cast("long").alias("ra_e12"),
+            )
         )
-    )
+    else:
+        b = adjw.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")),
+            )
+            .select(
+                F.col("a.n").alias("u"),
+                F.col("b.n").alias("v"),
+                F.col("a.aa_w_e6").alias("aa_w_e6"),
+                F.col("a.ra_w_e12").alias("ra_w_e12"),
+            )
+            .repartition(_lp_agg_partitions(spark), "u", "v")
+            .groupBy("u", "v")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cn"),
+                F.sum(F.col("aa_w_e6")).cast("long").alias("aa_e6"),
+                F.sum(F.col("ra_w_e12")).cast("long").alias("ra_e12"),
+            )
+        )
     cand = pairs.join(F.broadcast(anti_edges), ["u", "v"], "left_anti")
     top = cand.orderBy(F.desc("aa_e6"), "u", "v").limit(LP_TOPK)
     du = deg.select("u", F.col("deg").alias("deg_u"))
