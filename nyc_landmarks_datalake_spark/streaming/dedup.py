@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from nyc_landmarks_datalake_spark.scratch import scratch_dir
-from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay, replay_session
 
 
 def replay_stream_dedup(
@@ -52,8 +52,13 @@ def replay_stream_dedup(
     out = os.path.join(base, "out")
     rows.repartition(n_source_files).write.mode("overwrite").parquet(src)
 
+    # low-state-partition replay clone (stream_join.py discipline):
+    # one state-store instance per shuffle partition per stateful
+    # operator per micro-batch makes the parent session's 32
+    # partitions pure store overhead at replay scale
+    sess = replay_session(spark)
     stream = (
-        spark.readStream.schema(rows.schema)
+        sess.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -105,8 +110,13 @@ def replay_stream_dedup_watermarked(
     out = os.path.join(base, "out")
     rows.repartition(n_source_files).write.mode("overwrite").parquet(src)
 
+    # low-state-partition replay clone (stream_join.py discipline):
+    # one state-store instance per shuffle partition per stateful
+    # operator per micro-batch makes the parent session's 32
+    # partitions pure store overhead at replay scale
+    sess = replay_session(spark)
     stream = (
-        spark.readStream.schema(rows.schema)
+        sess.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )

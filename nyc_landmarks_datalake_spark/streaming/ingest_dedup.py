@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.scratch import scratch_dir
-from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay, replay_session
 
 
 def _band_keys(docs: DataFrame) -> DataFrame:
@@ -158,8 +158,13 @@ def replay_stream_ingest_dedup(
             "band_id", "band_hash", F.col("bmin_batch").alias("bmin")
         ).write.mode("append").parquet(store)
 
+    # low-state-partition replay clone (stream_join.py discipline):
+    # one state-store instance per shuffle partition per stateful
+    # operator per micro-batch makes the parent session's 32
+    # partitions pure store overhead at replay scale
+    sess = replay_session(spark)
     stream = (
-        spark.readStream.schema(staged.schema)
+        sess.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )

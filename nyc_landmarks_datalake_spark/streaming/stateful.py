@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from nyc_landmarks_datalake_spark.scratch import scratch_dir
-from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay, replay_session
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -172,8 +172,13 @@ def replay_user_profiles(
     out = os.path.join(base, "out")
     events.repartition(n_source_files).write.mode("overwrite").parquet(src)
 
+    # low-state-partition replay clone (stream_join.py discipline):
+    # one state-store instance per shuffle partition per stateful
+    # operator per micro-batch makes the parent session's 32
+    # partitions pure store overhead at replay scale
+    sess = replay_session(spark)
     stream = (
-        spark.readStream.schema(events.schema)
+        sess.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )

@@ -25,6 +25,7 @@ import os
 import shutil
 
 from nyc_landmarks_datalake_spark.scratch import scratch_dir
+from nyc_landmarks_datalake_spark.streaming.guard import replay_session
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -76,8 +77,13 @@ def replay_stream_agg(
     for stale in range(version - 1):
         shutil.rmtree(os.path.join(root, f"v{stale}"), ignore_errors=True)
 
+    # run the replay on the low-state-partition session clone: one
+    # state-store instance per shuffle partition per micro-batch, so
+    # the parent's 32 partitions are pure store-provider overhead at
+    # replay scale (the stream_join.py discipline, completed r16)
+    sess = replay_session(spark)
     stream = (
-        spark.readStream.schema(rows.schema)
+        sess.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
