@@ -74,6 +74,28 @@ REVERIFY: frozenset[str] = frozenset(
         "q_harmonic_centrality",
         "q_closeness_eccentricity",
         "q_distance_distribution",
+        # r16 optimization round: plans restructured for performance
+        # (results proven hash-identical to the committed oracles at
+        # sf0.001/0.01 before landing — see OPTIMIZATION_r16.md), but
+        # the implementation text changed, so the driver re-checks:
+        # FastSS blocking now joins on xxhash64(variant) with bounded
+        # levenshtein (linkage trio)…
+        "q_record_linkage",
+        "q_linkage_weights",
+        "q_fuzzy_join_names",
+        # …the soft-dedup weight attachment broadcasts the cluster
+        # relations…
+        "q_soft_dedup_weights",
+        # …and the remaining streaming replays moved onto the
+        # low-state-partition replay_session clone (the stream_join
+        # discipline), touching every replay-backed query body.
+        "q_stateful_user_profiles",
+        "q_stream_ingest_dedup",
+        "q_stream_tumbling_replay",
+        "q_stream_sliding_replay",
+        "q_stream_session_replay",
+        "q_stream_dedup",
+        "q_stream_dedup_watermarked",
     }
 )
 

@@ -420,9 +420,12 @@ def oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ku = okey.select(F.col("node").alias("u"), F.col("okey").alias("ok_u"))
     kv = okey.select(F.col("node").alias("v"), F.col("okey").alias("ok_v"))
+    # broadcast the V-row orientation keys onto the E-row edge list
+    # (guide §3.1: without the hint both attachments sort-merge-join —
+    # two exchanges + sorts of the edge list for V-row build sides)
     return (
-        und.join(ku, "u")
-        .join(kv, "v")
+        und.join(F.broadcast(ku), "u")
+        .join(F.broadcast(kv), "v")
         .select(
             F.when(F.col("ok_u") < F.col("ok_v"), F.col("u"))
             .otherwise(F.col("v"))
@@ -529,13 +532,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("dst").alias("nbrs"))
         .localCheckpoint(eager=False)
     )
+    # the adjacency-array relation is V rows (arrays total E entries —
+    # ~10 MB at sf0.1, ~2 GB/sqrt-bounded at sf10-native per-row);
+    # broadcasting it twice replaces two exchange+sort passes over the
+    # E-row oriented edge list (guide §3.1)
     tri = (
         edges.join(
-            adj.select(F.col("src").alias("src"), F.col("nbrs").alias("na")),
+            F.broadcast(
+                adj.select(
+                    F.col("src").alias("src"), F.col("nbrs").alias("na")
+                )
+            ),
             "src",
         )
         .join(
-            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nb")),
+            F.broadcast(
+                adj.select(
+                    F.col("src").alias("dst"), F.col("nbrs").alias("nb")
+                )
+            ),
             "dst",
         )
         .select(F.size(F.array_intersect("na", "nb")).alias("k"))
@@ -760,9 +775,12 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cl_size")
     )
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    # clusters/sizes cover only near-dup members (tiny next to the
+    # corpus) but sit behind the CC loop's localCheckpoint, which
+    # erases the stats that would let the planner broadcast them itself
     wts = (
-        docs.join(clusters, "doc_id", "left")
-        .join(sizes, "cluster_id", "left")
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .join(F.broadcast(sizes), "cluster_id", "left")
         .selectExpr(
             "source",
             "CAST(coalesce(1000000 div cl_size, 1000000) AS BIGINT)"
