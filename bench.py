@@ -325,6 +325,31 @@ def main() -> None:
         ),
         flush=True,
     )
+    # r16 PERF lost its per-query comparison because the single giant
+    # per-query line is FRONT-truncated by the driver's bounded tail
+    # capture (PERF_r16: per_query = {}). Re-emit the same map AFTER
+    # the headline in bounded chunks (~25 entries, well under 4 KB per
+    # line) so the captured tail always carries every entry whole; each
+    # chunk is a self-describing JSON line with the same "queries"
+    # shape. Measurement methodology is unchanged — this is output
+    # formatting only (r16 VERDICT "Next round" #5).
+    names = list(timings)
+    chunk_size = 25
+    n_chunks = (len(names) + chunk_size - 1) // chunk_size
+    for i in range(n_chunks):
+        part = names[i * chunk_size : (i + 1) * chunk_size]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_query_wall_clock_per_query",
+                    "chunk": i,
+                    "n_chunks": n_chunks,
+                    "queries": {n: timings[n] for n in part},
+                    "sf": sf,
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -156,23 +156,34 @@ def capped_bucket_pairs(
       to survive downstream verification; pairs are canonicalized to
       a < b by member order.
 
-    The window count, the small-branch groupBy, and the chain window
-    all hash on the same bucket keys, so ONE data shuffle serves the
-    whole expansion."""
+    The window count, the small-branch groupBy, and the chain lead all
+    hash on the same bucket keys, so ONE data shuffle serves the whole
+    expansion — and (r17) the count and the lead share ONE WindowExec:
+    both are framed over the same (bucket, order) sort, so one pass
+    sorts once and emits both columns, where the r16 shape ran two
+    WindowExec sorts (count by bucket, then the chain re-sorted by
+    bucket + order). The count's unbounded frame over the ordered
+    window equals the plain per-bucket COUNT; the lead is computed for
+    every row but only consumed above the cap — chain pairs are
+    byte-identical."""
     from pyspark.sql import Window
 
-    w_cnt = Window.partitionBy(*bucket_cols)
-    with_n = members.withColumn("__n", F.count(F.lit(1)).over(w_cnt))
+    order = ([F.col(key_col)] if key_col else []) + [F.col(member_col)]
+    w = Window.partitionBy(*bucket_cols).orderBy(*order)
+    w_cnt = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    with_n = members.select(
+        "*",
+        F.count(F.lit(1)).over(w_cnt).alias("__n"),
+        F.lead(member_col).over(w).alias("__mb"),
+    )
     small = (
         with_n.filter((F.col("__n") > 1) & (F.col("__n") <= cap))
         .groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(member_col)).alias("__ms"))
         .select(F.explode(F.expr(_all_pairs_expr("__ms"))).alias("p"))
     )
-    order = ([F.col(key_col)] if key_col else []) + [F.col(member_col)]
-    w_chain = Window.partitionBy(*bucket_cols).orderBy(*order)
     ma = F.col(member_col)
-    mb = F.lead(member_col).over(w_chain)
+    mb = F.col("__mb")
     canon = F.when(ma < mb, F.struct(ma.alias("a"), mb.alias("b"))).otherwise(
         F.struct(mb.alias("a"), ma.alias("b"))
     )

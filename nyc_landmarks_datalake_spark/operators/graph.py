@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.bcast import bcast_if
 from nyc_landmarks_datalake_spark.functions.hashing import (
     md5_long,
     md5_long_sql,
@@ -119,7 +120,13 @@ def connected_components(
             upd = upd.join(jump, upd.lbl == jump.jdoc).select(
                 "doc", "__old", F.col("jlbl").alias("lbl")
             )
-        new_labels = upd.localCheckpoint()
+        # lazy checkpoint + count fusion (r17, guide §2.4/§5): the
+        # convergence count is the FIRST action on the lazily-marked
+        # frame, so one job both materializes the round's state (every
+        # partition is computed and cached by the narrow filter) and
+        # counts the moved labels — the eager form ran a separate
+        # checkpoint job per round ahead of the count
+        new_labels = upd.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("lbl") != F.col("__old")).count()
         changed_per_round.append(changed)
         labels = new_labels.drop("__old")
@@ -408,7 +415,12 @@ def copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented distinct co-purchase edges (src -> dst, okey asc)."""
-    und = copurchase_und(spark, sf_dir)
+    # checkpoint + count: the edge count gates the orientation-key
+    # broadcasts below (r17 size-guard — the r16 hints were
+    # unconditional), and the count doubles as the materialization the
+    # deg agg and the orientation join reuse
+    und = copurchase_und(spark, sf_dir).localCheckpoint(eager=False)
+    n_und = und.count()
     both = und.select("u", "v").unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -422,10 +434,13 @@ def oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = okey.select(F.col("node").alias("v"), F.col("okey").alias("ok_v"))
     # broadcast the V-row orientation keys onto the E-row edge list
     # (guide §3.1: without the hint both attachments sort-merge-join —
-    # two exchanges + sorts of the edge list for V-row build sides)
+    # two exchanges + sorts of the edge list for V-row build sides).
+    # V <= 2·|und| bounds the build side, so the gate can only
+    # suppress an oversized broadcast, never force one; above the
+    # threshold the planner falls back to the shuffle join.
     return (
-        und.join(F.broadcast(ku), "u")
-        .join(F.broadcast(kv), "v")
+        und.join(bcast_if(ku, 2 * n_und), "u")
+        .join(bcast_if(kv, 2 * n_und), "v")
         .select(
             F.when(F.col("ok_u") < F.col("ok_v"), F.col("u"))
             .otherwise(F.col("v"))
@@ -521,6 +536,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
+    # one pass over the cached oriented edges: the count gates the two
+    # adjacency broadcasts (total payload = E array entries, so the
+    # edge count IS the broadcast size in rows — r17 size-guard; the
+    # r16 hints were unconditional and at 100 TB would blow the 8 GB
+    # cap instead of degrading to a shuffle join)
+    n_dir = edges.count()
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -533,23 +554,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # the adjacency-array relation is V rows (arrays total E entries —
-    # ~10 MB at sf0.1, ~2 GB/sqrt-bounded at sf10-native per-row);
-    # broadcasting it twice replaces two exchange+sort passes over the
-    # E-row oriented edge list (guide §3.1)
+    # ~10 MB at sf0.1); broadcasting it twice replaces two
+    # exchange+sort passes over the E-row oriented edge list (guide
+    # §3.1); above the gate the planner shuffle-joins instead
     tri = (
         edges.join(
-            F.broadcast(
+            bcast_if(
                 adj.select(
                     F.col("src").alias("src"), F.col("nbrs").alias("na")
-                )
+                ),
+                n_dir,
             ),
             "src",
         )
         .join(
-            F.broadcast(
+            bcast_if(
                 adj.select(
                     F.col("src").alias("dst"), F.col("nbrs").alias("nb")
-                )
+                ),
+                n_dir,
             ),
             "dst",
         )
@@ -777,10 +800,15 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     # clusters/sizes cover only near-dup members (tiny next to the
     # corpus) but sit behind the CC loop's localCheckpoint, which
-    # erases the stats that would let the planner broadcast them itself
+    # erases the stats that would let the planner broadcast them itself.
+    # Size-guarded (r17): at a pathological dup rate the member list is
+    # O(corpus), so the hint must degrade to a shuffle join above the
+    # threshold instead of OOMing the driver; the count is one pass
+    # over the CC loop's already-checkpointed label blocks.
+    n_members = clusters.count()
     wts = (
-        docs.join(F.broadcast(clusters), "doc_id", "left")
-        .join(F.broadcast(sizes), "cluster_id", "left")
+        docs.join(bcast_if(clusters, n_members), "doc_id", "left")
+        .join(bcast_if(sizes, n_members), "cluster_id", "left")
         .selectExpr(
             "source",
             "CAST(coalesce(1000000 div cl_size, 1000000) AS BIGINT)"
@@ -940,7 +968,9 @@ def coreness(
             F.col("core").alias("__old"),
             F.least(F.col("core"), F.col("h")).alias("core"),
         )
-        new_cores = upd.localCheckpoint()
+        # lazy checkpoint + count fusion (r17): one job materializes the
+        # round's cores and counts the movers (see connected_components)
+        new_cores = upd.localCheckpoint(eager=False)
         changed = new_cores.filter(F.col("core") != F.col("__old")).count()
         changed_per_round.append(changed)
         cores = new_cores.drop("__old")
@@ -1212,9 +1242,12 @@ def lpa_communities(
     changed = 0
     changed_per_step: list[int] = []
     for _ in range(max_supersteps + 1):
+        # lazy checkpoint + count fusion (r17): one job materializes the
+        # superstep's labels and counts the movers (see
+        # connected_components)
         stepped = half(
             half(labels.withColumn("__old", F.col("lbl")), True), False
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("lbl") != F.col("__old")).count()
         changed_per_step.append(changed)
         labels = stepped.drop("__old")
@@ -1469,7 +1502,10 @@ def ms_bfs_state(
                 F.expr("mask | COALESCE(m, 0)").alias("mask"),
                 *[F.expr(fn(k)).alias(name) for name, fn in accruals],
             )
-            .localCheckpoint()
+            # lazy checkpoint + count fusion (r17): one job materializes
+            # the round's state and counts the grown masks (see
+            # connected_components)
+            .localCheckpoint(eager=False)
         )
         grew = new_state.filter(F.col("mask") != F.col("__old")).count()
         grew_per_round.append(grew)
@@ -1982,6 +2018,14 @@ def betweenness_sketch(
         F.lit(0).alias("d"),
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint()
+    # per-depth level frames (r17): the forward pass already computes
+    # one frame per BFS level; keeping them lets the backward pass
+    # touch two levels per step instead of rewriting the full
+    # (pivot, node) state once per level, and the visited set for the
+    # anti-join is their lazy (p, node) union — the per-round
+    # state.union(new).localCheckpoint() job of the r16 shape is gone
+    levels = [state]
+    visited = state.select("p", "node")
     frontier = state
     sizes: list[int] = []
     done = False
@@ -1993,13 +2037,18 @@ def betweenness_sketch(
             .withColumn("d", F.lit(k))
             .select("p", "node", "d", "sigma")
         )
-        new = cand.join(state, ["p", "node"], "left_anti").localCheckpoint()
+        # lazy checkpoint + count fusion (r17): one job materializes the
+        # level and counts it (see connected_components)
+        new = cand.join(visited, ["p", "node"], "left_anti").localCheckpoint(
+            eager=False
+        )
         n_new = new.count()
         sizes.append(n_new)
         if n_new == 0:
             done = True
             break
-        state = state.union(new).localCheckpoint()
+        levels.append(new)
+        visited = visited.union(new.select("p", "node"))
         frontier = new
     if not done:
         raise RuntimeError(
@@ -2008,10 +2057,19 @@ def betweenness_sketch(
             "dependency; raise max_rounds (and the oracle unroll) together"
         )
     deepest = len(sizes) - 1  # last round added nothing
-    delta = state.withColumn("delta", F.lit(0).cast("long"))
+    # backward accumulation per depth slice (r17, VERDICT #3): delta of
+    # a depth-k node depends ONLY on depth-k rows and the depth-(k+1)
+    # deltas, so each step joins level k to level k+1 — the arithmetic
+    # (decimal product, div, coalesce 0) is byte-identical to the r16
+    # full-state rewrite, which filtered the same two slices out of the
+    # whole state and re-emitted every untouched row once per level
+    dlevels: list[DataFrame | None] = [None] * (deepest + 1)
+    dlevels[deepest] = levels[deepest].withColumn(
+        "delta", F.lit(0).cast("long")
+    )
     for k in range(deepest - 1, -1, -1):
-        tk = delta.filter(F.col("d") == k)
-        wk = delta.filter(F.col("d") == k + 1).select(
+        tk = levels[k]
+        wk = dlevels[k + 1].select(
             F.col("p").alias("wp"),
             F.col("node").alias("wnode"),
             F.col("sigma").alias("wsigma"),
@@ -2032,10 +2090,10 @@ def betweenness_sketch(
                 ).alias("dl")
             )
         )
-        delta = (
-            delta.join(
+        dlevels[k] = (
+            tk.join(
                 acc,
-                (delta.p == acc.ap) & (delta.node == acc.anode),
+                (tk.p == acc.ap) & (tk.node == acc.anode),
                 "left",
             )
             .select(
@@ -2043,12 +2101,13 @@ def betweenness_sketch(
                 "node",
                 "d",
                 "sigma",
-                F.when(F.col("d") == k, F.coalesce("dl", F.lit(0)))
-                .otherwise(F.col("delta"))
-                .alias("delta"),
+                F.coalesce("dl", F.lit(0)).cast("long").alias("delta"),
             )
             .localCheckpoint(eager=False)
         )
+    from functools import reduce
+
+    delta = reduce(lambda x, y: x.union(y), dlevels)
     if stats is not None:
         stats["rounds"] = len(sizes)
         stats["frontier"] = sizes
@@ -2373,13 +2432,24 @@ def link_prediction_frame(
                 F.sum(F.col("ra_w_e12")).cast("long").alias("ra_e12"),
             )
         )
-    cand = pairs.join(F.broadcast(anti_edges), ["u", "v"], "left_anti")
+    # broadcast the anti-join build side only when it is provably
+    # bounded: chunk-filtered (~E/C rows) or the whole edge list under
+    # LP_BCAST_EDGES (r16 ADVICE: the unchunked hint was unconditional
+    # — the full E-row list at native scale must degrade to a shuffle
+    # anti-join, not bypass the 8 GB broadcast cap)
+    if chunk is not None or n_directed <= LP_BCAST_EDGES:
+        anti_edges = F.broadcast(anti_edges)
+    cand = pairs.join(anti_edges, ["u", "v"], "left_anti")
     top = cand.orderBy(F.desc("aa_e6"), "u", "v").limit(LP_TOPK)
     du = deg.select("u", F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    # broadcast the LP_TOPK-row side of the degree attachments, not the
+    # V-row degree table (r17: the r16 hints collected V rows to the
+    # driver — backwards at scale; building the 50-row side streams deg
+    # map-side from its cached blocks with zero exchange either way)
     scored = (
-        top.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        F.broadcast(F.broadcast(top).join(du, "u"))
+        .join(dv, "v")
         .select(
             "u",
             "v",
@@ -2473,16 +2543,21 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = und.select("u", "v").unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
+    # materializes the checkpoint the sums pass reads anyway; the count
+    # gates the degree broadcasts (V <= |both| bounds the build side)
+    n_directed = both.count()
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     du = deg.select("u", F.col("deg").alias("du"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
     # broadcast the V-row degree table onto the E-row edge list: the
     # localCheckpoint upstream erases stats, so without the hint the
     # planner sort-merge-joins — two exchanges + sorts of the edge list
-    # for joins whose build side is |V| rows (guide §3.1; 12.0 → ~4 s)
+    # for joins whose build side is |V| rows (guide §3.1; 12.0 → ~4 s).
+    # Size-guarded (r17): above the gate the planner shuffle-joins
+    # instead of blowing the 8 GB broadcast cap at native scale.
     sums = (
-        both.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        both.join(bcast_if(du, n_directed), "u")
+        .join(bcast_if(dv, n_directed), "v")
         .agg(
             F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("m2"),
             F.expr("CAST(SUM(du * dv) AS DECIMAL(38,0))").alias("sxy"),

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_landmarks_datalake_spark.functions.bcast import bcast_if
 from nyc_landmarks_datalake_spark.functions.hashing import md5_long_sql
 from nyc_landmarks_datalake_spark.operators.fuzzyjoin import (
     _VARIANTS,
@@ -64,6 +65,11 @@ T_NONMATCH_INV = 10
 ODDS_CAP_PPM = 1_000_000_000_000_000
 
 _FIELDS = ("name", "segment", "nation", "acctbal")
+
+#: row gate for the forced gamma attribute broadcasts: ~64 B/row framed
+#: (id + name + seg + nat + bal) keeps the build side near 500 MB —
+#: wider rows than the default bcast gate assumes, hence the lower cap
+_GAMMA_BCAST_ROWS = 8_000_000
 
 
 # -- the dirty copy B (Spark dialect) ---------------------------------------
@@ -118,6 +124,12 @@ def _gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     la, lb = _relations(spark, sf_dir)
     la = la.localCheckpoint(eager=False)  # feeds blocking AND attr join
     lb = lb.localCheckpoint(eager=False)
+    # one pass over the cached A-side materializes it and gates the two
+    # attribute broadcasts below (|B| == |A| exactly — the dirty copy is
+    # row-preserving). ~64 B/row framed, so the 8M-row gate keeps the
+    # forced broadcast near 500 MB; above it the planner shuffle-joins
+    # (r17 size-guard — the r16 hints were unconditional).
+    n_recs = la.count()
     # blocking-join plan notes (r16, guide §2.3/§1.2): the key is the
     # xxhash64 of the deletion variant (8-byte join column instead of
     # an ~L-char string; exact — any lev<=1 pair shares a REAL variant,
@@ -132,34 +144,51 @@ def _gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         ka.alias("a")
         .join(kb.alias("b"), "k")
-        # verify BEFORE the pair-dedup shuffle (fuzzyjoin.py discipline)
-        .filter(F.expr("levenshtein(a.name, b.name, 1) >= 0"))
+        # verify BEFORE the pair-dedup shuffle (fuzzyjoin.py discipline).
+        # The equality short-circuit skips the DP entirely for the
+        # dominant candidate class — an uncorrupted name joining its own
+        # dirty copy on every shared deletion variant (75% of names are
+        # uncorrupted). Exact: lev(a, a) = 0 passes the bounded form
+        # too, and codegen's Or evaluates the cheap memcmp first
+        # (r16 VERDICT #4; row count re-proven identical at sf0.1).
+        # A length prefilter would be free but prunes nothing here:
+        # names are fixed-width Customer#%09d and the corruption is a
+        # same-length substitution.
+        .filter(F.expr("a.name = b.name OR levenshtein(a.name, b.name, 1) >= 0"))
         .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
         .distinct()
     )
     # broadcast the 4-attribute relations onto the candidate pairs: the
     # localCheckpoint erases stats, so without the hint both V-row
     # attribute attachments sort-merge-join (exchange + sort of the
-    # candidate table twice — guide §3.1)
+    # candidate table twice — guide §3.1); size-guarded per above
     return (
         cand.join(
-            F.broadcast(la.selectExpr(
-                "id AS ida",
-                "name AS name_a",
-                "seg AS seg_a",
-                "nat AS nat_a",
-                "bal AS bal_a",
-            )),
+            bcast_if(
+                la.selectExpr(
+                    "id AS ida",
+                    "name AS name_a",
+                    "seg AS seg_a",
+                    "nat AS nat_a",
+                    "bal AS bal_a",
+                ),
+                n_recs,
+                _GAMMA_BCAST_ROWS,
+            ),
             "ida",
         )
         .join(
-            F.broadcast(lb.selectExpr(
-                "id AS idb",
-                "name AS name_b",
-                "seg AS seg_b",
-                "nat AS nat_b",
-                "bal AS bal_b",
-            )),
+            bcast_if(
+                lb.selectExpr(
+                    "id AS idb",
+                    "name AS name_b",
+                    "seg AS seg_b",
+                    "nat AS nat_b",
+                    "bal AS bal_b",
+                ),
+                n_recs,
+                _GAMMA_BCAST_ROWS,
+            ),
             "idb",
         )
         .selectExpr(

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nyc_landmarks_datalake_spark.scratch import scratch_dir
-from nyc_landmarks_datalake_spark.streaming.guard import finish_replay, replay_session
+from nyc_landmarks_datalake_spark.streaming.guard import finish_replay
 
 
 def _band_keys(docs: DataFrame) -> DataFrame:
