@@ -58,44 +58,43 @@ def _verified_names() -> set[str]:
 #: checked prefix. Maintained per round; clear entries once re-verified.
 REVERIFY: frozenset[str] = frozenset(
     {
-        # r15's single entry (q_label_propagation, post oracle-guard
-        # text change) re-greened in CORRECTNESS_r15 — cleared.
-        # r16 touches: the undirected co-purchase edge builder was
-        # lifted out of oriented_copurchase_edges into copurchase_und
-        # (shared with the new link-prediction/assortativity queries).
-        # Semantically a no-op and parity-rechecked at sf0.001/0.01,
-        # but the implementation text changed, so re-verify.
+        # r16's 15 entries all re-greened in CORRECTNESS_r16 — cleared.
+        # r17 optimization round: plans restructured for performance
+        # (results proven hash-identical to the committed oracles at
+        # sf0.001 AND sf0.01 before landing — see OPTIMIZATION_r17.md),
+        # but the implementation text changed, so the driver re-checks:
+        # size-guarded broadcast hints (runtime-count gates) on the
+        # co-purchase graph family, the soft-dedup attachments, the
+        # linkage gamma attachments (+ equal-name levenshtein
+        # short-circuit) and the link-prediction anti-join/top-K…
         "q_triangle_count",
-        # r16: the triplicated pivot-selection + bitmask MS-BFS grow
-        # loop was extracted into the shared ms_bfs_state driver
-        # (r15 ADVICE) — values unchanged (full test_centrality +
-        # sf0.01 parity re-run green), but the implementations of all
-        # three riders changed, so re-verify.
+        "q_degree_assortativity",
+        "q_link_prediction",
+        "q_soft_dedup_weights",
+        "q_record_linkage",
+        "q_linkage_weights",
+        # …the iterative loops fuse the per-round convergence count
+        # into the (now lazy) checkpoint materialization, and the
+        # Brandes backward pass accumulates per depth slice…
+        "q_kcore_decomposition",
+        "q_label_propagation",
         "q_harmonic_centrality",
         "q_closeness_eccentricity",
         "q_distance_distribution",
-        # r16 optimization round: plans restructured for performance
-        # (results proven hash-identical to the committed oracles at
-        # sf0.001/0.01 before landing — see OPTIMIZATION_r16.md), but
-        # the implementation text changed, so the driver re-checks:
-        # FastSS blocking now joins on xxhash64(variant) with bounded
-        # levenshtein (linkage trio)…
-        "q_record_linkage",
-        "q_linkage_weights",
-        "q_fuzzy_join_names",
-        # …the soft-dedup weight attachment broadcasts the cluster
-        # relations…
-        "q_soft_dedup_weights",
-        # …and the remaining streaming replays moved onto the
-        # low-state-partition replay_session clone (the stream_join
-        # discipline), touching every replay-backed query body.
-        "q_stateful_user_profiles",
-        "q_stream_ingest_dedup",
-        "q_stream_tumbling_replay",
-        "q_stream_sliding_replay",
-        "q_stream_session_replay",
-        "q_stream_dedup",
-        "q_stream_dedup_watermarked",
+        "q_betweenness_sketch",
+        "q_dup_clusters",
+        "q_dedup_apply",
+        # …and capped_bucket_pairs computes the bucket count and the
+        # chain lead in ONE window pass, touching every LSH pair
+        # consumer.
+        "q_dedup_minhash_lsh",
+        "q_minhash_calibration",
+        "q_lsh_recall_census",
+        "q_dedup_simhash_hamming",
+        "q_domain_dedup_cascade",
+        "q_semantic_dedup",
+        "q_embedding_neardup",
+        "q_curation_pipeline_e2e",
     }
 )
 

@@ -33,10 +33,16 @@ from pyspark.sql import functions as F
 BCAST_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_BCAST_MAX_ROWS", 20_000_000))
 
 
-def bcast_if(df: DataFrame, n_rows: int, limit: int = BCAST_MAX_ROWS) -> DataFrame:
+def bcast_if(
+    df: DataFrame, n_rows: int, limit: int | None = None
+) -> DataFrame:
     """``F.broadcast(df)`` when ``n_rows <= limit``, else ``df`` unhinted
     (the planner then picks a shuffle join — correct, just not
     broadcast). ``n_rows`` is the caller's runtime count of ``df`` or a
     cheap upper bound for it (an upper bound can only suppress the
-    hint, never force an oversized broadcast)."""
+    hint, never force an oversized broadcast). ``limit`` defaults to
+    :data:`BCAST_MAX_ROWS` read at CALL time so tests can force the
+    over-threshold fallback branch by patching the module constant."""
+    if limit is None:
+        limit = BCAST_MAX_ROWS
     return F.broadcast(df) if n_rows <= limit else df
